@@ -1,0 +1,14 @@
+"""ganq-tpu: TPU-native LUT/uniform post-training quantization toolkit + runtime.
+
+A from-scratch JAX/XLA/Pallas framework with the capabilities of the reference
+GPTQModel+GANQ stack (see SURVEY.md): layer-wise PTQ (GPTQ uniform, GANQ
+non-uniform per-row LUT), packed W4 checkpoint formats, fused dequant-matmul
+Pallas kernels, quantized inference with KV cache and continuous batching,
+EoRA adapters, eval tooling, and mesh-sharded multi-chip serving.
+"""
+
+from .core.config import FORMAT, QUANT_METHOD, QuantizeConfig
+
+__version__ = "0.1.0"
+
+__all__ = ["FORMAT", "QUANT_METHOD", "QuantizeConfig", "__version__"]
