@@ -1,0 +1,219 @@
+"""Architecture registry: HF config -> ModelConfig + parameter name maps.
+
+The declarative counterpart of the reference's ``MODEL_MAP`` + per-arch
+definition classes (``gptqmodel/models/auto.py:120-176``,
+``models/definitions/*.py``). Each entry describes:
+
+- how to build :class:`ModelConfig` from a HF ``config.json``;
+- the HF state-dict name template for every param slot;
+- ``layer_modules``: ordered quantization subsets (true_sequential order),
+  using reference-convention module names so dynamic-override regexes match;
+- ``base_modules`` / ``lm_head`` names for checkpoint IO.
+
+Llama-family derivatives (mistral, qwen2, ...) reuse the llama spec with
+knob tweaks — the TPU analog of the reference's subclassing-by-declaration.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Callable, Dict, List, Optional
+
+from .transformer import ModelConfig
+
+
+@dataclass
+class ArchSpec:
+    model_type: str
+    make_config: Callable[[Dict[str, Any]], ModelConfig]
+    # state-dict templates; {i} = layer index
+    name_map: Dict[str, str] = field(default_factory=dict)
+    # quantization subsets in true_sequential order (reference layer_modules)
+    layer_modules: List[List[str]] = field(default_factory=list)
+    # tap key -> param path ("attn.q", "mlp.down", ...)
+    module_slots: Dict[str, str] = field(default_factory=dict)
+    lm_head_name: str = "lm_head"
+    layers_prefix: str = "model.layers"
+
+
+REGISTRY: Dict[str, ArchSpec] = {}
+
+
+def register(spec: ArchSpec) -> ArchSpec:
+    REGISTRY[spec.model_type] = spec
+    return spec
+
+
+def get_spec(model_type: str) -> ArchSpec:
+    if model_type not in REGISTRY:
+        raise KeyError(
+            f"Unsupported architecture '{model_type}'. Registered: {sorted(REGISTRY)}")
+    return REGISTRY[model_type]
+
+
+# ---------------------------------------------------------------------- llama
+def _llama_config(hf: Dict[str, Any]) -> ModelConfig:
+    heads = hf["num_attention_heads"]
+    return ModelConfig(
+        model_type=hf.get("model_type", "llama"),
+        vocab_size=hf["vocab_size"],
+        hidden_size=hf["hidden_size"],
+        intermediate_size=hf["intermediate_size"],
+        num_hidden_layers=hf["num_hidden_layers"],
+        num_attention_heads=heads,
+        num_key_value_heads=hf.get("num_key_value_heads", heads),
+        head_dim=hf.get("head_dim") or hf["hidden_size"] // heads,
+        max_position_embeddings=hf.get("max_position_embeddings", 2048),
+        norm="rmsnorm",
+        norm_eps=hf.get("rms_norm_eps", 1e-5),
+        act=hf.get("hidden_act", "silu"),
+        gated_mlp=True,
+        pos="rope",
+        rope_theta=hf.get("rope_theta", 10000.0),
+        rope_scaling=hf.get("rope_scaling"),
+        attn_bias=hf.get("attention_bias", False),
+        mlp_bias=hf.get("mlp_bias", False),
+        tie_word_embeddings=hf.get("tie_word_embeddings", False),
+    )
+
+
+LLAMA_NAME_MAP = {
+    "embed_tokens.weight": "model.embed_tokens.weight",
+    "final_norm.weight": "model.norm.weight",
+    "lm_head.weight": "lm_head.weight",
+    "layers.{i}.input_norm.weight": "model.layers.{i}.input_layernorm.weight",
+    "layers.{i}.post_norm.weight": "model.layers.{i}.post_attention_layernorm.weight",
+    "layers.{i}.attn.q.weight": "model.layers.{i}.self_attn.q_proj.weight",
+    "layers.{i}.attn.k.weight": "model.layers.{i}.self_attn.k_proj.weight",
+    "layers.{i}.attn.v.weight": "model.layers.{i}.self_attn.v_proj.weight",
+    "layers.{i}.attn.o.weight": "model.layers.{i}.self_attn.o_proj.weight",
+    "layers.{i}.attn.q.bias": "model.layers.{i}.self_attn.q_proj.bias",
+    "layers.{i}.attn.k.bias": "model.layers.{i}.self_attn.k_proj.bias",
+    "layers.{i}.attn.v.bias": "model.layers.{i}.self_attn.v_proj.bias",
+    "layers.{i}.mlp.gate.weight": "model.layers.{i}.mlp.gate_proj.weight",
+    "layers.{i}.mlp.up.weight": "model.layers.{i}.mlp.up_proj.weight",
+    "layers.{i}.mlp.down.weight": "model.layers.{i}.mlp.down_proj.weight",
+}
+
+LLAMA_LAYER_MODULES = [
+    ["self_attn.q_proj", "self_attn.k_proj", "self_attn.v_proj"],
+    ["self_attn.o_proj"],
+    ["mlp.up_proj", "mlp.gate_proj"],
+    ["mlp.down_proj"],
+]
+
+LLAMA_SLOTS = {
+    "self_attn.q_proj": "attn.q",
+    "self_attn.k_proj": "attn.k",
+    "self_attn.v_proj": "attn.v",
+    "self_attn.o_proj": "attn.o",
+    "mlp.gate_proj": "mlp.gate",
+    "mlp.up_proj": "mlp.up",
+    "mlp.down_proj": "mlp.down",
+}
+
+register(ArchSpec(
+    model_type="llama",
+    make_config=_llama_config,
+    name_map=LLAMA_NAME_MAP,
+    layer_modules=LLAMA_LAYER_MODULES,
+    module_slots=LLAMA_SLOTS,
+))
+
+# llama-family derivatives sharing the spec (qkv-bias etc. read from config)
+for _mt in ("mistral", "qwen2", "qwen3", "gemma", "yi", "internlm",
+            "stablelm", "phi3", "granite", "olmo2", "exaone", "deci",
+            "instella", "telechat2", "longllama", "mobilellm"):
+    register(ArchSpec(
+        model_type=_mt,
+        make_config=_llama_config,
+        name_map=LLAMA_NAME_MAP,
+        layer_modules=LLAMA_LAYER_MODULES,
+        module_slots=LLAMA_SLOTS,
+    ))
+
+
+# ------------------------------------------------------------------------ opt
+def _opt_config(hf: Dict[str, Any]) -> ModelConfig:
+    heads = hf["num_attention_heads"]
+    hidden = hf["hidden_size"]
+    wpd = hf.get("word_embed_proj_dim", hidden)
+    return ModelConfig(
+        model_type="opt",
+        vocab_size=hf["vocab_size"],
+        hidden_size=hidden,
+        intermediate_size=hf["ffn_dim"],
+        num_hidden_layers=hf["num_hidden_layers"],
+        num_attention_heads=heads,
+        num_key_value_heads=heads,
+        head_dim=hidden // heads,
+        max_position_embeddings=hf.get("max_position_embeddings", 2048),
+        norm="layernorm",
+        norm_eps=1e-5,
+        act=hf.get("activation_function", "relu"),
+        gated_mlp=False,
+        pos="learned",
+        attn_bias=hf.get("enable_bias", True),
+        mlp_bias=hf.get("enable_bias", True),
+        tie_word_embeddings=hf.get("tie_word_embeddings", True),
+        do_layer_norm_before=hf.get("do_layer_norm_before", True),
+        word_embed_proj_dim=wpd if wpd != hidden else None,
+        final_layer_norm=hf.get("do_layer_norm_before", True)
+                         and not hf.get("_remove_final_layer_norm", False),
+    )
+
+
+OPT_NAME_MAP = {
+    "embed_tokens.weight": "model.decoder.embed_tokens.weight",
+    "embed_positions.weight": "model.decoder.embed_positions.weight",
+    "final_norm.weight": "model.decoder.final_layer_norm.weight",
+    "final_norm.bias": "model.decoder.final_layer_norm.bias",
+    "project_in.weight": "model.decoder.project_in.weight",
+    "project_out.weight": "model.decoder.project_out.weight",
+    "lm_head.weight": "lm_head.weight",
+    "layers.{i}.input_norm.weight": "model.decoder.layers.{i}.self_attn_layer_norm.weight",
+    "layers.{i}.input_norm.bias": "model.decoder.layers.{i}.self_attn_layer_norm.bias",
+    "layers.{i}.post_norm.weight": "model.decoder.layers.{i}.final_layer_norm.weight",
+    "layers.{i}.post_norm.bias": "model.decoder.layers.{i}.final_layer_norm.bias",
+    "layers.{i}.attn.q.weight": "model.decoder.layers.{i}.self_attn.q_proj.weight",
+    "layers.{i}.attn.k.weight": "model.decoder.layers.{i}.self_attn.k_proj.weight",
+    "layers.{i}.attn.v.weight": "model.decoder.layers.{i}.self_attn.v_proj.weight",
+    "layers.{i}.attn.o.weight": "model.decoder.layers.{i}.self_attn.out_proj.weight",
+    "layers.{i}.attn.q.bias": "model.decoder.layers.{i}.self_attn.q_proj.bias",
+    "layers.{i}.attn.k.bias": "model.decoder.layers.{i}.self_attn.k_proj.bias",
+    "layers.{i}.attn.v.bias": "model.decoder.layers.{i}.self_attn.v_proj.bias",
+    "layers.{i}.attn.o.bias": "model.decoder.layers.{i}.self_attn.out_proj.bias",
+    "layers.{i}.mlp.up.weight": "model.decoder.layers.{i}.fc1.weight",
+    "layers.{i}.mlp.up.bias": "model.decoder.layers.{i}.fc1.bias",
+    "layers.{i}.mlp.down.weight": "model.decoder.layers.{i}.fc2.weight",
+    "layers.{i}.mlp.down.bias": "model.decoder.layers.{i}.fc2.bias",
+}
+
+# reference OPT ordering (definitions/opt.py)
+OPT_LAYER_MODULES = [
+    ["self_attn.k_proj", "self_attn.v_proj", "self_attn.q_proj"],
+    ["self_attn.out_proj"],
+    ["fc1"],
+    ["fc2"],
+]
+
+OPT_SLOTS = {
+    "self_attn.q_proj": "attn.q",
+    "self_attn.k_proj": "attn.k",
+    "self_attn.v_proj": "attn.v",
+    "self_attn.out_proj": "attn.o",
+    "fc1": "mlp.up",
+    "fc2": "mlp.down",
+}
+
+register(ArchSpec(
+    model_type="opt",
+    make_config=_opt_config,
+    name_map=OPT_NAME_MAP,
+    layer_modules=OPT_LAYER_MODULES,
+    module_slots=OPT_SLOTS,
+    layers_prefix="model.decoder.layers",
+))
+
+
+__all__ = ["ArchSpec", "REGISTRY", "register", "get_spec"]

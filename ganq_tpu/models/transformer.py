@@ -1,0 +1,265 @@
+"""Functional decoder-only transformer covering the OPT and Llama families.
+
+The TPU-idiomatic replacement for the reference's per-architecture nn.Module
+definitions (``gptqmodel/models/definitions/*``): one configurable pure
+function over a params pytree. Architecture knobs (norm type, activation,
+positional scheme, biases, GQA, tied embeddings, OPT's project_in/out) are
+data in :class:`ModelConfig`; per-arch entries live in ``registry.py`` with
+the same declarative role as the reference's ``base_modules``/``layer_modules``
+contracts (``models/base.py:69-124``).
+
+Quantization needs no forward hooks: ``layer_forward(..., want_taps=True)``
+returns the inputs of every quantizable submodule (the reference's
+``HookedLinear`` capture, ``nn_modules/hooked_linear.py``), keyed by the same
+module names the reference uses so dynamic-override regexes written for it
+keep working.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import qlinear
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    model_type: str                   # "opt" | "llama" | derivatives
+    vocab_size: int
+    hidden_size: int
+    intermediate_size: int
+    num_hidden_layers: int
+    num_attention_heads: int
+    num_key_value_heads: int
+    head_dim: int
+    max_position_embeddings: int = 2048
+
+    norm: str = "rmsnorm"             # rmsnorm | layernorm
+    norm_eps: float = 1e-5
+    act: str = "silu"                 # relu | gelu | silu (glu when gated_mlp)
+    gated_mlp: bool = True
+    pos: str = "rope"                 # rope | learned (OPT, offset 2)
+    rope_theta: float = 10000.0
+    rope_scaling: Optional[Dict[str, Any]] = None
+
+    attn_bias: bool = False
+    mlp_bias: bool = False
+    tie_word_embeddings: bool = False
+
+    # OPT-specific
+    do_layer_norm_before: bool = True
+    word_embed_proj_dim: Optional[int] = None  # OPT-350m projection dim
+    final_layer_norm: bool = True
+
+    attn_scale: Optional[float] = None  # default 1/sqrt(head_dim)
+
+    @property
+    def q_dim(self) -> int:
+        return self.num_attention_heads * self.head_dim
+
+    @property
+    def kv_dim(self) -> int:
+        return self.num_key_value_heads * self.head_dim
+
+
+# --------------------------------------------------------------------- norms
+def apply_norm(np_: Dict[str, Any], x: jax.Array, kind: str, eps: float) -> jax.Array:
+    xf = x.astype(jnp.float32)
+    if kind == "rmsnorm":
+        var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+        y = xf * jax.lax.rsqrt(var + eps) * np_["weight"].astype(jnp.float32)
+    else:
+        mean = jnp.mean(xf, axis=-1, keepdims=True)
+        var = jnp.var(xf, axis=-1, keepdims=True)
+        y = (xf - mean) * jax.lax.rsqrt(var + eps)
+        y = y * np_["weight"].astype(jnp.float32) + np_["bias"].astype(jnp.float32)
+    return y.astype(x.dtype)
+
+
+# ---------------------------------------------------------------------- rope
+def _rope_inv_freq(cfg: ModelConfig) -> jax.Array:
+    inv_freq = 1.0 / (cfg.rope_theta ** (jnp.arange(0, cfg.head_dim, 2, dtype=jnp.float32) / cfg.head_dim))
+    rs = cfg.rope_scaling
+    if rs and rs.get("rope_type", rs.get("type")) == "llama3":
+        # HF llama3 frequency-dependent scaling (Llama-3.x checkpoints)
+        factor = rs["factor"]
+        lo = rs.get("low_freq_factor", 1.0)
+        hi = rs.get("high_freq_factor", 4.0)
+        orig = rs.get("original_max_position_embeddings", 8192)
+        wavelen = 2 * math.pi / inv_freq
+        low_wl = orig / lo
+        high_wl = orig / hi
+        scaled = inv_freq / factor
+        smooth = (orig / wavelen - lo) / (hi - lo)
+        mid = (1 - smooth) * scaled + smooth * inv_freq
+        inv_freq = jnp.where(wavelen > low_wl, scaled,
+                             jnp.where(wavelen < high_wl, inv_freq, mid))
+    return inv_freq
+
+
+def rope_tables(cfg: ModelConfig, positions: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """cos/sin tables [..., head_dim] for given positions (HF half-split layout)."""
+    inv_freq = _rope_inv_freq(cfg)
+    freqs = positions[..., None].astype(jnp.float32) * inv_freq  # [..., hd/2]
+    emb = jnp.concatenate([freqs, freqs], axis=-1)
+    return jnp.cos(emb), jnp.sin(emb)
+
+
+def apply_rope(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
+    """x: [b, s, heads, hd]; cos/sin: [b, s, hd] (HF rotate_half convention)."""
+    half = x.shape[-1] // 2
+    x1, x2 = x[..., :half], x[..., half:]
+    rot = jnp.concatenate([-x2, x1], axis=-1)
+    return (x * cos[:, :, None, :] + rot * sin[:, :, None, :]).astype(x.dtype)
+
+
+# ----------------------------------------------------------------- attention
+def attention(q: jax.Array, k: jax.Array, v: jax.Array, mask: Optional[jax.Array],
+              scale: float) -> jax.Array:
+    """q: [b, s, hq, d]; k,v: [b, t, hkv, d] -> [b, s, hq, d]. GQA via repeat."""
+    b, s, hq, d = q.shape
+    hkv = k.shape[2]
+    if hq != hkv:
+        rep = hq // hkv
+        k = jnp.repeat(k, rep, axis=2)
+        v = jnp.repeat(v, rep, axis=2)
+    logits = jnp.einsum("bshd,bthd->bhst", q, k).astype(jnp.float32) * scale
+    if mask is not None:
+        logits = jnp.where(mask, logits, jnp.finfo(jnp.float32).min)
+    probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+    return jnp.einsum("bhst,bthd->bshd", probs, v)
+
+
+def causal_mask(s: int, t: int, offset: int = 0) -> jax.Array:
+    """[1, 1, s, t] boolean mask; query i attends keys <= i + offset."""
+    qi = jnp.arange(s)[:, None] + offset
+    ki = jnp.arange(t)[None, :]
+    return (ki <= qi)[None, None]
+
+
+# ------------------------------------------------------------------ mlp/layer
+def _activation(x: jax.Array, act: str) -> jax.Array:
+    if act == "relu":
+        return jax.nn.relu(x)
+    if act == "gelu":
+        return jax.nn.gelu(x, approximate=False)
+    if act == "silu":
+        return jax.nn.silu(x)
+    raise ValueError(f"unknown activation {act}")
+
+
+def layer_forward(cfg: ModelConfig, lp: Dict[str, Any], x: jax.Array,
+                  mask: Optional[jax.Array],
+                  rope: Optional[Tuple[jax.Array, jax.Array]] = None,
+                  cache: Optional[Dict[str, jax.Array]] = None,
+                  cache_pos: Optional[jax.Array] = None,
+                  want_taps: bool = False,
+                  backend: str = "reference"):
+    """One decoder layer. Returns (y, new_cache, taps).
+
+    ``taps`` maps reference-convention submodule names to their *inputs*
+    (the tensors the Hessian is accumulated from).
+    """
+    taps: Dict[str, jax.Array] = {}
+    b, s, _ = x.shape
+    scale = cfg.attn_scale if cfg.attn_scale is not None else 1.0 / math.sqrt(cfg.head_dim)
+
+    residual = x
+    h = apply_norm(lp["input_norm"], x, cfg.norm, cfg.norm_eps) if cfg.do_layer_norm_before else x
+    if want_taps:
+        taps["attn.q"] = taps["attn.k"] = taps["attn.v"] = h
+
+    q = qlinear.apply(lp["attn"]["q"], h, backend).reshape(b, s, cfg.num_attention_heads, cfg.head_dim)
+    k = qlinear.apply(lp["attn"]["k"], h, backend).reshape(b, s, cfg.num_key_value_heads, cfg.head_dim)
+    v = qlinear.apply(lp["attn"]["v"], h, backend).reshape(b, s, cfg.num_key_value_heads, cfg.head_dim)
+
+    if cfg.pos == "rope":
+        cos, sin = rope
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k, cos, sin)
+
+    if cache is not None:
+        k = jax.lax.dynamic_update_slice(cache["k"], k.astype(cache["k"].dtype), (0, cache_pos, 0, 0))
+        v = jax.lax.dynamic_update_slice(cache["v"], v.astype(cache["v"].dtype), (0, cache_pos, 0, 0))
+        new_cache = {"k": k, "v": v}
+    else:
+        new_cache = None
+
+    attn_out = attention(q, k.astype(q.dtype), v.astype(q.dtype), mask, scale)
+    attn_out = attn_out.reshape(b, s, cfg.q_dim)
+    if want_taps:
+        taps["attn.o"] = attn_out
+    attn_out = qlinear.apply(lp["attn"]["o"], attn_out, backend)
+    x = residual + attn_out
+    if not cfg.do_layer_norm_before:
+        x = apply_norm(lp["input_norm"], x, cfg.norm, cfg.norm_eps)
+
+    residual = x
+    h = apply_norm(lp["post_norm"], x, cfg.norm, cfg.norm_eps) if cfg.do_layer_norm_before else x
+    if cfg.gated_mlp:
+        if want_taps:
+            taps["mlp.gate"] = taps["mlp.up"] = h
+        g = qlinear.apply(lp["mlp"]["gate"], h, backend)
+        u = qlinear.apply(lp["mlp"]["up"], h, backend)
+        a = _activation(g, cfg.act) * u
+        if want_taps:
+            taps["mlp.down"] = a
+        mlp_out = qlinear.apply(lp["mlp"]["down"], a, backend)
+    else:
+        if want_taps:
+            taps["mlp.up"] = h
+        a = _activation(qlinear.apply(lp["mlp"]["up"], h, backend), cfg.act)
+        if want_taps:
+            taps["mlp.down"] = a
+        mlp_out = qlinear.apply(lp["mlp"]["down"], a, backend)
+    x = residual + mlp_out
+    if not cfg.do_layer_norm_before:
+        x = apply_norm(lp["post_norm"], x, cfg.norm, cfg.norm_eps)
+
+    return x, new_cache, taps
+
+
+# ------------------------------------------------------------------ embedding
+def embed(cfg: ModelConfig, params: Dict[str, Any], input_ids: jax.Array,
+          positions: jax.Array) -> jax.Array:
+    x = params["embed_tokens"]["weight"][input_ids]
+    if "project_in" in params:
+        x = qlinear.apply(params["project_in"], x)
+    if cfg.pos == "learned":
+        # OPT: learned positions with a +2 offset baked into the table
+        x = x + params["embed_positions"]["weight"][positions + 2]
+    return x
+
+
+def unembed(cfg: ModelConfig, params: Dict[str, Any], x: jax.Array) -> jax.Array:
+    if cfg.final_layer_norm and "final_norm" in params:
+        x = apply_norm(params["final_norm"], x, cfg.norm, cfg.norm_eps)
+    if "project_out" in params:
+        x = qlinear.apply(params["project_out"], x)
+    lm = params.get("lm_head")
+    if lm is None:
+        w = params["embed_tokens"]["weight"]
+        return jnp.dot(x, w.T.astype(x.dtype))
+    return qlinear.apply(lm, x)
+
+
+def forward(cfg: ModelConfig, params: Dict[str, Any], input_ids: jax.Array,
+            backend: str = "reference") -> jax.Array:
+    """Full forward, no cache: input_ids [b, s] -> logits [b, s, vocab]."""
+    b, s = input_ids.shape
+    positions = jnp.broadcast_to(jnp.arange(s), (b, s))
+    x = embed(cfg, params, input_ids, positions)
+    mask = causal_mask(s, s)
+    rope = rope_tables(cfg, positions) if cfg.pos == "rope" else None
+    for lp in params["layers"]:
+        x, _, _ = layer_forward(cfg, lp, x, mask, rope, backend=backend)
+    return unembed(cfg, params, x)
+
+
+__all__ = ["ModelConfig", "layer_forward", "forward", "embed", "unembed",
+           "apply_norm", "rope_tables", "apply_rope", "attention", "causal_mask"]

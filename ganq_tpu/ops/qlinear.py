@@ -1,0 +1,165 @@
+"""Quantized-linear parameter container and the apply dispatcher.
+
+The TPU analog of the reference's kernel-module family
+(``gptqmodel/nn_modules/qlinear/``): instead of swapping nn.Module classes, a
+linear is a :class:`QLinear` pytree whose *static* metadata (kind, bits,
+in_features) lives in the treedef — so jitted model functions specialize on
+the quantization format exactly like XLA specializes on shapes. The
+capability/auto-selection role of ``utils/importer.py:157`` lives in
+``core/backend.py``.
+
+Kinds:
+- ``dense``: fp weight [out, in] (+bias) — the FAKE/oracle path
+  (reference ``qlinear/fake.py``).
+- ``lut``:   per-row codebook ``lut [out, 2^bits]`` + packed codes
+  ``idx_packed [out, in/packfactor] (int32)`` — the real GANQ artifact.
+- ``uniform``: packed codes + per-group scale/zero (+g_idx) — GPTQ family
+  (reference ``qlinear/torch.py`` dequant semantics).
+
+Every kind has a pure-jnp reference implementation here; fused Pallas kernels
+(ops/lut_matmul.py, ops/uniform_matmul.py) are selected via ``backend``.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .packing import pack_int_rows, unpack_int_rows
+
+
+@jax.tree_util.register_pytree_node_class
+class QLinear:
+    """A linear layer's parameters. ``kind``/``bits``/``in_features`` are
+    static (treedef aux data); tensors live in ``arrays``."""
+
+    def __init__(self, kind: str, arrays: Dict[str, jax.Array],
+                 bits: int = 16, in_features: int = 0):
+        self.kind = kind
+        self.arrays = arrays
+        self.bits = bits
+        self.in_features = in_features
+
+    # -- pytree protocol
+    def tree_flatten(self):
+        keys = tuple(sorted(self.arrays))
+        children = tuple(self.arrays[k] for k in keys)
+        return children, (self.kind, self.bits, self.in_features, keys)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        kind, bits, in_features, keys = aux
+        return cls(kind, dict(zip(keys, children)), bits, in_features)
+
+    def __getitem__(self, k):
+        return self.arrays[k]
+
+    def __setitem__(self, k, v):
+        self.arrays[k] = v
+
+    def __contains__(self, k):
+        return k in self.arrays
+
+    def get(self, k, default=None):
+        return self.arrays.get(k, default)
+
+    def __repr__(self):
+        shapes = {k: getattr(v, "shape", v) for k, v in self.arrays.items()}
+        return f"QLinear({self.kind}, bits={self.bits}, {shapes})"
+
+    @property
+    def out_features(self) -> int:
+        if self.kind == "dense":
+            return self.arrays["weight"].shape[0]
+        if self.kind == "lut":
+            return self.arrays["lut"].shape[0]
+        return self.arrays["qweight"].shape[0]
+
+
+# ----------------------------------------------------------------- constructors
+def dense_linear(weight: jax.Array, bias: Optional[jax.Array] = None) -> QLinear:
+    arrays = {"weight": weight}
+    if bias is not None:
+        arrays["bias"] = bias
+    return QLinear("dense", arrays, in_features=weight.shape[1])
+
+
+def lut_linear(lut: jax.Array, idx: jax.Array, bits: int,
+               bias: Optional[jax.Array] = None) -> QLinear:
+    """Build a packed LUT linear from solver output.
+
+    The codebook is sorted per row and codes remapped so the artifact is
+    canonical (sorted LUTs also enable monotone-codebook kernel tricks).
+    """
+    order = jnp.argsort(lut, axis=1)
+    rank = jnp.argsort(order, axis=1)  # old code -> new code
+    lut_sorted = jnp.take_along_axis(lut, order, axis=1)
+    idx_new = jnp.take_along_axis(rank, idx, axis=1)
+    arrays = {
+        "lut": lut_sorted.astype(jnp.bfloat16),
+        "idx_packed": pack_int_rows(idx_new, bits),
+    }
+    if bias is not None:
+        arrays["bias"] = bias
+    return QLinear("lut", arrays, bits=bits, in_features=idx.shape[1])
+
+
+def uniform_linear(qidx: jax.Array, scale: jax.Array, zero: jax.Array,
+                   g_idx: jax.Array, bits: int,
+                   bias: Optional[jax.Array] = None) -> QLinear:
+    """Packed uniform linear. qidx [out, in] int codes; scale/zero
+    [out, n_groups]; g_idx [in] maps input column -> group."""
+    arrays = {
+        "qweight": pack_int_rows(qidx, bits),
+        "scales": scale.astype(jnp.float32),
+        "zeros": zero.astype(jnp.float32),
+        "g_idx": g_idx.astype(jnp.int32),
+    }
+    if bias is not None:
+        arrays["bias"] = bias
+    return QLinear("uniform", arrays, bits=bits, in_features=qidx.shape[1])
+
+
+# ----------------------------------------------------------- reference dequant
+def dequantize_weight(p: QLinear) -> jax.Array:
+    """Materialize the fp weight [out, in] — the oracle every kernel must match
+    (reference ``PackableQuantLinear.dequantize_weight``,
+    qlinear/__init__.py:439-490)."""
+    if p.kind == "dense":
+        return p["weight"]
+    if p.kind == "lut":
+        idx = unpack_int_rows(p["idx_packed"], p.bits, p.in_features)
+        return jnp.take_along_axis(p["lut"].astype(jnp.float32), idx, axis=1)
+    if p.kind == "uniform":
+        qidx = unpack_int_rows(p["qweight"], p.bits, p.in_features)
+        scale = p["scales"][:, p["g_idx"]]          # [out, in]
+        zero = p["zeros"][:, p["g_idx"]]
+        return scale * (qidx.astype(jnp.float32) - zero)
+    raise ValueError(f"unknown qlinear kind: {p.kind}")
+
+
+def apply(p: QLinear, x: jax.Array, backend: str = "reference") -> jax.Array:
+    """y = x @ W^T + b for any linear kind. x: [..., in] -> [..., out]."""
+    if p.kind == "dense":
+        y = jnp.dot(x, p["weight"].T.astype(x.dtype))
+    elif backend == "reference":
+        w = dequantize_weight(p)
+        y = jnp.dot(x, w.T.astype(x.dtype))
+    elif backend == "pallas":
+        from . import lut_matmul, uniform_matmul
+        if p.kind == "lut":
+            y = lut_matmul.lut_matmul(x, p["lut"], p["idx_packed"], p.bits)
+        else:
+            y = uniform_matmul.uniform_matmul(
+                x, p["qweight"], p["scales"], p["zeros"], p["g_idx"], p.bits)
+    else:
+        raise ValueError(f"unknown backend: {backend}")
+    if "bias" in p:
+        y = y + p["bias"].astype(y.dtype)
+    return y
+
+
+__all__ = ["QLinear", "dense_linear", "lut_linear", "uniform_linear",
+           "dequantize_weight", "apply"]

@@ -1,0 +1,224 @@
+"""Layer-wise sequential PTQ engine.
+
+The JAX-idiomatic replacement for the reference's hook-driven
+``ModuleLooper.loop`` (``gptqmodel/looper/module_looper.py:129-443``): instead
+of torch forward hooks + exception-aborted forwards, the functional layer
+returns submodule-input *taps* directly, and the engine is a plain loop:
+
+    layer-0 inputs = embed(calib)                (cache_inputs, looper:44-127)
+    for layer:                                    (looper:205)
+      for subset in layer_modules:                (true_sequential, looper:236)
+        taps   = layer_forward(params, x, want_taps)   # fwd w/ current quant state
+        H      = accumulate(taps[subset])              # gptq.py:96-131
+        params = quantize(subset modules)              # -> fake-quant weights
+      x = layer_forward(params, x)                # re-forward (looper:354-396)
+    optional lm_head pass through the final norm  (base.py:1300-1310)
+
+Per-module artifacts (LUT codebooks / uniform codes) are collected for the
+packer; weights in ``params`` are replaced by their fake-quant values so later
+subsets/layers see quantized outputs, exactly like the reference
+(gptq_processor.py:193).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.config import FORMAT, QUANT_METHOD, QuantizeConfig
+from ..models import hf_import
+from ..models.registry import ArchSpec
+from ..models.transformer import (ModelConfig, causal_mask, embed,
+                                  layer_forward, rope_tables, apply_norm)
+from ..ops import qlinear
+from ..utils.logger import get_logger
+from .ganq import ganq_quantize
+from .gptq import gptq_quantize
+from .hessian import HessianAccumulator
+
+log = get_logger(__name__)
+
+
+@dataclass
+class ModuleQuantLog:
+    layer: int
+    module: str
+    method: str
+    loss: float
+    damp: float
+    duration: float
+    extra: Dict[str, Any] = field(default_factory=dict)
+
+
+@dataclass
+class QuantizedModule:
+    """Solver artifact for one linear, consumed by the packer."""
+    method: QUANT_METHOD
+    bits: int
+    group_size: int
+    # ganq
+    lut: Optional[jax.Array] = None          # [out, 2^bits]
+    idx: Optional[jax.Array] = None          # [out, in] int32
+    # gptq
+    qidx: Optional[jax.Array] = None         # [out, in] int32
+    scale: Optional[jax.Array] = None
+    zero: Optional[jax.Array] = None
+    g_idx: Optional[jax.Array] = None
+
+
+@dataclass
+class QuantizeOutput:
+    params: Dict[str, Any]                   # fake-quantized params pytree
+    artifacts: Dict[str, QuantizedModule]    # full module name -> artifact
+    log: List[ModuleQuantLog]
+
+
+@partial(jax.jit, static_argnames=("cfg", "want_taps"))
+def _layer_fwd(cfg: ModelConfig, lp, x, mask, rope, want_taps: bool):
+    return layer_forward(cfg, lp, x, mask, rope, want_taps=want_taps)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def _embed_fwd(cfg: ModelConfig, params, ids, positions):
+    return embed(cfg, params, ids, positions)
+
+
+def _full_name(spec: ArchSpec, layer_idx: int, module_name: str) -> str:
+    return f"{spec.layers_prefix}.{layer_idx}.{module_name}"
+
+
+def _quantize_one(W: jax.Array, H: jax.Array, eff_cfg: QuantizeConfig,
+                  nsamples: int) -> Tuple[jax.Array, QuantizedModule, float, float]:
+    if eff_cfg.quant_method == QUANT_METHOD.GANQ:
+        r = ganq_quantize(W, H, eff_cfg, nsamples)
+        art = QuantizedModule(method=QUANT_METHOD.GANQ, bits=eff_cfg.bits,
+                              group_size=eff_cfg.group_size, lut=r.lut, idx=r.idx)
+        return r.Q, art, r.avg_loss, r.damp_used
+    r = gptq_quantize(W, H, eff_cfg, nsamples)
+    art = QuantizedModule(method=QUANT_METHOD.GPTQ, bits=eff_cfg.bits,
+                          group_size=eff_cfg.group_size, qidx=r.qidx,
+                          scale=r.scale, zero=r.zero, g_idx=r.g_idx)
+    return r.Q, art, r.avg_loss, r.damp_used
+
+
+def quantize_model(
+    cfg: ModelConfig,
+    params: Dict[str, Any],
+    spec: ArchSpec,
+    qcfg: QuantizeConfig,
+    calib_batches: Sequence[np.ndarray],
+    codebook_init_fn=None,
+) -> QuantizeOutput:
+    """Quantize every layer's linears in place (fake-quant) and collect artifacts.
+
+    ``calib_batches``: sequence of int32 [batch, seq] token-id arrays.
+    """
+    n_layers = cfg.num_hidden_layers
+    subsets: List[List[str]] = spec.layer_modules
+    if not qcfg.true_sequential:
+        subsets = [[m for sub in spec.layer_modules for m in sub]]
+
+    artifacts: Dict[str, QuantizedModule] = {}
+    qlog: List[ModuleQuantLog] = []
+
+    # ---- stage 0: layer-0 inputs (the reference's cache_inputs)
+    acts: List[jax.Array] = []
+    ropes: List[Any] = []
+    masks: List[jax.Array] = []
+    for ids in calib_batches:
+        ids = jnp.asarray(ids)
+        b, s = ids.shape
+        positions = jnp.broadcast_to(jnp.arange(s), (b, s))
+        acts.append(_embed_fwd(cfg, params, ids, positions))
+        ropes.append(rope_tables(cfg, positions) if cfg.pos == "rope" else None)
+        masks.append(causal_mask(s, s))
+    nsamples = sum(int(a.shape[0]) for a in acts)
+
+    # ---- per-layer sequential loop
+    for li in range(n_layers):
+        lp = params["layers"][li]
+        t_layer = time.perf_counter()
+        for subset in subsets:
+            # resolve modules that are quantizable under dynamic rules
+            todo: List[Tuple[str, str, QuantizeConfig]] = []  # (module_name, slot, cfg)
+            for mod in subset:
+                slot = spec.module_slots[mod]
+                if hf_import.get_module(params, li, slot) is None:
+                    continue
+                eff = qcfg.for_module(_full_name(spec, li, mod))
+                if eff is None:
+                    log.info(f"layer {li}: skipping {mod} (dynamic exclude)")
+                    continue
+                todo.append((mod, slot, eff))
+            if not todo:
+                continue
+
+            # accumulate Hessians: one per unique tap (q/k/v share inputs)
+            slots_needed = {slot for _, slot, _ in todo}
+            accs: Dict[str, HessianAccumulator] = {}
+            for x, mask, rope in zip(acts, masks, ropes):
+                _, _, taps = _layer_fwd(cfg, lp, x, mask, rope, True)
+                for slot in slots_needed:
+                    tap = taps[slot]
+                    if slot not in accs:
+                        accs[slot] = HessianAccumulator(tap.shape[-1])
+                    accs[slot].update(tap)
+            H_by_slot = {s: a.finalize() for s, a in accs.items()}
+
+            # solve each module
+            for mod, slot, eff in todo:
+                t0 = time.perf_counter()
+                lin = hf_import.get_module(params, li, slot)
+                W = lin["weight"]
+                Wq, art, avg_loss, damp = _quantize_one(
+                    W, H_by_slot[slot], eff, nsamples)
+                lin["weight"] = Wq.astype(W.dtype)
+                artifacts[_full_name(spec, li, mod)] = art
+                dur = time.perf_counter() - t0
+                qlog.append(ModuleQuantLog(
+                    layer=li, module=mod, method=str(eff.quant_method),
+                    loss=avg_loss, damp=damp, duration=dur))
+                log.info(f"layer {li:3d} {mod:22s} loss={avg_loss:10.4f} "
+                         f"damp={damp:.4f} time={dur:5.1f}s")
+
+        # re-forward to produce next layer's inputs (quantized outputs)
+        new_acts = []
+        for x, mask, rope in zip(acts, masks, ropes):
+            y, _, _ = _layer_fwd(cfg, lp, x, mask, rope, False)
+            new_acts.append(y)
+        acts = new_acts
+        log.info(f"layer {li} done in {time.perf_counter() - t_layer:.1f}s")
+
+    # ---- optional lm_head pass (inputs go through the final norm,
+    #      reference base.py:1300-1310)
+    if qcfg.lm_head and "lm_head" in params:
+        eff = qcfg.for_module(spec.lm_head_name) or qcfg
+        acc = HessianAccumulator(cfg.hidden_size if cfg.word_embed_proj_dim is None
+                                 else cfg.word_embed_proj_dim)
+        for x in acts:
+            h = x
+            if cfg.final_layer_norm and "final_norm" in params:
+                h = apply_norm(params["final_norm"], h, cfg.norm, cfg.norm_eps)
+            if "project_out" in params:
+                h = qlinear.apply(params["project_out"], h)
+            acc.update(h)
+        lin = params["lm_head"]
+        W = lin["weight"]
+        t0 = time.perf_counter()
+        Wq, art, avg_loss, damp = _quantize_one(W, acc.finalize(), eff, nsamples)
+        lin["weight"] = Wq.astype(W.dtype)
+        artifacts[spec.lm_head_name] = art
+        qlog.append(ModuleQuantLog(layer=-1, module=spec.lm_head_name,
+                                   method=str(eff.quant_method), loss=avg_loss,
+                                   damp=damp, duration=time.perf_counter() - t0))
+
+    return QuantizeOutput(params=params, artifacts=artifacts, log=qlog)
+
+
+__all__ = ["quantize_model", "QuantizeOutput", "QuantizedModule", "ModuleQuantLog"]

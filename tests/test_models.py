@@ -1,0 +1,104 @@
+"""Forward parity of the functional decoder vs HuggingFace transformers
+(random-initialized tiny models, fp32, CPU torch) — the model-correctness
+oracle that replaces downloading real checkpoints in this environment."""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+import transformers  # noqa: E402
+
+import jax.numpy as jnp  # noqa: E402
+
+from ganq_tpu.models import hf_import, transformer  # noqa: E402
+
+ATOL = 2e-3
+
+
+def _compare(model, input_ids):
+    model = model.eval().float()
+    with torch.no_grad():
+        ref = model(torch.tensor(input_ids)).logits.numpy()
+    cfg, params = hf_import.params_from_torch_model(model)
+    out = np.asarray(transformer.forward(cfg, params, jnp.asarray(input_ids)))
+    np.testing.assert_allclose(out, ref, atol=ATOL, rtol=1e-3)
+    return cfg, params
+
+
+def test_opt_forward_parity(rng):
+    hf_cfg = transformers.OPTConfig(
+        vocab_size=256, hidden_size=64, ffn_dim=128, num_hidden_layers=2,
+        num_attention_heads=4, max_position_embeddings=128,
+        do_layer_norm_before=True, word_embed_proj_dim=64,
+        activation_function="relu",
+    )
+    torch.manual_seed(0)
+    model = transformers.OPTForCausalLM(hf_cfg)
+    ids = rng.integers(0, 256, size=(2, 24))
+    _compare(model, ids)
+
+
+def test_opt_350m_style_parity(rng):
+    """project_in/out + post-norm ordering (do_layer_norm_before=False)."""
+    hf_cfg = transformers.OPTConfig(
+        vocab_size=256, hidden_size=64, ffn_dim=128, num_hidden_layers=2,
+        num_attention_heads=4, max_position_embeddings=128,
+        do_layer_norm_before=False, word_embed_proj_dim=32,
+    )
+    torch.manual_seed(1)
+    model = transformers.OPTForCausalLM(hf_cfg)
+    ids = rng.integers(0, 256, size=(1, 16))
+    cfg, params = _compare(model, ids)
+    assert "project_in" in params and "project_out" in params
+
+
+def test_llama_forward_parity(rng):
+    hf_cfg = transformers.LlamaConfig(
+        vocab_size=256, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=128, rms_norm_eps=1e-5, rope_theta=10000.0,
+        tie_word_embeddings=False,
+    )
+    torch.manual_seed(2)
+    model = transformers.LlamaForCausalLM(hf_cfg)
+    ids = rng.integers(0, 256, size=(2, 20))
+    _compare(model, ids)
+
+
+def test_llama32_style_parity(rng):
+    """Tied embeddings + llama3 rope scaling (Llama-3.2-1B config shape)."""
+    hf_cfg = transformers.LlamaConfig(
+        vocab_size=256, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=256, rope_theta=500000.0,
+        tie_word_embeddings=True,
+        rope_scaling={"rope_type": "llama3", "factor": 32.0,
+                      "low_freq_factor": 1.0, "high_freq_factor": 4.0,
+                      "original_max_position_embeddings": 64},
+    )
+    torch.manual_seed(3)
+    model = transformers.LlamaForCausalLM(hf_cfg)
+    ids = rng.integers(0, 256, size=(1, 96))  # beyond original_max to hit scaling
+    cfg, params = _compare(model, ids)
+    assert "lm_head" not in params  # tied
+
+
+def test_taps_shapes(rng):
+    hf_cfg = transformers.LlamaConfig(
+        vocab_size=64, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=1, num_attention_heads=2, num_key_value_heads=2)
+    torch.manual_seed(4)
+    model = transformers.LlamaForCausalLM(hf_cfg)
+    cfg, params = hf_import.params_from_torch_model(model)
+    ids = jnp.asarray(rng.integers(0, 64, size=(2, 8)))
+    pos = jnp.broadcast_to(jnp.arange(8), (2, 8))
+    x = transformer.embed(cfg, params, ids, pos)
+    rope = transformer.rope_tables(cfg, pos)
+    mask = transformer.causal_mask(8, 8)
+    y, _, taps = transformer.layer_forward(cfg, params["layers"][0], x, mask, rope,
+                                           want_taps=True)
+    assert set(taps) == {"attn.q", "attn.k", "attn.v", "attn.o",
+                         "mlp.gate", "mlp.up", "mlp.down"}
+    assert taps["attn.q"].shape == (2, 8, 32)
+    assert taps["mlp.down"].shape == (2, 8, 64)
+    assert y.shape == x.shape
