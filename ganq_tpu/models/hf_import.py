@@ -98,10 +98,13 @@ def params_from_state_dict(state: Dict[str, np.ndarray], hf_config: Dict[str, An
 
     for i in range(n_layers):
         rl = raw["layers"][str(i)]
+        # missing linear weights are tolerated (their slots are filled from
+        # packed artifacts by formats/checkpoint.load_quantized)
         lp: Dict[str, Any] = {
             "input_norm": rl["input_norm"],
             "post_norm": rl["post_norm"],
-            "attn": {k: to_linear(rl["attn"][k]) for k in ("q", "k", "v", "o")},
+            "attn": {k: to_linear(rl.get("attn", {}).get(k))
+                     for k in ("q", "k", "v", "o")},
         }
         mlp = {}
         for k in ("gate", "up", "down"):
