@@ -1,0 +1,132 @@
+"""Fused LUT-dequant matmul Pallas kernels.
+
+The TPU replacement for the reference's CUDA dequant-GEMM family
+(Marlin ``gptqmodel_ext/marlin/marlin_cuda_kernel.cu``, Exllama
+``q4_matmul.cu`` — wrapped at ``qlinear/marlin.py``/``exllama.py``), for the
+**non-uniform per-row-codebook** format the reference never had a real kernel
+for (its GANQ runtime is fp16 fake-quant, ``qlinear/fake.py:88-89``).
+
+Computes ``y[B, M] = x[B, K] @ dequant(W)[M, K]^T`` where
+``W[m, k] = lut[m, codes[m, k]]`` and codes are 4-bit packed into int32 in
+*planar* layout (ops/packing.py): plane ``p`` of the packed block is a single
+shift+mask and covers the contiguous column range ``[p*K/8, (p+1)*K/8)``.
+
+Strategy: weights stream from HBM packed (4 bits/weight — 4x less HBM traffic
+than bf16, which is the decode-speed story), each plane is dequantized in
+VMEM via a 4-level binary select tree over the per-row codebook (15 vector
+selects/element — no gather hardware needed) and immediately contracted on
+the MXU with fp32 accumulation. Grid = (B tiles, M tiles); the full K extent
+is processed per step (planar planes index global column ranges, so K cannot
+be grid-tiled — fine: even 11008x4096 packed tiles fit VMEM comfortably).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .packing import pack_factor, unpack_int_rows, unpack_plane
+
+
+def _pick_tile(dim: int, candidates) -> int:
+    for c in candidates:
+        if dim % c == 0:
+            return c
+    return dim
+
+
+def _select_tree_dequant(codes: jax.Array, lut: jax.Array) -> jax.Array:
+    """codes [TM, W] in 0..15, lut [TM, 16] -> dequantized [TM, W] (lut dtype).
+
+    Binary select tree on the code bits: 8+4+2+1 vector selects, entirely on
+    the VPU, no per-lane gather required.
+    """
+    # Arithmetic blend instead of jnp.where: Mosaic's layout inference
+    # rejects the broadcast i1 masks; a*(1-b)+b*c FMAs lower cleanly.
+    f = jnp.float32
+    b0 = (codes & 1).astype(f)
+    b1 = ((codes >> 1) & 1).astype(f)
+    b2 = ((codes >> 2) & 1).astype(f)
+    b3 = ((codes >> 3) & 1).astype(f)
+
+    def col(s):  # [TM, 1] broadcastable column of the codebook
+        return lut[:, s][:, None].astype(f)
+
+    l1 = [col(2 * s) + b0 * (col(2 * s + 1) - col(2 * s)) for s in range(8)]
+    l2 = [l1[2 * s] + b1 * (l1[2 * s + 1] - l1[2 * s]) for s in range(4)]
+    l3 = [l2[2 * s] + b2 * (l2[2 * s + 1] - l2[2 * s]) for s in range(2)]
+    return (l3[0] + b3 * (l3[1] - l3[0])).astype(lut.dtype)
+
+
+def _lut_matmul_kernel(x_ref, lut_ref, idx_ref, o_ref, *, width: int):
+    """One (B tile, M tile) step over the full K extent: 8 planar planes,
+    each dequantized and contracted on the MXU."""
+    lut = lut_ref[:]
+    packed = idx_ref[:]
+    acc = jnp.zeros(o_ref.shape, jnp.float32)
+    for p in range(8):
+        codes = unpack_plane(packed, 4, p)               # [TM, width]
+        w = _select_tree_dequant(codes, lut)             # [TM, width]
+        xs = x_ref[:, p * width:(p + 1) * width]         # [TB, width]
+        acc += jax.lax.dot_general(
+            xs, w, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)          # [TB, TM]
+    o_ref[:] = acc.astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("bits", "block_b", "block_m"))
+def lut_matmul(x: jax.Array, lut: jax.Array, idx_packed: jax.Array,
+               bits: int = 4, block_b: int = 256, block_m: int = 512) -> jax.Array:
+    """x [..., K] @ lut-dequant(W)[M, K]^T -> [..., M]. Pallas path for bits=4;
+    other configs fall back to the XLA reference."""
+    orig_shape = x.shape
+    K = x.shape[-1]
+    M = lut.shape[0]
+    Kp = idx_packed.shape[1] * 8  # may be padded past K (lut_linear pads)
+    width = Kp // 8
+
+    tm = _pick_tile(M, (block_m, 512, 256, 128, 64, 32, 16, 8))
+    if bits != 4 or M % tm or Kp % 8 or Kp < K or (width % 128 and M > 8):
+        return lut_matmul_reference(x, lut, idx_packed, bits)
+
+    x2 = x.reshape(-1, K)
+    if Kp != K:
+        x2 = jnp.pad(x2, ((0, 0), (0, Kp - K)))
+    B = x2.shape[0]
+    tb = _pick_tile(B, (block_b, 128, 64, 32, 16, 8, 4, 2, 1))
+
+    out = pl.pallas_call(
+        functools.partial(_lut_matmul_kernel, width=width),
+        grid=(B // tb, M // tm),
+        in_specs=[
+            pl.BlockSpec((tb, Kp), lambda b, m: (b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tm, 16), lambda b, m: (m, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tm, width), lambda b, m: (m, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tb, tm), lambda b, m: (b, m), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, M), x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel")),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * M * K,
+            bytes_accessed=B * K * x.dtype.itemsize + M * K // 2 + B * M * x.dtype.itemsize,
+            transcendentals=0,
+        ),
+    )(x2, lut.astype(x.dtype), idx_packed)
+    return out.reshape(*orig_shape[:-1], M)
+
+
+def lut_matmul_reference(x: jax.Array, lut: jax.Array, idx_packed: jax.Array,
+                         bits: int) -> jax.Array:
+    """Pure-XLA oracle: unpack + gather + matmul (the parity baseline)."""
+    K = x.shape[-1]
+    idx = unpack_int_rows(idx_packed, bits, K)
+    w = jnp.take_along_axis(lut.astype(jnp.float32), idx, axis=1)
+    return jnp.dot(x, w.T.astype(x.dtype))
+
+
+__all__ = ["lut_matmul", "lut_matmul_reference"]
