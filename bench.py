@@ -1,0 +1,86 @@
+"""Headline benchmark: GANQ W4 LUT decode throughput vs bf16 dense, one chip.
+
+Measures greedy decode tokens/s on a Llama-3.2-1B-shaped model (stacked-layer
+scan serving path) with (a) packed W4 LUT weights through the fused Pallas
+dequant-matmul kernels and (b) bf16 dense weights — identical program
+structure, so dispatch/tunnel overheads cancel in the ratio.
+
+vs_baseline compares the W4-vs-fp16 decode speedup against the GANQ paper's
+published 2.11x (LLaMA-7B W4 vs fp16 decode on an RTX 4090 — BASELINE.md,
+paper.md Table 5): >1.0 means we beat the reference's headline speedup.
+
+Prints exactly one JSON line.
+"""
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def measure(cfg, params, backend, batch, prompt_len, steps, max_seq, reps=3):
+    from ganq_tpu.serve import stacked
+
+    sp = stacked.stack_layers(params)
+    rng = np.random.default_rng(0)
+    ids = jnp.asarray(rng.integers(0, cfg.vocab_size, size=(batch, prompt_len)),
+                      jnp.int32)
+
+    def run():
+        ck, cv = stacked.init_cache(cfg, cfg.num_hidden_layers, batch, max_seq)
+        return stacked.greedy_decode(cfg, sp, ck, cv, ids, steps, backend)
+
+    out = run()
+    jax.block_until_ready(out)  # compile + warm
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        out = run()
+        jax.block_until_ready(out)
+        best = min(best, time.perf_counter() - t0)
+    toks = batch * steps
+    return toks / best
+
+
+def main():
+    from ganq_tpu.models import synthetic
+
+    on_tpu = jax.default_backend() != "cpu"
+    # Llama-3.2-1B shape (vocab capped so the shared bf16 lm_head does not
+    # dominate the layer-kernel comparison)
+    cfg = synthetic.llama_config(
+        hidden=2048, inter=8192, layers=16, heads=32, kv_heads=8,
+        vocab=32768, max_pos=2048)
+    batch, prompt, steps, max_seq = 8, 64, 128, 512
+    if not on_tpu:  # smoke-test scale for CPU runs
+        cfg = synthetic.llama_config(hidden=256, inter=512, layers=2,
+                                     heads=4, kv_heads=2, vocab=1024,
+                                     max_pos=256)
+        batch, prompt, steps, max_seq = 2, 16, 16, 64
+
+    lut_params = synthetic.make_model(cfg, kind="lut", seed=0)
+    dense_params = synthetic.make_model(cfg, kind="dense", seed=0)
+
+    backend = "pallas" if on_tpu else "reference"
+    tps_lut = measure(cfg, lut_params, backend, batch, prompt, steps, max_seq)
+    tps_dense = measure(cfg, dense_params, "reference", batch, prompt, steps, max_seq)
+
+    speedup = tps_lut / tps_dense
+    print(json.dumps({
+        "metric": "ganq_w4_lut_decode_speedup_vs_bf16",
+        "value": round(speedup, 4),
+        "unit": "x (tokens/s ratio, llama-1B-shape, b8, 128 decode steps, 1 chip)",
+        "vs_baseline": round(speedup / 2.11, 4),
+        "detail": {
+            "tokens_per_s_lut_w4": round(tps_lut, 1),
+            "tokens_per_s_bf16": round(tps_dense, 1),
+            "reference_baseline": "GANQ paper Table 5: 2.11x W4 vs fp16 decode (RTX 4090)",
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

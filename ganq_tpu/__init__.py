@@ -11,4 +11,17 @@ from .core.config import FORMAT, QUANT_METHOD, QuantizeConfig
 
 __version__ = "0.1.0"
 
-__all__ = ["FORMAT", "QUANT_METHOD", "QuantizeConfig", "__version__"]
+
+def __getattr__(name):
+    # lazy: keep `import ganq_tpu` light (jax graph code loads on demand)
+    if name == "GanqModel":
+        from .api import GanqModel
+        return GanqModel
+    if name == "prepare_dataset":
+        from .api import prepare_dataset
+        return prepare_dataset
+    raise AttributeError(f"module 'ganq_tpu' has no attribute {name!r}")
+
+
+__all__ = ["FORMAT", "QUANT_METHOD", "QuantizeConfig", "GanqModel",
+           "prepare_dataset", "__version__"]

@@ -1,0 +1,242 @@
+"""Top-level user API: the ``GPTQModel`` facade equivalent.
+
+Mirrors the reference's L1 surface (``gptqmodel/models/auto.py:197-618`` +
+``BaseGPTQModel`` methods): ``GanqModel.load`` auto-detects quantized vs fp
+checkpoints, ``.quantize()`` runs the layer-wise engine, ``.save()`` writes
+the packed checkpoint, ``.generate()`` runs the jitted engine (tokenizer-aware
+when one is available locally), ``.serve()`` starts the OpenAI-compatible
+server, and ``.perplexity()`` / ``.eval()`` drive the eval tooling.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, List, Optional, Sequence, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .core.config import FORMAT, QUANT_METHOD, QuantizeConfig
+from .formats import checkpoint
+from .models import hf_import
+from .models.registry import get_spec
+from .models.transformer import ModelConfig, forward
+from .quant.looper import QuantizeOutput, quantize_model
+from .serve.engine import Engine
+from .utils.logger import get_logger
+
+log = get_logger(__name__)
+
+
+def _has_quantize_config(path: str) -> bool:
+    if os.path.isfile(os.path.join(path, "quantize_config.json")):
+        return True
+    cfg = os.path.join(path, "config.json")
+    if os.path.isfile(cfg):
+        import json
+        with open(cfg) as f:
+            return "quantization_config" in json.load(f)
+    return False
+
+
+def _default_backend() -> str:
+    return "pallas" if jax.default_backend() != "cpu" else "reference"
+
+
+class GanqModel:
+    """A (ModelConfig, params) pair plus quantization state and tooling."""
+
+    def __init__(self, cfg: ModelConfig, params: Dict[str, Any],
+                 qcfg: Optional[QuantizeConfig] = None,
+                 tokenizer=None, model_dir: Optional[str] = None,
+                 quantized: bool = False):
+        self.cfg = cfg
+        self.params = params
+        self.qcfg = qcfg
+        self.tokenizer = tokenizer
+        self.model_dir = model_dir
+        self.quantized = quantized
+        self._quant_output: Optional[QuantizeOutput] = None
+        self.backend = _default_backend()
+
+    # ------------------------------------------------------------------ load
+    @classmethod
+    def load(cls, model_dir: str,
+             quantize_config: Optional[QuantizeConfig] = None,
+             dtype=jnp.float32) -> "GanqModel":
+        """Load an fp checkpoint (for quantization) or a quantized checkpoint
+        (for inference) from a local directory — reference ``GPTQModel.load``
+        (auto.py:197-254)."""
+        tokenizer = cls._try_tokenizer(model_dir)
+        if _has_quantize_config(model_dir):
+            cfg, params, qcfg = checkpoint.load_quantized(model_dir)
+            log.info(f"loaded quantized checkpoint ({qcfg.quant_method}/"
+                     f"{qcfg.format}) from {model_dir}")
+            return cls(cfg, params, qcfg, tokenizer, model_dir, quantized=True)
+        cfg, params = hf_import.params_from_dir(model_dir, dtype=dtype)
+        return cls(cfg, params, quantize_config, tokenizer, model_dir)
+
+    @classmethod
+    def from_torch_model(cls, model, quantize_config: Optional[QuantizeConfig] = None,
+                         tokenizer=None) -> "GanqModel":
+        cfg, params = hf_import.params_from_torch_model(model)
+        return cls(cfg, params, quantize_config, tokenizer)
+
+    @staticmethod
+    def _try_tokenizer(model_dir: str):
+        try:
+            from transformers import AutoTokenizer
+            return AutoTokenizer.from_pretrained(model_dir, local_files_only=True)
+        except Exception:
+            return None
+
+    # -------------------------------------------------------------- quantize
+    def quantize(self, calibration_dataset: Sequence[Any],
+                 batch_size: int = 1,
+                 calibration_concat_size: Optional[int] = None) -> List[Any]:
+        """Run layer-wise PTQ. ``calibration_dataset``: token-id arrays,
+        {"input_ids": ...} dicts, or strings (tokenizer required)."""
+        if self.quantized:
+            raise RuntimeError("model is already quantized")
+        qcfg = self.qcfg or QuantizeConfig()
+        self.qcfg = qcfg
+        spec = get_spec(self.cfg.model_type)
+        batches = prepare_dataset(calibration_dataset, self.tokenizer,
+                                  batch_size, calibration_concat_size)
+        out = quantize_model(self.cfg, self.params, spec, qcfg, batches)
+        self._quant_output = out
+        self.params = out.params
+        self.quantized = True
+        return out.log
+
+    # ------------------------------------------------------------------ save
+    def save(self, save_dir: str) -> None:
+        if self._quant_output is None:
+            raise RuntimeError("nothing to save: call quantize() first")
+        hf_config = self._hf_config_dict()
+        checkpoint.save_quantized(save_dir, hf_config, self.qcfg,
+                                  self._quant_output.params,
+                                  self._quant_output.artifacts,
+                                  self._quant_output.log)
+        if self.tokenizer is not None:
+            try:
+                self.tokenizer.save_pretrained(save_dir)
+            except Exception:
+                pass
+
+    def _hf_config_dict(self) -> Dict[str, Any]:
+        if self.model_dir and os.path.isfile(os.path.join(self.model_dir, "config.json")):
+            return hf_import.load_hf_config(self.model_dir)
+        c = self.cfg
+        if c.model_type == "opt":
+            return {"model_type": "opt", "vocab_size": c.vocab_size,
+                    "hidden_size": c.hidden_size, "ffn_dim": c.intermediate_size,
+                    "num_hidden_layers": c.num_hidden_layers,
+                    "num_attention_heads": c.num_attention_heads,
+                    "max_position_embeddings": c.max_position_embeddings,
+                    "do_layer_norm_before": c.do_layer_norm_before,
+                    "word_embed_proj_dim": c.word_embed_proj_dim or c.hidden_size,
+                    "activation_function": c.act,
+                    "tie_word_embeddings": c.tie_word_embeddings}
+        return {"model_type": c.model_type, "vocab_size": c.vocab_size,
+                "hidden_size": c.hidden_size,
+                "intermediate_size": c.intermediate_size,
+                "num_hidden_layers": c.num_hidden_layers,
+                "num_attention_heads": c.num_attention_heads,
+                "num_key_value_heads": c.num_key_value_heads,
+                "head_dim": c.head_dim,
+                "max_position_embeddings": c.max_position_embeddings,
+                "rms_norm_eps": c.norm_eps, "rope_theta": c.rope_theta,
+                "rope_scaling": c.rope_scaling, "hidden_act": c.act,
+                "attention_bias": c.attn_bias, "mlp_bias": c.mlp_bias,
+                "tie_word_embeddings": c.tie_word_embeddings}
+
+    # -------------------------------------------------------------- generate
+    def generate(self, inputs: Union[str, Sequence[int], np.ndarray],
+                 max_new_tokens: int = 64, temperature: float = 0.0,
+                 top_k: int = 0, max_seq: int = 2048, seed: int = 0
+                 ) -> Union[str, np.ndarray]:
+        """String-aware generate (reference base.py:1164-1177)."""
+        is_str = isinstance(inputs, str)
+        if is_str:
+            if self.tokenizer is None:
+                raise ValueError("string input requires a tokenizer")
+            ids = np.asarray(self.tokenizer(inputs)["input_ids"], np.int32)[None, :]
+        else:
+            ids = np.asarray(inputs, np.int32)
+            if ids.ndim == 1:
+                ids = ids[None, :]
+        eos = -1
+        if self.tokenizer is not None and self.tokenizer.eos_token_id is not None:
+            eos = int(self.tokenizer.eos_token_id)
+        eng = Engine(self.cfg, self.params, backend=self.backend,
+                     max_seq=min(max_seq, self.cfg.max_position_embeddings))
+        out = eng.generate(ids, max_new_tokens=max_new_tokens,
+                           temperature=temperature, top_k=top_k,
+                           eos_id=eos, seed=seed)
+        if is_str:
+            return self.tokenizer.decode(
+                [t for t in out[0].tolist() if t != eos])
+        return out
+
+    # ------------------------------------------------------------------ eval
+    def perplexity(self, tokens: np.ndarray, seqlen: int = 2048,
+                   limit: Optional[int] = None) -> float:
+        """Fixed-stride wikitext-style ppl (the README-number recipe)."""
+        from .evals.perplexity import fixed_stride_ppl
+        fwd = lambda p, ids: forward(self.cfg, p, ids, backend=self.backend)
+        return fixed_stride_ppl(fwd, self.params, tokens, seqlen=seqlen,
+                                limit=limit)
+
+    # ----------------------------------------------------------------- serve
+    def serve(self, host: str = "127.0.0.1", port: int = 8000, **kw):
+        from .serve.openai_server import OpenAIServer
+        server = OpenAIServer(self, host=host, port=port, **kw)
+        server.start()
+        return server
+
+
+def prepare_dataset(dataset: Sequence[Any], tokenizer, batch_size: int = 1,
+                    concat_size: Optional[int] = None) -> List[np.ndarray]:
+    """Normalize calibration data to [batch, seq] id arrays.
+
+    Accepts strings (tokenized), {"input_ids": ...} dicts, or raw id arrays.
+    ``concat_size`` packs all rows into fixed-length blocks, the reference's
+    ``calibration_dataset_concat_size`` mode (base.py:243-307).
+    """
+    rows: List[np.ndarray] = []
+    for item in dataset:
+        if isinstance(item, str):
+            if tokenizer is None:
+                raise ValueError("string calibration data requires a tokenizer")
+            ids = np.asarray(tokenizer(item)["input_ids"], np.int32)
+        elif isinstance(item, dict):
+            ids = np.asarray(item["input_ids"], np.int32).reshape(-1)
+        else:
+            ids = np.asarray(item, np.int32).reshape(-1)
+        if ids.size:
+            rows.append(ids)
+    if not rows:
+        raise ValueError("empty calibration dataset")
+    if len(rows) < 256:
+        log.warning(f"calibration dataset is small ({len(rows)} rows); the "
+                    "reference recommends >=256 (loop_processor.py:95-127)")
+
+    if concat_size is not None:
+        stream = np.concatenate(rows)
+        n = (len(stream) // concat_size) * concat_size
+        rows = list(stream[:n].reshape(-1, concat_size))
+
+    # bucket rows of equal length into batches (static shapes for jit)
+    by_len: Dict[int, List[np.ndarray]] = {}
+    for r in rows:
+        by_len.setdefault(len(r), []).append(r)
+    batches: List[np.ndarray] = []
+    for ln, group in by_len.items():
+        for i in range(0, len(group), batch_size):
+            batches.append(np.stack(group[i:i + batch_size]))
+    return batches
+
+
+__all__ = ["GanqModel", "prepare_dataset"]

@@ -1,0 +1,84 @@
+"""Synthetic model builders: random-weight models in any quantization format.
+
+Used by benchmarks and the driver entry points — this environment has no
+model downloads, so perf work runs on random weights at real architecture
+shapes (identical compute/memory behavior to trained weights).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import qlinear
+from ..ops.packing import pack_int_rows
+from .transformer import ModelConfig
+
+
+def llama_config(hidden: int = 2048, inter: int = 5504, layers: int = 16,
+                 heads: int = 16, kv_heads: int = 8, vocab: int = 32000,
+                 max_pos: int = 4096) -> ModelConfig:
+    return ModelConfig(
+        model_type="llama", vocab_size=vocab, hidden_size=hidden,
+        intermediate_size=inter, num_hidden_layers=layers,
+        num_attention_heads=heads, num_key_value_heads=kv_heads,
+        head_dim=hidden // heads, max_position_embeddings=max_pos,
+        norm="rmsnorm", act="silu", gated_mlp=True, pos="rope",
+        tie_word_embeddings=True)
+
+
+def _rand_linear(key, out_f: int, in_f: int, kind: str, dtype=jnp.bfloat16):
+    if kind == "dense":
+        w = jax.random.normal(key, (out_f, in_f), dtype) * 0.02
+        return qlinear.dense_linear(w)
+    if kind == "lut":
+        k1, k2 = jax.random.split(key)
+        lut = jnp.sort(jax.random.normal(k1, (out_f, 16), jnp.float32) * 0.02, axis=1)
+        idx = jax.random.randint(k2, (out_f, in_f), 0, 16, jnp.int32)
+        return qlinear.lut_linear(lut, idx, 4)
+    if kind == "uniform":
+        k1, k2 = jax.random.split(key)
+        gs = 128 if in_f % 128 == 0 else in_f
+        ng = in_f // gs
+        qidx = jax.random.randint(k1, (out_f, in_f), 0, 16, jnp.int32)
+        scales = jax.random.uniform(k2, (out_f, ng), jnp.float32, 0.001, 0.004)
+        zeros = jnp.full((out_f, ng), 8.0, jnp.float32)
+        g_idx = (jnp.arange(in_f) // gs).astype(jnp.int32)
+        return qlinear.uniform_linear(qidx, scales, zeros, g_idx, 4)
+    raise ValueError(kind)
+
+
+def make_model(cfg: ModelConfig, kind: str = "lut", seed: int = 0,
+               dtype=jnp.bfloat16) -> Dict[str, Any]:
+    """Random params pytree with every layer linear in format ``kind``."""
+    key = jax.random.PRNGKey(seed)
+    ks = iter(jax.random.split(key, 16 + cfg.num_hidden_layers * 8))
+    h, q, kv, it = (cfg.hidden_size, cfg.q_dim, cfg.kv_dim, cfg.intermediate_size)
+    params: Dict[str, Any] = {
+        "embed_tokens": {"weight": jax.random.normal(next(ks), (cfg.vocab_size, h), dtype) * 0.02},
+        "final_norm": {"weight": jnp.ones((h,), dtype)},
+        "layers": [],
+    }
+    for _ in range(cfg.num_hidden_layers):
+        lp = {
+            "input_norm": {"weight": jnp.ones((h,), dtype)},
+            "post_norm": {"weight": jnp.ones((h,), dtype)},
+            "attn": {
+                "q": _rand_linear(next(ks), q, h, kind, dtype),
+                "k": _rand_linear(next(ks), kv, h, kind, dtype),
+                "v": _rand_linear(next(ks), kv, h, kind, dtype),
+                "o": _rand_linear(next(ks), h, q, kind, dtype),
+            },
+            "mlp": {
+                "gate": _rand_linear(next(ks), it, h, kind, dtype),
+                "up": _rand_linear(next(ks), it, h, kind, dtype),
+                "down": _rand_linear(next(ks), h, it, kind, dtype),
+            },
+        }
+        params["layers"].append(lp)
+    return params
+
+
+__all__ = ["llama_config", "make_model"]

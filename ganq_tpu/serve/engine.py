@@ -1,0 +1,153 @@
+"""Quantized inference engine: KV cache, jitted prefill/decode, generation.
+
+Replaces the reference's delegation to HF ``model.generate`` + per-module
+kernel swaps (``gptqmodel/models/base.py:1164-1177``; kernels selected in
+``utils/importer.py``) with a TPU-native design: static-shape ring KV cache,
+one jitted prefill program, and the whole decode loop as a single
+``lax.scan`` program — essential here because per-dispatch overhead would
+otherwise dominate each token.
+
+The quantized-linear backend ("pallas" fused kernels vs "reference" XLA
+dequant oracle) threads through the model functions; both produce identical
+results within dequant tolerance (tests/test_engine.py).
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.transformer import (ModelConfig, causal_mask, embed,
+                                  layer_forward, rope_tables, unembed)
+
+
+def init_cache(cfg: ModelConfig, batch: int, max_seq: int,
+               dtype=jnp.bfloat16) -> list:
+    """Per-layer KV buffers [B, T, Hkv, D] (bf16 — the BASELINE KV policy)."""
+    return [
+        {"k": jnp.zeros((batch, max_seq, cfg.num_key_value_heads, cfg.head_dim), dtype),
+         "v": jnp.zeros((batch, max_seq, cfg.num_key_value_heads, cfg.head_dim), dtype)}
+        for _ in range(cfg.num_hidden_layers)
+    ]
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "backend"))
+def prefill(cfg: ModelConfig, params: Dict[str, Any], cache: list,
+            input_ids: jax.Array, backend: str = "reference"):
+    """Run the prompt through the model, filling the cache.
+
+    input_ids: [B, S]. Returns (logits_last [B, vocab], cache).
+    """
+    b, s = input_ids.shape
+    max_seq = cache[0]["k"].shape[1]
+    positions = jnp.broadcast_to(jnp.arange(s), (b, s))
+    x = embed(cfg, params, input_ids, positions)
+    mask = causal_mask(s, max_seq)
+    rope = rope_tables(cfg, positions) if cfg.pos == "rope" else None
+    new_cache = []
+    for lp, lc in zip(params["layers"], cache):
+        x, lc, _ = layer_forward(cfg, lp, x, mask, rope, cache=lc,
+                                 cache_pos=0, backend=backend)
+        new_cache.append(lc)
+    logits = unembed(cfg, params, x[:, -1:, :])
+    return logits[:, 0, :], new_cache
+
+
+def _decode_one(cfg: ModelConfig, params, cache, token: jax.Array,
+                pos: jax.Array, backend: str):
+    """One decode step. token: [B], pos: scalar int32 (next position)."""
+    b = token.shape[0]
+    max_seq = cache[0]["k"].shape[1]
+    positions = jnp.broadcast_to(pos, (b, 1))
+    x = embed(cfg, params, token[:, None], positions)
+    mask = (jnp.arange(max_seq) <= pos)[None, None, None, :]
+    rope = rope_tables(cfg, positions) if cfg.pos == "rope" else None
+    new_cache = []
+    for lp, lc in zip(params["layers"], cache):
+        x, lc, _ = layer_forward(cfg, lp, x, mask, rope, cache=lc,
+                                 cache_pos=pos, backend=backend)
+        new_cache.append(lc)
+    logits = unembed(cfg, params, x)[:, 0, :]
+    return logits, new_cache
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "backend"))
+def decode_step(cfg: ModelConfig, params, cache, token, pos, backend="reference"):
+    return _decode_one(cfg, params, cache, token, pos, backend)
+
+
+def _sample(logits: jax.Array, key: jax.Array, temperature: float,
+            top_k: int) -> jax.Array:
+    if temperature <= 0.0:
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    logits = logits / temperature
+    if top_k > 0:
+        kth = jnp.sort(logits, axis=-1)[:, -top_k][:, None]
+        logits = jnp.where(logits < kth, -jnp.inf, logits)
+    return jax.random.categorical(key, logits, axis=-1).astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "backend", "max_new_tokens",
+                                             "temperature", "top_k", "eos_id"),
+                   donate_argnums=(2,))
+def generate_tokens(cfg: ModelConfig, params, cache, input_ids, key,
+                    max_new_tokens: int, temperature: float = 0.0,
+                    top_k: int = 0, eos_id: int = -1,
+                    backend: str = "reference"):
+    """Prefill + scan-decode in one compiled program.
+
+    input_ids [B, S] -> generated tokens [B, max_new_tokens] (eos-padded with
+    eos_id once finished). The whole loop is on-device; one dispatch total.
+    """
+    b, s = input_ids.shape
+    logits0, cache = prefill(cfg, params, cache, input_ids, backend)
+    key, k0 = jax.random.split(key)
+    tok0 = _sample(logits0, k0, temperature, top_k)
+    done0 = (tok0 == eos_id) if eos_id >= 0 else jnp.zeros((b,), bool)
+
+    def body(carry, _):
+        cache, tok, pos, key, done = carry
+        logits, cache = _decode_one(cfg, params, cache, tok, pos, backend)
+        key, sub = jax.random.split(key)
+        nxt = _sample(logits, sub, temperature, top_k)
+        nxt = jnp.where(done, eos_id if eos_id >= 0 else 0, nxt)
+        done = done | ((nxt == eos_id) if eos_id >= 0 else False)
+        return (cache, nxt, pos + 1, key, done), tok
+
+    (_, last, _, _, _), toks = jax.lax.scan(
+        body, (cache, tok0, jnp.int32(s), key, done0), None,
+        length=max_new_tokens - 1)
+    toks = jnp.moveaxis(toks, 0, 1)                  # [B, steps]
+    return jnp.concatenate([toks, last[:, None]], axis=1)
+
+
+@dataclass
+class Engine:
+    """Convenience wrapper holding (cfg, params) with a chosen kernel backend."""
+    cfg: ModelConfig
+    params: Dict[str, Any]
+    backend: str = "reference"
+    max_seq: int = 2048
+
+    def generate(self, input_ids: np.ndarray, max_new_tokens: int = 32,
+                 temperature: float = 0.0, top_k: int = 0,
+                 eos_id: int = -1, seed: int = 0) -> np.ndarray:
+        ids = jnp.asarray(input_ids)
+        if ids.ndim == 1:
+            ids = ids[None, :]
+        total = ids.shape[1] + max_new_tokens
+        if total > self.max_seq:
+            raise ValueError(f"sequence {total} exceeds max_seq {self.max_seq}")
+        cache = init_cache(self.cfg, ids.shape[0], self.max_seq)
+        out = generate_tokens(self.cfg, self.params, cache, ids,
+                              jax.random.PRNGKey(seed), max_new_tokens,
+                              temperature, top_k, eos_id, self.backend)
+        return np.asarray(out)
+
+
+__all__ = ["Engine", "init_cache", "prefill", "decode_step", "generate_tokens"]

@@ -1,0 +1,143 @@
+"""OpenAI-compatible HTTP server (stdlib http.server — no fastapi/uvicorn in
+this environment).
+
+Capability parity with the reference's ``gptqmodel/utils/openai_server.py:33-141``:
+``POST /v1/chat/completions`` (chat-template aware when a tokenizer is
+present), ``POST /v1/completions``, ``GET /v1/models``, threaded serving with
+a readiness probe, clean shutdown.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+import time
+import urllib.request
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Any, Dict, Optional
+
+from ..utils.logger import get_logger
+
+log = get_logger(__name__)
+
+
+class OpenAIServer:
+    def __init__(self, model, host: str = "127.0.0.1", port: int = 8000,
+                 model_id: str = "ganq-tpu-model", max_new_tokens: int = 256):
+        self.model = model
+        self.host = host
+        self.port = port
+        self.model_id = model_id
+        self.max_new_tokens = max_new_tokens
+        self._httpd: Optional[ThreadingHTTPServer] = None
+        self._thread: Optional[threading.Thread] = None
+        self._lock = threading.Lock()  # one generate at a time on the chip
+
+    # ------------------------------------------------------------- lifecycle
+    def start(self) -> "OpenAIServer":
+        handler = self._make_handler()
+        self._httpd = ThreadingHTTPServer((self.host, self.port), handler)
+        self.port = self._httpd.server_address[1]  # resolves port=0
+        self._thread = threading.Thread(target=self._httpd.serve_forever,
+                                        daemon=True)
+        self._thread.start()
+        log.info(f"OpenAI server on http://{self.host}:{self.port}")
+        return self
+
+    def shutdown(self) -> None:
+        if self._httpd:
+            self._httpd.shutdown()
+            self._httpd.server_close()
+            self._httpd = None
+
+    def wait_until_ready(self, timeout: float = 30.0) -> None:
+        deadline = time.time() + timeout
+        url = f"http://{self.host}:{self.port}/v1/models"
+        while time.time() < deadline:
+            try:
+                with urllib.request.urlopen(url, timeout=2):
+                    return
+            except Exception:
+                time.sleep(0.1)
+        raise TimeoutError("server did not become ready")
+
+    # -------------------------------------------------------------- handlers
+    def _render_prompt(self, messages) -> Any:
+        tok = self.model.tokenizer
+        if tok is not None and getattr(tok, "chat_template", None):
+            return tok.apply_chat_template(messages, tokenize=False,
+                                           add_generation_prompt=True)
+        return "\n".join(f"{m.get('role', 'user')}: {m.get('content', '')}"
+                         for m in messages) + "\nassistant:"
+
+    def _generate(self, prompt: str, body: Dict[str, Any]) -> str:
+        max_new = int(body.get("max_tokens") or self.max_new_tokens)
+        temperature = float(body.get("temperature", 0.0) or 0.0)
+        with self._lock:
+            return self.model.generate(prompt, max_new_tokens=max_new,
+                                       temperature=temperature,
+                                       top_k=int(body.get("top_k", 0) or 0))
+
+    def _make_handler(self):
+        server = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, fmt, *args):  # quiet
+                pass
+
+            def _send(self, code: int, payload: Dict[str, Any]):
+                data = json.dumps(payload).encode()
+                self.send_response(code)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(data)))
+                self.end_headers()
+                self.wfile.write(data)
+
+            def do_GET(self):
+                if self.path == "/v1/models":
+                    self._send(200, {"object": "list", "data": [
+                        {"id": server.model_id, "object": "model",
+                         "owned_by": "ganq-tpu"}]})
+                else:
+                    self._send(404, {"error": "not found"})
+
+            def do_POST(self):
+                try:
+                    length = int(self.headers.get("Content-Length", 0))
+                    body = json.loads(self.rfile.read(length) or b"{}")
+                except Exception:
+                    return self._send(400, {"error": "invalid JSON body"})
+                try:
+                    if self.path == "/v1/chat/completions":
+                        msgs = body.get("messages")
+                        if not isinstance(msgs, list) or not msgs:
+                            return self._send(400, {"error": "messages required"})
+                        prompt = server._render_prompt(msgs)
+                        text = server._generate(prompt, body)
+                        self._send(200, {
+                            "id": "chatcmpl-ganq", "object": "chat.completion",
+                            "created": int(time.time()), "model": server.model_id,
+                            "choices": [{"index": 0,
+                                         "message": {"role": "assistant",
+                                                     "content": text},
+                                         "finish_reason": "stop"}]})
+                    elif self.path == "/v1/completions":
+                        prompt = body.get("prompt")
+                        if not isinstance(prompt, str):
+                            return self._send(400, {"error": "prompt required"})
+                        text = server._generate(prompt, body)
+                        self._send(200, {
+                            "id": "cmpl-ganq", "object": "text_completion",
+                            "created": int(time.time()), "model": server.model_id,
+                            "choices": [{"index": 0, "text": text,
+                                         "finish_reason": "stop"}]})
+                    else:
+                        self._send(404, {"error": "not found"})
+                except Exception as e:  # surface model errors as 500s
+                    log.exception("request failed")
+                    self._send(500, {"error": str(e)})
+
+        return Handler
+
+
+__all__ = ["OpenAIServer"]

@@ -1,0 +1,107 @@
+"""Stacked-layer serving path: ``lax.scan`` over layer parameters.
+
+For deep models the per-layer unrolled program (serve/engine.py) compiles
+O(depth) HLO; stacking homogeneous layer params with a leading layer axis and
+scanning compiles one layer body regardless of depth — the right shape for
+32-80 layer serving (and for this environment's slow remote compiles).
+
+QLinear pytrees stack transparently: scan slices each array leaf's leading
+dim and rebuilds the node with its static (kind, bits, in_features) aux.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..models.transformer import (ModelConfig, causal_mask, embed,
+                                  layer_forward, rope_tables, unembed)
+
+
+def stack_layers(params: Dict[str, Any]) -> Dict[str, Any]:
+    """Convert params["layers"] (list of per-layer pytrees with identical
+    structure) into one stacked pytree with a leading layer axis."""
+    layers = params["layers"]
+    stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *layers)
+    out = {k: v for k, v in params.items() if k != "layers"}
+    out["layers_stacked"] = stacked
+    out["num_layers"] = len(layers)
+    return out
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "backend"))
+def prefill(cfg: ModelConfig, sp: Dict[str, Any], cache_k, cache_v,
+            input_ids: jax.Array, backend: str = "reference"):
+    """cache_k/v: [L, B, T, Hkv, D]. Returns (last logits, cache_k, cache_v)."""
+    b, s = input_ids.shape
+    max_seq = cache_k.shape[2]
+    positions = jnp.broadcast_to(jnp.arange(s), (b, s))
+    x = embed(cfg, sp, input_ids, positions)
+    mask = causal_mask(s, max_seq)
+    rope = rope_tables(cfg, positions) if cfg.pos == "rope" else None
+
+    def body(x, layer):
+        lp, ck, cv = layer
+        y, new_cache, _ = layer_forward(cfg, lp, x, mask, rope,
+                                        cache={"k": ck, "v": cv}, cache_pos=0,
+                                        backend=backend)
+        return y, (new_cache["k"], new_cache["v"])
+
+    x, (cache_k, cache_v) = jax.lax.scan(
+        body, x, (sp["layers_stacked"], cache_k, cache_v))
+    logits = unembed(cfg, sp, x[:, -1:, :])
+    return logits[:, 0, :], cache_k, cache_v
+
+
+def _decode_one(cfg, sp, cache_k, cache_v, token, pos, backend):
+    b = token.shape[0]
+    max_seq = cache_k.shape[2]
+    positions = jnp.broadcast_to(pos, (b, 1))
+    x = embed(cfg, sp, token[:, None], positions)
+    mask = (jnp.arange(max_seq) <= pos)[None, None, None, :]
+    rope = rope_tables(cfg, positions) if cfg.pos == "rope" else None
+
+    def body(x, layer):
+        lp, ck, cv = layer
+        y, new_cache, _ = layer_forward(cfg, lp, x, mask, rope,
+                                        cache={"k": ck, "v": cv},
+                                        cache_pos=pos, backend=backend)
+        return y, (new_cache["k"], new_cache["v"])
+
+    x, (cache_k, cache_v) = jax.lax.scan(
+        body, x, (sp["layers_stacked"], cache_k, cache_v))
+    logits = unembed(cfg, sp, x)[:, 0, :]
+    return logits, cache_k, cache_v
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "backend", "steps"),
+                   donate_argnums=(2, 3))
+def greedy_decode(cfg: ModelConfig, sp, cache_k, cache_v, input_ids,
+                  steps: int, backend: str = "reference"):
+    """Prefill + ``steps`` greedy decode steps as one compiled program.
+    Returns generated tokens [B, steps]."""
+    b, s = input_ids.shape
+    logits, cache_k, cache_v = prefill(cfg, sp, cache_k, cache_v, input_ids, backend)
+    tok0 = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+    def body(carry, _):
+        ck, cv, tok, pos = carry
+        logits, ck, cv = _decode_one(cfg, sp, ck, cv, tok, pos, backend)
+        nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        return (ck, cv, nxt, pos + 1), tok
+
+    (_, _, last, _), toks = jax.lax.scan(
+        body, (cache_k, cache_v, tok0, jnp.int32(s)), None, length=steps - 1)
+    return jnp.concatenate([jnp.moveaxis(toks, 0, 1), last[:, None]], axis=1)
+
+
+def init_cache(cfg: ModelConfig, n_layers: int, batch: int, max_seq: int,
+               dtype=jnp.bfloat16) -> Tuple[jax.Array, jax.Array]:
+    shape = (n_layers, batch, max_seq, cfg.num_key_value_heads, cfg.head_dim)
+    return jnp.zeros(shape, dtype), jnp.zeros(shape, dtype)
+
+
+__all__ = ["stack_layers", "prefill", "greedy_decode", "init_cache"]

@@ -1,0 +1,120 @@
+"""Top-level API facade + OpenAI server tests (reference: test_serialization,
+test_openai_server)."""
+
+import json
+import urllib.request
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+import transformers  # noqa: E402
+
+from ganq_tpu import GanqModel, QuantizeConfig, prepare_dataset  # noqa: E402
+
+
+class CharTokenizer:
+    """Minimal char-level tokenizer for tests (no downloads)."""
+    eos_token_id = 0
+    chat_template = None
+
+    def __call__(self, text):
+        return {"input_ids": [min(1 + ord(c) % 250, 255) for c in text]}
+
+    def apply_chat_template(self, messages, **kw):
+        return " ".join(m["content"] for m in messages)
+
+    def decode(self, ids):
+        return "".join(chr(97 + (i % 26)) for i in ids)
+
+    def save_pretrained(self, d):
+        pass
+
+
+def tiny_model(seed=0):
+    hf_cfg = transformers.LlamaConfig(
+        vocab_size=256, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=256)
+    torch.manual_seed(seed)
+    return transformers.LlamaForCausalLM(hf_cfg)
+
+
+def test_quantize_save_load_generate(rng, tmp_path):
+    qcfg = QuantizeConfig(bits=4, quant_method="ganq", ganq_iterations=2,
+                          act_sort="asc", l_damp_style="ganq", dead="mean")
+    m = GanqModel.from_torch_model(tiny_model(), qcfg, tokenizer=CharTokenizer())
+    calib = [rng.integers(1, 256, size=(48,)).astype(np.int32) for _ in range(4)]
+    logrows = m.quantize(calib, batch_size=2)
+    assert len(logrows) == 14  # 7 linears x 2 layers
+    assert m.quantized
+
+    d = str(tmp_path / "q")
+    m.save(d)
+    m2 = GanqModel.load(d)
+    assert m2.quantized
+    assert m2.qcfg.quant_method.value == "ganq"
+
+    prompt = rng.integers(1, 256, size=(1, 8)).astype(np.int32)
+    a = m.generate(prompt, max_new_tokens=4, max_seq=64)
+    m2.backend = "reference"
+    b = m2.generate(prompt, max_new_tokens=4, max_seq=64)
+    assert a.shape == b.shape == (1, 4)
+    # save/load roundtrip in fp16-lut may flip rare argmax near-ties
+    assert np.mean(a == b) >= 0.75
+
+
+def test_prepare_dataset_modes(rng):
+    tok = CharTokenizer()
+    data = ["hello world", {"input_ids": list(range(1, 21))},
+            rng.integers(1, 100, size=(30,))]
+    batches = prepare_dataset(data, tok, batch_size=2)
+    assert all(b.ndim == 2 for b in batches)
+
+    concat = prepare_dataset(data, tok, batch_size=4, concat_size=16)
+    assert all(b.shape[1] == 16 for b in concat)
+    total = sum(len(np.asarray(tok(d)["input_ids"]) if isinstance(d, str)
+                    else np.asarray(d["input_ids"]) if isinstance(d, dict)
+                    else d) for d in data)
+    assert sum(b.size for b in concat) == (total // 16) * 16
+
+    with pytest.raises(ValueError):
+        prepare_dataset([], tok)
+
+
+def test_perplexity_api(rng):
+    m = GanqModel.from_torch_model(tiny_model(1))
+    ppl = m.perplexity(rng.integers(0, 256, size=(512,)), seqlen=128)
+    assert 1.0 < ppl < 10000.0
+
+
+def test_openai_server(rng):
+    m = GanqModel.from_torch_model(tiny_model(2), tokenizer=CharTokenizer())
+    srv = m.serve(port=0)
+    try:
+        srv.wait_until_ready()
+        base = f"http://127.0.0.1:{srv.port}"
+
+        with urllib.request.urlopen(f"{base}/v1/models") as r:
+            models = json.loads(r.read())
+        assert models["data"][0]["id"] == "ganq-tpu-model"
+
+        req = urllib.request.Request(
+            f"{base}/v1/chat/completions",
+            data=json.dumps({"messages": [{"role": "user", "content": "hi"}],
+                             "max_tokens": 4}).encode(),
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req) as r:
+            out = json.loads(r.read())
+        assert out["choices"][0]["message"]["content"]
+
+        bad = urllib.request.Request(
+            f"{base}/v1/chat/completions", data=b'{"messages": []}',
+            headers={"Content-Type": "application/json"})
+        try:
+            urllib.request.urlopen(bad)
+            assert False, "expected 400"
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+    finally:
+        srv.shutdown()

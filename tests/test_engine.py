@@ -1,0 +1,104 @@
+"""Inference engine tests: cached decode must equal full-context forward
+(KV-cache correctness), backends must agree, eos/sampling behavior."""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+import transformers  # noqa: E402
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from ganq_tpu.core.config import QuantizeConfig  # noqa: E402
+from ganq_tpu.formats import checkpoint  # noqa: E402
+from ganq_tpu.models import hf_import, transformer  # noqa: E402
+from ganq_tpu.models.registry import get_spec  # noqa: E402
+from ganq_tpu.quant.looper import quantize_model  # noqa: E402
+from ganq_tpu.serve import engine  # noqa: E402
+
+
+def tiny(seed=0, mtype="llama"):
+    if mtype == "llama":
+        hf_cfg = transformers.LlamaConfig(
+            vocab_size=256, hidden_size=64, intermediate_size=128,
+            num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+            max_position_embeddings=256)
+        cls = transformers.LlamaForCausalLM
+    else:
+        hf_cfg = transformers.OPTConfig(
+            vocab_size=256, hidden_size=64, ffn_dim=128, num_hidden_layers=2,
+            num_attention_heads=4, max_position_embeddings=256,
+            word_embed_proj_dim=64)
+        cls = transformers.OPTForCausalLM
+    torch.manual_seed(seed)
+    model = cls(hf_cfg)
+    return hf_import.params_from_torch_model(model)
+
+
+@pytest.mark.parametrize("mtype", ["llama", "opt"])
+def test_greedy_generate_matches_full_forward(rng, mtype):
+    """Greedy tokens from the cached decode loop must equal argmax decoding
+    with the uncached full forward — the KV-cache correctness oracle."""
+    cfg, params = tiny(0, mtype)
+    prompt = rng.integers(0, 256, size=(2, 12)).astype(np.int32)
+    eng = engine.Engine(cfg, params, max_seq=64)
+    out = eng.generate(prompt, max_new_tokens=8)
+
+    # reference: iterative full forward argmax
+    ids = prompt.copy()
+    for _ in range(8):
+        logits = transformer.forward(cfg, params, jnp.asarray(ids))
+        nxt = np.asarray(jnp.argmax(logits[:, -1, :], axis=-1))[:, None]
+        ids = np.concatenate([ids, nxt.astype(np.int32)], axis=1)
+    np.testing.assert_array_equal(out, ids[:, 12:])
+
+
+def test_quantized_backends_agree(rng):
+    """Packed checkpoint: pallas kernels vs XLA dequant reference must
+    produce the same greedy continuation (reference test_kernel_output.py)."""
+    cfg, params = tiny(1)
+    spec = get_spec("llama")
+    qcfg = QuantizeConfig(bits=4, quant_method="ganq", ganq_iterations=2,
+                          act_sort="asc", l_damp_style="ganq", dead="mean")
+    batches = [rng.integers(0, 256, size=(2, 32)).astype(np.int32) for _ in range(2)]
+    out = quantize_model(cfg, params, spec, qcfg, batches)
+
+    import tempfile
+    d = tempfile.mkdtemp()
+    checkpoint.save_quantized(d, {
+        "model_type": "llama", "vocab_size": 256, "hidden_size": 64,
+        "intermediate_size": 128, "num_hidden_layers": 2,
+        "num_attention_heads": 4, "num_key_value_heads": 2,
+        "max_position_embeddings": 256}, qcfg, out.params, out.artifacts)
+    cfg2, params2, _ = checkpoint.load_quantized(d)
+
+    prompt = rng.integers(0, 256, size=(1, 10)).astype(np.int32)
+    ref = engine.Engine(cfg2, params2, backend="reference", max_seq=64).generate(
+        prompt, max_new_tokens=6)
+    pal = engine.Engine(cfg2, params2, backend="pallas", max_seq=64).generate(
+        prompt, max_new_tokens=6)
+    # bf16 noise can flip near-tie argmax occasionally; require strong agreement
+    agree = np.mean(ref == pal)
+    assert agree >= 0.8, (ref, pal)
+
+
+def test_eos_stops_generation(rng):
+    cfg, params = tiny(2)
+    prompt = rng.integers(0, 256, size=(1, 4)).astype(np.int32)
+    eng = engine.Engine(cfg, params, max_seq=32)
+    greedy = eng.generate(prompt, max_new_tokens=6)
+    eos = int(greedy[0, 1])  # force the 2nd generated token to be "eos"
+    out = eng.generate(prompt, max_new_tokens=6, eos_id=eos)
+    assert np.all(out[0, 2:] == eos)  # everything after eos is padded
+
+
+def test_sampling_is_reproducible(rng):
+    cfg, params = tiny(3)
+    prompt = rng.integers(0, 256, size=(1, 4)).astype(np.int32)
+    eng = engine.Engine(cfg, params, max_seq=32)
+    a = eng.generate(prompt, max_new_tokens=8, temperature=1.0, top_k=16, seed=7)
+    b = eng.generate(prompt, max_new_tokens=8, temperature=1.0, top_k=16, seed=7)
+    c = eng.generate(prompt, max_new_tokens=8, temperature=1.0, top_k=16, seed=8)
+    np.testing.assert_array_equal(a, b)
+    assert not np.array_equal(a, c) or True  # different seed may coincide; no assert
