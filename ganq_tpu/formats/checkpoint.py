@@ -143,6 +143,33 @@ def save_quantized(save_dir: str, hf_config: Dict[str, Any], qcfg: QuantizeConfi
     with open(os.path.join(save_dir, "config.json"), "w") as f:
         json.dump(hf_out, f, indent=2)
 
+    # ---- EoRA adapter (reference writer.py:75-121: PEFT-style safetensors)
+    lora_state: Dict[str, np.ndarray] = {}
+    rank = 0
+    target_modules = set()
+    for full_name, art in artifacts.items():
+        if getattr(art, "lora_a", None) is None:
+            continue
+        if full_name == spec.lm_head_name:
+            prefix = spec.lm_head_name
+        else:
+            rest = full_name[len(spec.layers_prefix) + 1:]
+            li_s, mod = rest.split(".", 1)
+            prefix = _hf_module_prefix(spec, int(li_s), mod)
+            target_modules.add(mod.rsplit(".", 1)[-1])
+        lora_state[f"base_model.model.{prefix}.lora_A.weight"] = (
+            np.ascontiguousarray(np.asarray(art.lora_a, np.float16)))
+        lora_state[f"base_model.model.{prefix}.lora_B.weight"] = (
+            np.ascontiguousarray(np.asarray(art.lora_b, np.float16)))
+        rank = art.lora_a.shape[0]
+    if lora_state:
+        from safetensors.numpy import save_file
+        save_file(lora_state, os.path.join(save_dir, "adapter_model.safetensors"))
+        with open(os.path.join(save_dir, "adapter_config.json"), "w") as f:
+            json.dump({"peft_type": "LORA", "r": rank, "lora_alpha": rank,
+                       "target_modules": sorted(target_modules),
+                       "task_type": "CAUSAL_LM"}, f, indent=2)
+
     # ---- quant log csv (reference writer.py:134-139)
     if quant_log:
         with open(os.path.join(save_dir, "quant_log.csv"), "w", newline="") as f:
@@ -254,6 +281,23 @@ def load_quantized(model_dir: str, verify_hash: Optional[Dict[str, str]] = None
     ql = build_qlinear(spec.lm_head_name, qcfg.bits)
     if ql is not None:
         params["lm_head"] = ql
+
+    # attach EoRA adapter if present
+    adapter_path = os.path.join(model_dir, "adapter_model.safetensors")
+    if os.path.isfile(adapter_path):
+        from safetensors import safe_open
+        with safe_open(adapter_path, framework="numpy") as f:
+            lora = {k: f.get_tensor(k) for k in f.keys()}
+        for li in range(cfg.num_hidden_layers):
+            for mod, slot in spec.module_slots.items():
+                prefix = _hf_module_prefix(spec, li, mod)
+                a_key = f"base_model.model.{prefix}.lora_A.weight"
+                if a_key in lora:
+                    m = hf_import.get_module(params, li, slot)
+                    m["lora_a"] = jnp.asarray(lora[a_key], jnp.float32)
+                    m["lora_b"] = jnp.asarray(
+                        lora[f"base_model.model.{prefix}.lora_B.weight"],
+                        jnp.float32)
 
     return cfg, params, qcfg
 

@@ -174,9 +174,18 @@ def layer_forward(cfg: ModelConfig, lp: Dict[str, Any], x: jax.Array,
     if want_taps:
         taps["attn.q"] = taps["attn.k"] = taps["attn.v"] = h
 
-    q = qlinear.apply(lp["attn"]["q"], h, backend).reshape(b, s, cfg.num_attention_heads, cfg.head_dim)
-    k = qlinear.apply(lp["attn"]["k"], h, backend).reshape(b, s, cfg.num_key_value_heads, cfg.head_dim)
-    v = qlinear.apply(lp["attn"]["v"], h, backend).reshape(b, s, cfg.num_key_value_heads, cfg.head_dim)
+    if "qkv" in lp["attn"]:  # serving-time fusion (one kernel, split after)
+        qkv = qlinear.apply(lp["attn"]["qkv"], h, backend)
+        q = qkv[..., :cfg.q_dim]
+        k = qkv[..., cfg.q_dim:cfg.q_dim + cfg.kv_dim]
+        v = qkv[..., cfg.q_dim + cfg.kv_dim:]
+    else:
+        q = qlinear.apply(lp["attn"]["q"], h, backend)
+        k = qlinear.apply(lp["attn"]["k"], h, backend)
+        v = qlinear.apply(lp["attn"]["v"], h, backend)
+    q = q.reshape(b, s, cfg.num_attention_heads, cfg.head_dim)
+    k = k.reshape(b, s, cfg.num_key_value_heads, cfg.head_dim)
+    v = v.reshape(b, s, cfg.num_key_value_heads, cfg.head_dim)
 
     if cfg.pos == "rope":
         cos, sin = rope
@@ -204,8 +213,12 @@ def layer_forward(cfg: ModelConfig, lp: Dict[str, Any], x: jax.Array,
     if cfg.gated_mlp:
         if want_taps:
             taps["mlp.gate"] = taps["mlp.up"] = h
-        g = qlinear.apply(lp["mlp"]["gate"], h, backend)
-        u = qlinear.apply(lp["mlp"]["up"], h, backend)
+        if "gateup" in lp["mlp"]:
+            gu = qlinear.apply(lp["mlp"]["gateup"], h, backend)
+            g, u = gu[..., :cfg.intermediate_size], gu[..., cfg.intermediate_size:]
+        else:
+            g = qlinear.apply(lp["mlp"]["gate"], h, backend)
+            u = qlinear.apply(lp["mlp"]["up"], h, backend)
         a = _activation(g, cfg.act) * u
         if want_taps:
             taps["mlp.down"] = a

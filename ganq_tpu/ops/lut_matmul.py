@@ -45,20 +45,28 @@ def _select_tree_dequant(codes: jax.Array, lut: jax.Array) -> jax.Array:
     Binary select tree on the code bits: 8+4+2+1 vector selects, entirely on
     the VPU, no per-lane gather required.
     """
-    # Arithmetic blend instead of jnp.where: Mosaic's layout inference
-    # rejects the broadcast i1 masks; a*(1-b)+b*c FMAs lower cleanly.
+    # Arithmetic blends instead of jnp.where (Mosaic's layout inference
+    # rejects broadcast i1 masks). The first two levels collapse into one
+    # bilinear interpolation per 4-entry group — per-row combination
+    # coefficients are rank-1 columns, so the per-element cost is
+    # 4 groups x 3 FMA + 2 blends x 2 + 1 blend x 2 + bits: ~28 VPU
+    # ops/element vs ~39 for the plain 15-blend tree.
     f = jnp.float32
     b0 = (codes & 1).astype(f)
     b1 = ((codes >> 1) & 1).astype(f)
     b2 = ((codes >> 2) & 1).astype(f)
     b3 = ((codes >> 3) & 1).astype(f)
+    p01 = b0 * b1
 
     def col(s):  # [TM, 1] broadcastable column of the codebook
         return lut[:, s][:, None].astype(f)
 
-    l1 = [col(2 * s) + b0 * (col(2 * s + 1) - col(2 * s)) for s in range(8)]
-    l2 = [l1[2 * s] + b1 * (l1[2 * s + 1] - l1[2 * s]) for s in range(4)]
-    l3 = [l2[2 * s] + b2 * (l2[2 * s + 1] - l2[2 * s]) for s in range(2)]
+    l2 = []
+    for g in range(4):
+        a, b, c, d = (col(4 * g), col(4 * g + 1), col(4 * g + 2), col(4 * g + 3))
+        # lut[4g + (2*b1 + b0)] == a + b0(b-a) + b1(c-a) + b0b1(a-b-c+d)
+        l2.append(a + b0 * (b - a) + b1 * (c - a) + p01 * (a - b - c + d))
+    l3 = [l2[0] + b2 * (l2[1] - l2[0]), l2[2] + b2 * (l2[3] - l2[2])]
     return (l3[0] + b3 * (l3[1] - l3[0])).astype(lut.dtype)
 
 

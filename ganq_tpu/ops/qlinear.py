@@ -75,6 +75,8 @@ class QLinear:
             return self.arrays["weight"].shape[0]
         if self.kind == "lut":
             return self.arrays["lut"].shape[0]
+        if self.kind == "w8":
+            return self.arrays["w8"].shape[0]
         return self.arrays["qweight"].shape[0]
 
 
@@ -144,6 +146,9 @@ def dequantize_weight(p: QLinear) -> jax.Array:
         scale = p["scales"][:, p["g_idx"]]          # [out, in]
         zero = p["zeros"][:, p["g_idx"]]
         return scale * (qidx.astype(jnp.float32) - zero)
+    if p.kind == "w8":
+        w = p["w8"].astype(jnp.float32) * p["scale"]
+        return w[:, :p.in_features]
     raise ValueError(f"unknown qlinear kind: {p.kind}")
 
 
@@ -155,18 +160,56 @@ def apply(p: QLinear, x: jax.Array, backend: str = "reference") -> jax.Array:
         w = dequantize_weight(p)
         y = jnp.dot(x, w.T.astype(x.dtype))
     elif backend == "pallas":
-        from . import lut_matmul, uniform_matmul
+        from . import lut_matmul, uniform_matmul, w8_matmul
         if p.kind == "lut":
             y = lut_matmul.lut_matmul(x, p["lut"], p["idx_packed"], p.bits)
+        elif p.kind == "w8":
+            y = w8_matmul.w8_matmul(x, p["w8"], p["scale"])
         else:
             y = uniform_matmul.uniform_matmul(
                 x, p["qweight"], p["scales"], p["zeros"], p["g_idx"], p.bits)
     else:
         raise ValueError(f"unknown backend: {backend}")
+    if "lora_a" in p:  # EoRA low-rank correction (adapter/eora.py)
+        from ..adapter.eora import apply_lora
+        y = y + apply_lora(x, p["lora_a"], p["lora_b"])
     if "bias" in p:
         y = y + p["bias"].astype(y.dtype)
     return y
 
 
+def recode_w8(p: QLinear) -> QLinear:
+    """LUT linear -> per-row-affine int8 linear (load-time fast serving path,
+    see ops/w8_matmul.py). Non-LUT kinds pass through unchanged."""
+    if p.kind != "lut":
+        return p
+    from .w8_matmul import recode_lut_to_int8
+    w8, scale = recode_lut_to_int8(p["lut"], p["idx_packed"], p.bits,
+                                   p.in_features)
+    arrays = {"w8": w8, "scale": scale}
+    if "bias" in p:
+        arrays["bias"] = p["bias"]
+    return QLinear("w8", arrays, bits=8, in_features=p.in_features)
+
+
+def concat_rows(linears) -> QLinear:
+    """Fuse linears sharing an input (qkv, gate+up) by concatenating output
+    rows — legal for every kind because all row-wise arrays (weight/lut/
+    packed codes/scales) are independent per output row."""
+    kinds = {p.kind for p in linears}
+    bits = {p.bits for p in linears}
+    if len(kinds) != 1 or len(bits) != 1:
+        raise ValueError("cannot fuse linears of mixed kind/bits")
+    keys = linears[0].arrays.keys()
+    arrays = {}
+    for k in keys:
+        if k == "g_idx":  # shared input-column map
+            arrays[k] = linears[0][k]
+        else:
+            arrays[k] = jnp.concatenate([p[k] for p in linears], axis=0)
+    return QLinear(linears[0].kind, arrays, linears[0].bits,
+                   linears[0].in_features)
+
+
 __all__ = ["QLinear", "dense_linear", "lut_linear", "uniform_linear",
-           "dequantize_weight", "apply"]
+           "dequantize_weight", "apply", "concat_rows", "recode_w8"]

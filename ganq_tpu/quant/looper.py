@@ -70,6 +70,9 @@ class QuantizedModule:
     scale: Optional[jax.Array] = None
     zero: Optional[jax.Array] = None
     g_idx: Optional[jax.Array] = None
+    # EoRA adapter (optional)
+    lora_a: Optional[jax.Array] = None       # [rank, in]
+    lora_b: Optional[jax.Array] = None       # [out, rank]
 
 
 @dataclass
@@ -91,6 +94,18 @@ def _embed_fwd(cfg: ModelConfig, params, ids, positions):
 
 def _full_name(spec: ArchSpec, layer_idx: int, module_name: str) -> str:
     return f"{spec.layers_prefix}.{layer_idx}.{module_name}"
+
+
+def _adapter_rank(qcfg: QuantizeConfig, full_name: str) -> int:
+    """Effective EoRA rank for a module: qcfg.adapter["rank"] with per-module
+    dynamic overrides (reference config.py:341-357)."""
+    if not qcfg.adapter:
+        return 0
+    rank = int(qcfg.adapter.get("rank", 0))
+    dyn = qcfg.dynamic_get(full_name, "adapter", default=None, sub_key="rank")
+    if isinstance(dyn, (int, float)):
+        rank = int(dyn)
+    return rank
 
 
 def _quantize_one(W: jax.Array, H: jax.Array, eff_cfg: QuantizeConfig,
@@ -178,8 +193,19 @@ def quantize_model(
                 W = lin["weight"]
                 Wq, art, avg_loss, damp = _quantize_one(
                     W, H_by_slot[slot], eff, nsamples)
+                full = _full_name(spec, li, mod)
+                rank = _adapter_rank(qcfg, full)
+                if rank:
+                    # EoRA accuracy recovery: activation-weighted low-rank fit
+                    # of the quantization error; later layers see the
+                    # corrected weight (reference eora_processor.py:119-159)
+                    from ..adapter.eora import compute_eora
+                    cov = accs[slot].acc / max(accs[slot].nsamples, 1)
+                    A, B = compute_eora(W - Wq, cov, rank)
+                    art.lora_a, art.lora_b = A, B
+                    Wq = Wq + jnp.dot(B, A, precision=jax.lax.Precision.HIGHEST)
                 lin["weight"] = Wq.astype(W.dtype)
-                artifacts[_full_name(spec, li, mod)] = art
+                artifacts[full] = art
                 dur = time.perf_counter() - t0
                 qlog.append(ModuleQuantLog(
                     layer=li, module=mod, method=str(eff.quant_method),

@@ -21,10 +21,47 @@ from ..models.transformer import (ModelConfig, causal_mask, embed,
                                   layer_forward, rope_tables, unembed)
 
 
-def stack_layers(params: Dict[str, Any]) -> Dict[str, Any]:
+def fuse_layer(lp: Dict[str, Any]) -> Dict[str, Any]:
+    """Serving-time fusion: q/k/v -> one qkv linear, gate/up -> gateup.
+    Fewer, larger kernels — the dominant fixed-overhead win at decode."""
+    from ..ops.qlinear import concat_rows
+
+    out = dict(lp)
+    a = lp["attn"]
+    if all(k in a for k in ("q", "k", "v")) and a.get("q") is not None:
+        out["attn"] = {"qkv": concat_rows([a["q"], a["k"], a["v"]]),
+                       "o": a["o"]}
+    m = lp["mlp"]
+    if "gate" in m and "up" in m:
+        out["mlp"] = {"gateup": concat_rows([m["gate"], m["up"]]),
+                      "down": m["down"]}
+    return out
+
+
+def recode_layer_w8(lp: Dict[str, Any]) -> Dict[str, Any]:
+    """Recode every LUT linear in a layer to the int8 fast path."""
+    from ..ops.qlinear import QLinear, recode_w8
+
+    def rec(x):
+        return recode_w8(x) if isinstance(x, QLinear) else x
+
+    return {
+        k: ({kk: rec(vv) for kk, vv in v.items()} if isinstance(v, dict) else v)
+        for k, v in lp.items()
+    }
+
+
+def stack_layers(params: Dict[str, Any], fuse: bool = True,
+                 recode: str = "none") -> Dict[str, Any]:
     """Convert params["layers"] (list of per-layer pytrees with identical
-    structure) into one stacked pytree with a leading layer axis."""
+    structure) into one stacked pytree with a leading layer axis.
+
+    ``recode="w8"`` converts LUT linears to the int8 fast serving path."""
     layers = params["layers"]
+    if recode == "w8":
+        layers = [recode_layer_w8(lp) for lp in layers]
+    if fuse:
+        layers = [fuse_layer(lp) for lp in layers]
     stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *layers)
     out = {k: v for k, v in params.items() if k != "layers"}
     out["layers_stacked"] = stacked
