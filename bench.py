@@ -1,9 +1,12 @@
-"""Headline benchmark: GANQ W4 LUT decode throughput vs bf16 dense, one chip.
+"""Headline benchmark: GANQ W4 decode throughput vs bf16 dense, one chip.
 
-Measures greedy decode tokens/s on a Llama-3.2-1B-shaped model (stacked-layer
-scan serving path) with (a) packed W4 LUT weights through the fused Pallas
-dequant-matmul kernels and (b) bf16 dense weights — identical program
-structure, so dispatch/tunnel overheads cancel in the ratio.
+Measures greedy decode tokens/s on a Llama-3.2-3B-shaped model (stacked-layer
+scan serving path, fused qkv/gateup) with (a) the int8-recoded GANQ serving
+path (w8_matmul kernels), (b) exact packed W4 LUT through the fused Pallas
+dequant-matmul kernels, and (c) bf16 dense weights — identical program
+structure, so dispatch overheads cancel in the ratio. Models are built and
+measured one at a time (a 3B bf16 model plus a quantized twin would not
+co-reside in 16 GB HBM).
 
 vs_baseline compares the W4-vs-fp16 decode speedup against the GANQ paper's
 published 2.11x (LLaMA-7B W4 vs fp16 decode on an RTX 4090 — BASELINE.md,
@@ -12,8 +15,8 @@ paper.md Table 5): >1.0 means we beat the reference's headline speedup.
 Prints exactly one JSON line.
 """
 
+import gc
 import json
-import sys
 import time
 
 import jax
@@ -21,11 +24,11 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def measure(cfg, params, backend, batch, prompt_len, steps, max_seq, reps=3,
-            recode="none"):
+def measure(cfg, kind, backend, batch, prompt_len, steps, max_seq, reps=3):
+    from ganq_tpu.models import synthetic
     from ganq_tpu.serve import stacked
 
-    sp = stacked.stack_layers(params, recode=recode)
+    sp = synthetic.make_stacked_model(cfg, kind=kind, seed=0)
     rng = np.random.default_rng(0)
     ids = jnp.asarray(rng.integers(0, cfg.vocab_size, size=(batch, prompt_len)),
                       jnp.int32)
@@ -42,8 +45,9 @@ def measure(cfg, params, backend, batch, prompt_len, steps, max_seq, reps=3,
         out = run()
         jax.block_until_ready(out)
         best = min(best, time.perf_counter() - t0)
-    toks = batch * steps
-    return toks / best
+    del sp
+    gc.collect()
+    return batch * steps / best
 
 
 def main():
@@ -63,14 +67,10 @@ def main():
                                      max_pos=256)
         batch, prompt, steps, max_seq = 2, 16, 16, 64
 
-    lut_params = synthetic.make_model(cfg, kind="lut", seed=0)
-    dense_params = synthetic.make_model(cfg, kind="dense", seed=0)
-
     backend = "pallas" if on_tpu else "reference"
-    tps_dense = measure(cfg, dense_params, "reference", batch, prompt, steps, max_seq)
-    tps_w8 = measure(cfg, lut_params, backend, batch, prompt, steps, max_seq,
-                     recode="w8")
-    tps_lut = measure(cfg, lut_params, backend, batch, prompt, steps, max_seq)
+    tps_dense = measure(cfg, "dense", "reference", batch, prompt, steps, max_seq)
+    tps_w8 = measure(cfg, "w8", backend, batch, prompt, steps, max_seq)
+    tps_lut = measure(cfg, "lut", backend, batch, prompt, steps, max_seq)
 
     best = max(tps_w8, tps_lut)
     speedup = best / tps_dense

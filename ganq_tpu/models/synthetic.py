@@ -38,6 +38,12 @@ def _rand_linear(key, out_f: int, in_f: int, kind: str, dtype=jnp.bfloat16):
         lut = jnp.sort(jax.random.normal(k1, (out_f, 16), jnp.float32) * 0.02, axis=1)
         idx = jax.random.randint(k2, (out_f, in_f), 0, 16, jnp.int32)
         return qlinear.lut_linear(lut, idx, 4)
+    if kind == "w8":
+        k1, k2 = jax.random.split(key)
+        w8 = jax.random.randint(k1, (out_f, in_f), -127, 128, jnp.int32).astype(jnp.int8)
+        scale = jax.random.uniform(k2, (out_f, 1), jnp.float32, 1e-4, 4e-4)
+        return qlinear.QLinear("w8", {"w8": w8, "scale": scale}, bits=8,
+                               in_features=in_f)
     if kind == "uniform":
         k1, k2 = jax.random.split(key)
         gs = 128 if in_f % 128 == 0 else in_f
@@ -81,4 +87,39 @@ def make_model(cfg: ModelConfig, kind: str = "lut", seed: int = 0,
     return params
 
 
-__all__ = ["llama_config", "make_model"]
+def make_stacked_model(cfg: ModelConfig, kind: str = "lut", seed: int = 0,
+                       dtype=jnp.bfloat16) -> Dict[str, Any]:
+    """Build the fused+stacked serving pytree directly (qkv and gateup fused,
+    leading layer axis on every leaf) — no transient per-layer copies, so
+    multi-GB models fit while being constructed on-chip."""
+    key = jax.random.PRNGKey(seed)
+    ks = iter(jax.random.split(key, 8 + cfg.num_hidden_layers * 4))
+    h, q, kv, it = (cfg.hidden_size, cfg.q_dim, cfg.kv_dim, cfg.intermediate_size)
+    L = cfg.num_hidden_layers
+
+    def stacked_linear(keys, out_f, in_f):
+        lins = [_rand_linear(k, out_f, in_f, kind, dtype) for k in keys]
+        return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *lins)
+
+    layer_keys = jax.random.split(next(ks), L * 4).reshape(L, 4, 2)
+    stacked = {
+        "input_norm": {"weight": jnp.ones((L, h), dtype)},
+        "post_norm": {"weight": jnp.ones((L, h), dtype)},
+        "attn": {
+            "qkv": stacked_linear(layer_keys[:, 0], q + 2 * kv, h),
+            "o": stacked_linear(layer_keys[:, 1], h, q),
+        },
+        "mlp": {
+            "gateup": stacked_linear(layer_keys[:, 2], 2 * it, h),
+            "down": stacked_linear(layer_keys[:, 3], h, it),
+        },
+    }
+    return {
+        "embed_tokens": {"weight": jax.random.normal(next(ks), (cfg.vocab_size, h), dtype) * 0.02},
+        "final_norm": {"weight": jnp.ones((h,), dtype)},
+        "layers_stacked": stacked,
+        "num_layers": L,
+    }
+
+
+__all__ = ["llama_config", "make_model", "make_stacked_model"]

@@ -156,6 +156,12 @@ def ganq_quantize(W: jax.Array, H: jax.Array, qcfg: QuantizeConfig,
     hinv_diag = jnp.diagonal(prep.Hinv)
     if codebook_init_fn is not None:
         T = jnp.asarray(codebook_init_fn(prep.W, hinv_diag), jnp.float32)
+    elif qcfg.codebook_init == "kmeans_exact":
+        # exact SMAWK-class DP on the host (native C++), LeanQuant weighting
+        from ..ops.kmeans_exact import kmeans_rows_exact
+        wts = np.asarray(leanquant_weights(hinv_diag, qcfg.codebook_weight_exp))
+        T = jnp.asarray(kmeans_rows_exact(np.asarray(prep.W), wts, k),
+                        jnp.float32)
     elif qcfg.codebook_init == "linear":
         base = jnp.linspace(-1.0, 1.0, k)
         T = jnp.broadcast_to(base, (m, k)) * jnp.max(prep.W, axis=1, keepdims=True)
