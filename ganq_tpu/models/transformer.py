@@ -192,14 +192,27 @@ def layer_forward(cfg: ModelConfig, lp: Dict[str, Any], x: jax.Array,
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
 
+    # Static prefill detection: call sites pass a python-int 0 for prefill
+    # and a traced position for decode. Prefilling from position 0 attends
+    # only over the freshly computed k/v (mathematically identical to the
+    # masked full-cache product, and flash-attention eligible).
+    is_prefill = cache is None or (isinstance(cache_pos, int) and cache_pos == 0
+                                   and s > 1)
     if cache is not None:
-        k = jax.lax.dynamic_update_slice(cache["k"], k.astype(cache["k"].dtype), (0, cache_pos, 0, 0))
-        v = jax.lax.dynamic_update_slice(cache["v"], v.astype(cache["v"].dtype), (0, cache_pos, 0, 0))
-        new_cache = {"k": k, "v": v}
+        ck = jax.lax.dynamic_update_slice(cache["k"], k.astype(cache["k"].dtype), (0, cache_pos, 0, 0))
+        cv = jax.lax.dynamic_update_slice(cache["v"], v.astype(cache["v"].dtype), (0, cache_pos, 0, 0))
+        new_cache = {"k": ck, "v": cv}
     else:
         new_cache = None
 
-    attn_out = attention(q, k.astype(q.dtype), v.astype(q.dtype), mask, scale)
+    if is_prefill:
+        from ..ops.attention import flash_attention
+        attn_out = flash_attention(q, k.astype(q.dtype), v.astype(q.dtype),
+                                   scale, causal=True)
+    else:
+        k_all = new_cache["k"].astype(q.dtype)
+        v_all = new_cache["v"].astype(q.dtype)
+        attn_out = attention(q, k_all, v_all, mask, scale)
     attn_out = attn_out.reshape(b, s, cfg.q_dim)
     if want_taps:
         taps["attn.o"] = attn_out
