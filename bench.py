@@ -69,10 +69,12 @@ def main():
 
     backend = "pallas" if on_tpu else "reference"
     tps_dense = measure(cfg, "dense", "reference", batch, prompt, steps, max_seq)
+    tps_w8a8 = measure(cfg, "w8", "pallas_a8" if on_tpu else "reference",
+                       batch, prompt, steps, max_seq)
     tps_w8 = measure(cfg, "w8", backend, batch, prompt, steps, max_seq)
     tps_lut = measure(cfg, "lut", backend, batch, prompt, steps, max_seq)
 
-    best = max(tps_w8, tps_lut)
+    best = max(tps_w8, tps_lut, tps_w8a8)
     speedup = best / tps_dense
     print(json.dumps({
         "metric": "ganq_w4_decode_speedup_vs_bf16",
@@ -83,6 +85,7 @@ def main():
             "tokens_per_s_best": round(best, 1),
             "tokens_per_s_lut_exact": round(tps_lut, 1),
             "tokens_per_s_w8_recode": round(tps_w8, 1),
+            "tokens_per_s_w8a8_dynamic": round(tps_w8a8, 1),
             "tokens_per_s_bf16": round(tps_dense, 1),
             "reference_baseline": "GANQ paper Table 5: 2.11x W4 vs fp16 decode (RTX 4090)",
         },

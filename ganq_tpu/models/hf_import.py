@@ -59,6 +59,8 @@ def params_from_state_dict(state: Dict[str, np.ndarray], hf_config: Dict[str, An
                            dtype=jnp.float32) -> Tuple[ModelConfig, Dict[str, Any]]:
     """Convert a HF state dict (numpy arrays) into (ModelConfig, params)."""
     spec = get_spec(hf_config["model_type"])
+    if spec.convert_state is not None:
+        state = spec.convert_state(dict(state), hf_config)
     cfg = spec.make_config(hf_config)
     n_layers = cfg.num_hidden_layers
 

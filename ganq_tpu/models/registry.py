@@ -26,6 +26,10 @@ from .transformer import ModelConfig
 class ArchSpec:
     model_type: str
     make_config: Callable[[Dict[str, Any]], ModelConfig]
+    # optional state-dict preprocessor (e.g. gpt2 Conv1D transpose + c_attn
+    # split) applied before name mapping
+    convert_state: Optional[Callable[[Dict[str, Any], Dict[str, Any]],
+                                     Dict[str, Any]]] = None
     # state-dict templates; {i} = layer index
     name_map: Dict[str, str] = field(default_factory=dict)
     # quantization subsets in true_sequential order (reference layer_modules)
@@ -121,8 +125,8 @@ register(ArchSpec(
 ))
 
 # llama-family derivatives sharing the spec (qkv-bias etc. read from config)
-for _mt in ("mistral", "qwen2", "qwen3", "gemma", "yi", "internlm",
-            "stablelm", "phi3", "granite", "olmo2", "exaone", "deci",
+for _mt in ("mistral", "qwen2", "qwen3", "yi", "internlm",
+            "stablelm", "granite", "olmo2", "exaone", "deci",
             "instella", "telechat2", "longllama", "mobilellm"):
     register(ArchSpec(
         model_type=_mt,
@@ -153,6 +157,7 @@ def _opt_config(hf: Dict[str, Any]) -> ModelConfig:
         act=hf.get("activation_function", "relu"),
         gated_mlp=False,
         pos="learned",
+        pos_offset=2,
         attn_bias=hf.get("enable_bias", True),
         mlp_bias=hf.get("enable_bias", True),
         tie_word_embeddings=hf.get("tie_word_embeddings", True),
@@ -217,3 +222,131 @@ register(ArchSpec(
 
 
 __all__ = ["ArchSpec", "REGISTRY", "register", "get_spec"]
+
+
+# ---------------------------------------------------------------------- gemma
+def _gemma_config(hf: Dict[str, Any]) -> ModelConfig:
+    base = _llama_config(hf)
+    import dataclasses as _dc
+    return _dc.replace(
+        base,
+        model_type="gemma",
+        head_dim=hf.get("head_dim", 256),
+        rms_offset=1.0,                       # weight stored as (w - 1)
+        embed_scale=hf["hidden_size"] ** 0.5,  # normalizer baked into embed
+        act=hf.get("hidden_activation") or hf.get("hidden_act", "gelu_pytorch_tanh"),
+        tie_word_embeddings=True,
+    )
+
+
+register(ArchSpec(
+    model_type="gemma",
+    make_config=_gemma_config,
+    name_map=LLAMA_NAME_MAP,
+    layer_modules=LLAMA_LAYER_MODULES,
+    module_slots=LLAMA_SLOTS,
+))
+
+
+# ----------------------------------------------------------------------- gpt2
+def _gpt2_config(hf: Dict[str, Any]) -> ModelConfig:
+    h = hf["n_embd"]
+    heads = hf["n_head"]
+    return ModelConfig(
+        model_type="gpt2",
+        vocab_size=hf["vocab_size"],
+        hidden_size=h,
+        intermediate_size=hf.get("n_inner") or 4 * h,
+        num_hidden_layers=hf["n_layer"],
+        num_attention_heads=heads,
+        num_key_value_heads=heads,
+        head_dim=h // heads,
+        max_position_embeddings=hf.get("n_positions", 1024),
+        norm="layernorm",
+        norm_eps=hf.get("layer_norm_epsilon", 1e-5),
+        act=hf.get("activation_function", "gelu_new"),
+        gated_mlp=False,
+        pos="learned",
+        pos_offset=0,
+        attn_bias=True,
+        mlp_bias=True,
+        tie_word_embeddings=True,
+    )
+
+
+def _gpt2_convert_state(state: Dict[str, Any], hf: Dict[str, Any]) -> Dict[str, Any]:
+    """Transpose Conv1D weights ([in, out] storage) and split the fused
+    c_attn into q/k/v — normalizing to per-projection tensors."""
+    import numpy as _np
+
+    h = hf["n_embd"]
+    out: Dict[str, Any] = {}
+    for k, v in state.items():
+        v = _np.asarray(v)
+        if k.endswith("attn.c_attn.weight"):
+            w = v.T  # [3h, h]
+            base = k[: -len("c_attn.weight")]
+            out[base + "q_proj.weight"] = _np.ascontiguousarray(w[:h])
+            out[base + "k_proj.weight"] = _np.ascontiguousarray(w[h:2 * h])
+            out[base + "v_proj.weight"] = _np.ascontiguousarray(w[2 * h:])
+        elif k.endswith("attn.c_attn.bias"):
+            base = k[: -len("c_attn.bias")]
+            out[base + "q_proj.bias"] = _np.ascontiguousarray(v[:h])
+            out[base + "k_proj.bias"] = _np.ascontiguousarray(v[h:2 * h])
+            out[base + "v_proj.bias"] = _np.ascontiguousarray(v[2 * h:])
+        elif k.endswith((".c_proj.weight", ".c_fc.weight")):
+            out[k] = _np.ascontiguousarray(v.T)
+        else:
+            out[k] = v
+    return out
+
+
+GPT2_NAME_MAP = {
+    "embed_tokens.weight": "transformer.wte.weight",
+    "embed_positions.weight": "transformer.wpe.weight",
+    "final_norm.weight": "transformer.ln_f.weight",
+    "final_norm.bias": "transformer.ln_f.bias",
+    "lm_head.weight": "lm_head.weight",
+    "layers.{i}.input_norm.weight": "transformer.h.{i}.ln_1.weight",
+    "layers.{i}.input_norm.bias": "transformer.h.{i}.ln_1.bias",
+    "layers.{i}.post_norm.weight": "transformer.h.{i}.ln_2.weight",
+    "layers.{i}.post_norm.bias": "transformer.h.{i}.ln_2.bias",
+    "layers.{i}.attn.q.weight": "transformer.h.{i}.attn.q_proj.weight",
+    "layers.{i}.attn.k.weight": "transformer.h.{i}.attn.k_proj.weight",
+    "layers.{i}.attn.v.weight": "transformer.h.{i}.attn.v_proj.weight",
+    "layers.{i}.attn.o.weight": "transformer.h.{i}.attn.c_proj.weight",
+    "layers.{i}.attn.q.bias": "transformer.h.{i}.attn.q_proj.bias",
+    "layers.{i}.attn.k.bias": "transformer.h.{i}.attn.k_proj.bias",
+    "layers.{i}.attn.v.bias": "transformer.h.{i}.attn.v_proj.bias",
+    "layers.{i}.attn.o.bias": "transformer.h.{i}.attn.c_proj.bias",
+    "layers.{i}.mlp.up.weight": "transformer.h.{i}.mlp.c_fc.weight",
+    "layers.{i}.mlp.up.bias": "transformer.h.{i}.mlp.c_fc.bias",
+    "layers.{i}.mlp.down.weight": "transformer.h.{i}.mlp.c_proj.weight",
+    "layers.{i}.mlp.down.bias": "transformer.h.{i}.mlp.c_proj.bias",
+}
+
+GPT2_LAYER_MODULES = [
+    ["attn.q_proj", "attn.k_proj", "attn.v_proj"],
+    ["attn.c_proj"],
+    ["mlp.c_fc"],
+    ["mlp.c_proj"],
+]
+
+GPT2_SLOTS = {
+    "attn.q_proj": "attn.q",
+    "attn.k_proj": "attn.k",
+    "attn.v_proj": "attn.v",
+    "attn.c_proj": "attn.o",
+    "mlp.c_fc": "mlp.up",
+    "mlp.c_proj": "mlp.down",
+}
+
+register(ArchSpec(
+    model_type="gpt2",
+    make_config=_gpt2_config,
+    convert_state=_gpt2_convert_state,
+    name_map=GPT2_NAME_MAP,
+    layer_modules=GPT2_LAYER_MODULES,
+    module_slots=GPT2_SLOTS,
+    layers_prefix="transformer.h",
+))

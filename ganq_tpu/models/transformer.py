@@ -41,9 +41,12 @@ class ModelConfig:
 
     norm: str = "rmsnorm"             # rmsnorm | layernorm
     norm_eps: float = 1e-5
+    rms_offset: float = 0.0           # gemma: weight stored as (w - 1)
     act: str = "silu"                 # relu | gelu | silu (glu when gated_mlp)
     gated_mlp: bool = True
-    pos: str = "rope"                 # rope | learned (OPT, offset 2)
+    pos: str = "rope"                 # rope | learned
+    pos_offset: int = 0               # OPT bakes a +2 offset into the table
+    embed_scale: Optional[float] = None  # gemma: sqrt(hidden) multiplier
     rope_theta: float = 10000.0
     rope_scaling: Optional[Dict[str, Any]] = None
 
@@ -68,11 +71,13 @@ class ModelConfig:
 
 
 # --------------------------------------------------------------------- norms
-def apply_norm(np_: Dict[str, Any], x: jax.Array, kind: str, eps: float) -> jax.Array:
+def apply_norm(np_: Dict[str, Any], x: jax.Array, kind: str, eps: float,
+               offset: float = 0.0) -> jax.Array:
     xf = x.astype(jnp.float32)
     if kind == "rmsnorm":
         var = jnp.mean(xf * xf, axis=-1, keepdims=True)
-        y = xf * jax.lax.rsqrt(var + eps) * np_["weight"].astype(jnp.float32)
+        w = np_["weight"].astype(jnp.float32) + offset
+        y = xf * jax.lax.rsqrt(var + eps) * w
     else:
         mean = jnp.mean(xf, axis=-1, keepdims=True)
         var = jnp.var(xf, axis=-1, keepdims=True)
@@ -148,6 +153,8 @@ def _activation(x: jax.Array, act: str) -> jax.Array:
         return jax.nn.relu(x)
     if act == "gelu":
         return jax.nn.gelu(x, approximate=False)
+    if act in ("gelu_tanh", "gelu_new", "gelu_pytorch_tanh"):
+        return jax.nn.gelu(x, approximate=True)
     if act == "silu":
         return jax.nn.silu(x)
     raise ValueError(f"unknown activation {act}")
@@ -170,7 +177,7 @@ def layer_forward(cfg: ModelConfig, lp: Dict[str, Any], x: jax.Array,
     scale = cfg.attn_scale if cfg.attn_scale is not None else 1.0 / math.sqrt(cfg.head_dim)
 
     residual = x
-    h = apply_norm(lp["input_norm"], x, cfg.norm, cfg.norm_eps) if cfg.do_layer_norm_before else x
+    h = apply_norm(lp["input_norm"], x, cfg.norm, cfg.norm_eps, cfg.rms_offset) if cfg.do_layer_norm_before else x
     if want_taps:
         taps["attn.q"] = taps["attn.k"] = taps["attn.v"] = h
 
@@ -219,10 +226,10 @@ def layer_forward(cfg: ModelConfig, lp: Dict[str, Any], x: jax.Array,
     attn_out = qlinear.apply(lp["attn"]["o"], attn_out, backend)
     x = residual + attn_out
     if not cfg.do_layer_norm_before:
-        x = apply_norm(lp["input_norm"], x, cfg.norm, cfg.norm_eps)
+        x = apply_norm(lp["input_norm"], x, cfg.norm, cfg.norm_eps, cfg.rms_offset)
 
     residual = x
-    h = apply_norm(lp["post_norm"], x, cfg.norm, cfg.norm_eps) if cfg.do_layer_norm_before else x
+    h = apply_norm(lp["post_norm"], x, cfg.norm, cfg.norm_eps, cfg.rms_offset) if cfg.do_layer_norm_before else x
     if cfg.gated_mlp:
         if want_taps:
             taps["mlp.gate"] = taps["mlp.up"] = h
@@ -245,7 +252,7 @@ def layer_forward(cfg: ModelConfig, lp: Dict[str, Any], x: jax.Array,
         mlp_out = qlinear.apply(lp["mlp"]["down"], a, backend)
     x = residual + mlp_out
     if not cfg.do_layer_norm_before:
-        x = apply_norm(lp["post_norm"], x, cfg.norm, cfg.norm_eps)
+        x = apply_norm(lp["post_norm"], x, cfg.norm, cfg.norm_eps, cfg.rms_offset)
 
     return x, new_cache, taps
 
@@ -254,17 +261,18 @@ def layer_forward(cfg: ModelConfig, lp: Dict[str, Any], x: jax.Array,
 def embed(cfg: ModelConfig, params: Dict[str, Any], input_ids: jax.Array,
           positions: jax.Array) -> jax.Array:
     x = params["embed_tokens"]["weight"][input_ids]
+    if cfg.embed_scale is not None:
+        x = x * jnp.asarray(cfg.embed_scale, x.dtype)
     if "project_in" in params:
         x = qlinear.apply(params["project_in"], x)
     if cfg.pos == "learned":
-        # OPT: learned positions with a +2 offset baked into the table
-        x = x + params["embed_positions"]["weight"][positions + 2]
+        x = x + params["embed_positions"]["weight"][positions + cfg.pos_offset]
     return x
 
 
 def unembed(cfg: ModelConfig, params: Dict[str, Any], x: jax.Array) -> jax.Array:
     if cfg.final_layer_norm and "final_norm" in params:
-        x = apply_norm(params["final_norm"], x, cfg.norm, cfg.norm_eps)
+        x = apply_norm(params["final_norm"], x, cfg.norm, cfg.norm_eps, cfg.rms_offset)
     if "project_out" in params:
         x = qlinear.apply(params["project_out"], x)
     lm = params.get("lm_head")

@@ -159,12 +159,15 @@ def apply(p: QLinear, x: jax.Array, backend: str = "reference") -> jax.Array:
     elif backend == "reference":
         w = dequantize_weight(p)
         y = jnp.dot(x, w.T.astype(x.dtype))
-    elif backend == "pallas":
+    elif backend in ("pallas", "pallas_a8"):
         from . import lut_matmul, uniform_matmul, w8_matmul
         if p.kind == "lut":
             y = lut_matmul.lut_matmul(x, p["lut"], p["idx_packed"], p.bits)
         elif p.kind == "w8":
-            y = w8_matmul.w8_matmul(x, p["w8"], p["scale"])
+            if backend == "pallas_a8":
+                y = w8_matmul.w8a8_matmul(x, p["w8"], p["scale"])
+            else:
+                y = w8_matmul.w8_matmul(x, p["w8"], p["scale"])
         else:
             y = uniform_matmul.uniform_matmul(
                 x, p["qweight"], p["scales"], p["zeros"], p["g_idx"], p.bits)

@@ -92,4 +92,61 @@ def w8_matmul(x: jax.Array, w8: jax.Array, scale: jax.Array,
     return out.reshape(*orig_shape[:-1], M)
 
 
-__all__ = ["w8_matmul", "recode_lut_to_int8"]
+def _w8a8_kernel(x_ref, w8_ref, s_ref, o_ref):
+    """Dynamic per-token int8 activation quantization + int8xint8 MXU matmul.
+
+    Dequant cost collapses from O(M*K) to O(B*K + B*M): the weight matrix
+    feeds the MXU as stored int8; per-token activation scales and per-row
+    weight scales apply to the [B, M] output."""
+    x = x_ref[:].astype(jnp.float32)                       # [TB, K]
+    sx = jnp.max(jnp.abs(x), axis=1, keepdims=True) / 127.0
+    sx = jnp.maximum(sx, 1e-12)
+    x8 = jnp.clip(jnp.round(x / sx), -127, 127).astype(jnp.int8)
+    acc = jax.lax.dot_general(
+        x8, w8_ref[:], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32)                  # [TB, TM]
+    out = acc.astype(jnp.float32) * sx * s_ref[:][:, 0][None, :]
+    o_ref[:] = out.astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("block_b", "block_m"))
+def w8a8_matmul(x: jax.Array, w8: jax.Array, scale: jax.Array,
+                block_b: int = 256, block_m: int = 512) -> jax.Array:
+    """W8A8-dynamic matmul: x [..., K] -> [..., M]. Activation int8 error is
+    bounded by rowmax/254 per element (validated in tests)."""
+    orig_shape = x.shape
+    K = x.shape[-1]
+    M, Kp = w8.shape
+    tm = _pick_tile(M, (block_m, 512, 256, 128, 64, 32))
+    if M % tm or Kp < K or (Kp % 128 and M > 8):
+        w = w8.astype(jnp.float32) * scale
+        return jnp.dot(x, w[:, :K].T.astype(x.dtype)).reshape(*orig_shape[:-1], M)
+
+    x2 = x.reshape(-1, K)
+    if Kp != K:
+        x2 = jnp.pad(x2, ((0, 0), (0, Kp - K)))
+    B = x2.shape[0]
+    tb = _pick_tile(B, (block_b, 128, 64, 32, 16, 8, 4, 2, 1))
+
+    out = pl.pallas_call(
+        _w8a8_kernel,
+        grid=(B // tb, M // tm),
+        in_specs=[
+            pl.BlockSpec((tb, Kp), lambda b, m: (b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tm, Kp), lambda b, m: (m, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tm, 1), lambda b, m: (m, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tb, tm), lambda b, m: (b, m), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, M), x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel")),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * M * Kp,
+            bytes_accessed=B * Kp * x.dtype.itemsize + M * Kp,
+            transcendentals=0,
+        ),
+    )(x2, w8, scale)
+    return out.reshape(*orig_shape[:-1], M)
+
+
+__all__ = ["w8_matmul", "w8a8_matmul", "recode_lut_to_int8"]

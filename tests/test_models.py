@@ -102,3 +102,37 @@ def test_taps_shapes(rng):
     assert taps["attn.q"].shape == (2, 8, 32)
     assert taps["mlp.down"].shape == (2, 8, 64)
     assert y.shape == x.shape
+
+
+def test_gpt2_forward_parity(rng):
+    hf_cfg = transformers.GPT2Config(
+        vocab_size=256, n_embd=64, n_layer=2, n_head=4, n_positions=128,
+        n_inner=128, activation_function="gelu_new",
+        attn_pdrop=0.0, embd_pdrop=0.0, resid_pdrop=0.0)
+    torch.manual_seed(5)
+    model = transformers.GPT2LMHeadModel(hf_cfg)
+    ids = rng.integers(0, 256, size=(2, 24))
+    _compare(model, ids)
+
+
+def test_gemma_forward_parity(rng):
+    hf_cfg = transformers.GemmaConfig(
+        vocab_size=256, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=16, max_position_embeddings=128,
+        hidden_activation="gelu_pytorch_tanh")
+    torch.manual_seed(6)
+    model = transformers.GemmaForCausalLM(hf_cfg)
+    ids = rng.integers(0, 256, size=(1, 16))
+    _compare(model, ids)
+
+
+def test_qwen2_forward_parity(rng):
+    hf_cfg = transformers.Qwen2Config(
+        vocab_size=256, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=128)
+    torch.manual_seed(7)
+    model = transformers.Qwen2ForCausalLM(hf_cfg)
+    ids = rng.integers(0, 256, size=(2, 16))
+    _compare(model, ids)

@@ -53,3 +53,17 @@ def test_recode_passthrough_non_lut(rng):
     w = jnp.asarray(rng.normal(size=(8, 16)).astype(np.float32))
     d = qlinear.dense_linear(w)
     assert qlinear.recode_w8(d) is d
+
+
+def test_w8a8_matmul_parity(rng):
+    from ganq_tpu.ops.w8_matmul import w8a8_matmul
+    ql = qlinear.recode_w8(make_lut_linear(rng, M=128, K=256))
+    x = jnp.asarray(rng.normal(size=(8, 256)).astype(np.float32))
+    ref = np.asarray(jnp.dot(x, qlinear.dequantize_weight(ql).T))
+    import os
+    ctx = pltpu.force_tpu_interpret_mode() if not os.environ.get("GANQ_TPU_TEST_TPU") else _null()
+    with ctx:
+        out = np.asarray(w8a8_matmul(x, ql["w8"], ql["scale"]))
+    # activation int8 adds ~0.4% relative error per row
+    denom = np.abs(ref).max()
+    assert np.abs(out - ref).max() / denom < 0.02
