@@ -37,13 +37,11 @@ def measure(cfg, kind, backend, batch, prompt_len, steps, max_seq, reps=3):
         ck, cv = stacked.init_cache(cfg, cfg.num_hidden_layers, batch, max_seq)
         return stacked.greedy_decode(cfg, sp, ck, cv, ids, steps, backend)
 
-    out = run()
-    jax.block_until_ready(out)  # compile + warm
+    np.asarray(run())  # compile + warm (host fetch = reliable barrier here)
     best = float("inf")
     for _ in range(reps):
         t0 = time.perf_counter()
-        out = run()
-        jax.block_until_ready(out)
+        np.asarray(run())
         best = min(best, time.perf_counter() - t0)
     del sp
     gc.collect()

@@ -176,9 +176,20 @@ def ganq_quantize(W: jax.Array, H: jax.Array, qcfg: QuantizeConfig,
     Hd = prep.Xxt_damped
     WH = jnp.dot(prep.W, Hd, precision=HIGH)  # constant across iterations
 
+    # fused Pallas S-step on TPU when the row block fits VMEM
+    use_pallas = qcfg.solver_backend == "pallas" or (
+        qcfg.solver_backend == "auto" and jax.default_backend() != "cpu")
+    if use_pallas:
+        from ..ops.ganq_solver import s_step_fits, s_step_pallas
+        use_pallas = s_step_fits(m, n)
+
     best = (float("inf"), T, None)
     for _ in range(qcfg.ganq_iterations):
-        Q, _werr = s_step(prep.W, prep.L, T)
+        if use_pallas:
+            from ..ops.ganq_solver import s_step_pallas
+            Q, _werr = s_step_pallas(prep.W, prep.L, T)
+        else:
+            Q, _werr = s_step(prep.W, prep.L, T)
         T = t_step(WH, Hd, Q, k)
         Wq = jnp.take_along_axis(T, Q, axis=1)
         dist = float(quad_loss(prep.W, Wq, Hd))

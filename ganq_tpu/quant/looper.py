@@ -122,6 +122,53 @@ def _quantize_one(W: jax.Array, H: jax.Array, eff_cfg: QuantizeConfig,
     return r.Q, art, r.avg_loss, r.damp_used
 
 
+def _save_layer_state(resume_dir: str, li: int, layer_arts: Dict[str, "QuantizedModule"],
+                      layer_weights: Dict[str, np.ndarray]) -> None:
+    import os
+    os.makedirs(resume_dir, exist_ok=True)
+    blobs: Dict[str, np.ndarray] = {}
+    for name, art in layer_arts.items():
+        blobs[f"{name}::method"] = np.asarray(str(art.method))
+        blobs[f"{name}::bits"] = np.asarray(art.bits)
+        blobs[f"{name}::group_size"] = np.asarray(art.group_size)
+        for f in ("lut", "idx", "qidx", "scale", "zero", "g_idx",
+                  "lora_a", "lora_b"):
+            v = getattr(art, f)
+            if v is not None:
+                blobs[f"{name}::{f}"] = np.asarray(v)
+    for slot, w in layer_weights.items():
+        blobs[f"__w__::{slot}"] = np.asarray(w)
+    # np.savez force-appends .npz — keep the temp name compliant
+    tmp = os.path.join(resume_dir, f"layer_{li}.tmp.npz")
+    np.savez(tmp, **blobs)
+    os.replace(tmp, os.path.join(resume_dir, f"layer_{li}.npz"))
+
+
+def _load_layer_state(resume_dir: str, li: int):
+    import os
+    path = os.path.join(resume_dir, f"layer_{li}.npz")
+    if not os.path.isfile(path):
+        return None
+    data = np.load(path, allow_pickle=False)
+    arts: Dict[str, QuantizedModule] = {}
+    weights: Dict[str, np.ndarray] = {}
+    fields: Dict[str, Dict[str, Any]] = {}
+    for key in data.files:
+        name, f = key.split("::", 1)
+        if name == "__w__":
+            weights[f] = data[key]
+        else:
+            fields.setdefault(name, {})[f] = data[key]
+    for name, fd in fields.items():
+        arts[name] = QuantizedModule(
+            method=QUANT_METHOD(str(fd["method"])),
+            bits=int(fd["bits"]), group_size=int(fd["group_size"]),
+            **{f: jnp.asarray(fd[f]) for f in
+               ("lut", "idx", "qidx", "scale", "zero", "g_idx",
+                "lora_a", "lora_b") if f in fd})
+    return arts, weights
+
+
 def quantize_model(
     cfg: ModelConfig,
     params: Dict[str, Any],
@@ -129,10 +176,14 @@ def quantize_model(
     qcfg: QuantizeConfig,
     calib_batches: Sequence[np.ndarray],
     codebook_init_fn=None,
+    resume_dir: Optional[str] = None,
 ) -> QuantizeOutput:
     """Quantize every layer's linears in place (fake-quant) and collect artifacts.
 
     ``calib_batches``: sequence of int32 [batch, seq] token-id arrays.
+    ``resume_dir``: when set, per-layer results are checkpointed there and a
+    crashed run resumes after the last completed layer (the reference
+    restarts from scratch, SURVEY.md §5.4).
     """
     n_layers = cfg.num_hidden_layers
     subsets: List[List[str]] = spec.layer_modules
@@ -159,6 +210,24 @@ def quantize_model(
     for li in range(n_layers):
         lp = params["layers"][li]
         t_layer = time.perf_counter()
+
+        if resume_dir is not None:
+            restored = _load_layer_state(resume_dir, li)
+            if restored is not None:
+                layer_arts, layer_weights = restored
+                artifacts.update(layer_arts)
+                for slot, w in layer_weights.items():
+                    lin = hf_import.get_module(params, li, slot)
+                    lin["weight"] = jnp.asarray(w, lin["weight"].dtype)
+                acts = [
+                    _layer_fwd(cfg, lp, x, mask, rope, False)[0]
+                    for x, mask, rope in zip(acts, masks, ropes)
+                ]
+                log.info(f"layer {li}: restored from {resume_dir}")
+                continue
+
+        layer_arts: Dict[str, QuantizedModule] = {}
+        layer_weights: Dict[str, np.ndarray] = {}
         for subset in subsets:
             # resolve modules that are quantizable under dynamic rules
             todo: List[Tuple[str, str, QuantizeConfig]] = []  # (module_name, slot, cfg)
@@ -206,12 +275,17 @@ def quantize_model(
                     Wq = Wq + jnp.dot(B, A, precision=jax.lax.Precision.HIGHEST)
                 lin["weight"] = Wq.astype(W.dtype)
                 artifacts[full] = art
+                layer_arts[full] = art
+                layer_weights[slot] = np.asarray(lin["weight"])
                 dur = time.perf_counter() - t0
                 qlog.append(ModuleQuantLog(
                     layer=li, module=mod, method=str(eff.quant_method),
                     loss=avg_loss, damp=damp, duration=dur))
                 log.info(f"layer {li:3d} {mod:22s} loss={avg_loss:10.4f} "
                          f"damp={damp:.4f} time={dur:5.1f}s")
+
+        if resume_dir is not None:
+            _save_layer_state(resume_dir, li, layer_arts, layer_weights)
 
         # re-forward to produce next layer's inputs (quantized outputs)
         new_acts = []

@@ -35,11 +35,12 @@ def time_fn(fn: Callable, *args, iters: int = 100, warmup: int = 1) -> float:
         _, acc = jax.lax.fori_loop(0, iters, body, (x0, jnp.float32(0)))
         return acc
 
-    out = looped(*args)
-    jax.block_until_ready(out)  # compile + warm
+    # note: on this environment's tunneled TPU platform block_until_ready
+    # can return before execution completes; fetching the scalar result to
+    # the host is the only reliable completion barrier
+    float(looped(*args))  # compile + warm
     t0 = time.perf_counter()
-    out = looped(*args)
-    jax.block_until_ready(out)
+    out = float(looped(*args))
     return (time.perf_counter() - t0) / iters
 
 

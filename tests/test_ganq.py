@@ -128,3 +128,29 @@ def test_ganq_gptq_l_damp_style(rng):
     res = ganq_quantize(W, H, cfg, nsamples)
     assert np.isfinite(res.quad_loss)
     assert np.all(np.isfinite(np.asarray(res.Q)))
+
+
+def test_s_step_pallas_matches_scan(rng):
+    """Fused Pallas S-step vs the lax.scan implementation: exact index
+    parity (the reference's kernel-vs-loop test discipline,
+    tests/test_ganq_solve_s_kernel.py)."""
+    import os
+    from jax.experimental.pallas import tpu as pltpu
+    from ganq_tpu.ops.ganq_solver import s_step_pallas, s_step_fits
+
+    m, n = 128, 256
+    W = rng.normal(size=(m, n)).astype(np.float32)
+    _, L = random_chol(rng, n)
+    T = np.sort(rng.normal(size=(m, 16)).astype(np.float32), axis=1)
+    assert s_step_fits(m, n)
+
+    Qref, Werr_ref = s_step(W, L, T)
+    if os.environ.get("GANQ_TPU_TEST_TPU"):
+        Q, Werr = s_step_pallas(W, L, T)
+    else:
+        with pltpu.force_tpu_interpret_mode():
+            Q, Werr = s_step_pallas(W, L, T)
+    agree = np.mean(np.asarray(Q) == np.asarray(Qref))
+    assert agree > 0.999, f"pallas S-step agreement {agree}"
+    np.testing.assert_allclose(np.asarray(Werr), np.asarray(Werr_ref),
+                               rtol=1e-4, atol=1e-4)

@@ -140,3 +140,36 @@ def test_quantized_ppl_delta_small(rng):
     ppl_q = fixed_stride_ppl(fwd, out.params, tokens, seqlen=128)
     # random-init models sit near ppl≈vocab; quantization must not blow it up
     assert ppl_q < ppl_fp * 1.15, (ppl_fp, ppl_q)
+
+
+def test_resume_mid_quantization(rng, tmp_path):
+    """Per-layer checkpointing: a second run restores completed layers and
+    produces identical artifacts (net-new vs the reference, SURVEY.md 5.4)."""
+    model = tiny_llama(9)
+    cfg, p1 = hf_import.params_from_torch_model(model)
+    _, p2 = hf_import.params_from_torch_model(model)
+    spec = get_spec("llama")
+    batches = calib(rng, n=2)
+    qcfg = QuantizeConfig(bits=4, quant_method="ganq", ganq_iterations=1,
+                          act_sort="asc", l_damp_style="ganq", dead="mean")
+    d = str(tmp_path / "resume")
+
+    out1 = quantize_model(cfg, p1, spec, qcfg, batches, resume_dir=d)
+    import os
+    assert os.path.isfile(os.path.join(d, "layer_0.npz"))
+    assert os.path.isfile(os.path.join(d, "layer_1.npz"))
+
+    # second run must restore every layer (no re-solving) and agree exactly
+    out2 = quantize_model(cfg, p2, spec, qcfg, batches, resume_dir=d)
+    assert len(out2.log) == 0  # nothing re-quantized
+    for name in out1.artifacts:
+        a, b = out1.artifacts[name], out2.artifacts[name]
+        np.testing.assert_array_equal(np.asarray(a.idx), np.asarray(b.idx))
+        np.testing.assert_allclose(np.asarray(a.lut), np.asarray(b.lut),
+                                   rtol=1e-6)
+    ids = rng.integers(0, 512, size=(1, 32))
+    import jax.numpy as jnp
+    from ganq_tpu.models import transformer
+    x1 = np.asarray(transformer.forward(cfg, out1.params, jnp.asarray(ids)))
+    x2 = np.asarray(transformer.forward(cfg, out2.params, jnp.asarray(ids)))
+    np.testing.assert_allclose(x1, x2, atol=1e-5)
