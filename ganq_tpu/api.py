@@ -17,6 +17,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from .core.backend import BACKEND, select_backend
 from .core.config import FORMAT, QUANT_METHOD, QuantizeConfig
 from .formats import checkpoint
 from .models import hf_import
@@ -58,7 +59,10 @@ class GanqModel:
         self.model_dir = model_dir
         self.quantized = quantized
         self._quant_output: Optional[QuantizeOutput] = None
-        self.backend = _default_backend()
+        if quantized:
+            self.backend = str(select_backend(params))
+        else:
+            self.backend = _default_backend()
 
     # ------------------------------------------------------------------ load
     @classmethod
@@ -188,6 +192,29 @@ class GanqModel:
         fwd = lambda p, ids: forward(self.cfg, p, ids, backend=self.backend)
         return fixed_stride_ppl(fwd, self.params, tokens, seqlen=seqlen,
                                 limit=limit)
+
+    # -------------------------------------------------------------- optimize
+    def optimize(self, recode: str = "w8") -> "GanqModel":
+        """Pick the fastest serving path (the reference's ``model.optimize()``
+        torch.compile analog, base.py:1240-1276): optionally recode LUT
+        modules to the int8 MXU path, then auto-select the kernel backend."""
+        if recode == "w8":
+            from .ops.qlinear import QLinear, recode_w8
+
+            def walk(node):
+                if isinstance(node, dict):
+                    for k, v in node.items():
+                        if isinstance(v, QLinear):
+                            node[k] = recode_w8(v)
+                        else:
+                            walk(v)
+                elif isinstance(node, list):
+                    for v in node:
+                        walk(v)
+
+            walk(self.params)
+        self.backend = str(select_backend(self.params))
+        return self
 
     # ----------------------------------------------------------------- serve
     def serve(self, host: str = "127.0.0.1", port: int = 8000, **kw):

@@ -118,3 +118,27 @@ def test_openai_server(rng):
             assert e.code == 400
     finally:
         srv.shutdown()
+
+
+def test_backend_selection_and_optimize(rng, tmp_path):
+    from ganq_tpu.core.backend import BACKEND, select_backend, validate_backend
+
+    qcfg = QuantizeConfig(bits=4, quant_method="ganq", ganq_iterations=1,
+                          act_sort="asc", l_damp_style="ganq", dead="mean")
+    m = GanqModel.from_torch_model(tiny_model(8), qcfg)
+    m.quantize([rng.integers(1, 256, size=(32,)).astype(np.int32)
+                for _ in range(2)])
+    d = str(tmp_path / "q")
+    m.save(d)
+    m2 = GanqModel.load(d)
+    # on CPU the auto selection lands on the reference oracle
+    assert m2.backend == "reference"
+    # pinning a TPU-only backend off-TPU raises with the reason
+    import pytest as _pt
+    with _pt.raises(ValueError, match="requires a TPU"):
+        select_backend(m2.params, BACKEND.PALLAS, on_tpu=False)
+    # on a TPU the lut model validates for the fused pallas path
+    assert validate_backend(BACKEND.PALLAS, m2.params, on_tpu=True) is None
+    # recode makes the int8 MXU path eligible
+    m2.optimize()
+    assert validate_backend(BACKEND.PALLAS_A8, m2.params, on_tpu=True) is None
