@@ -105,7 +105,7 @@ class GanqModel:
             raise RuntimeError("model is already quantized")
         qcfg = self.qcfg or QuantizeConfig()
         self.qcfg = qcfg
-        spec = get_spec(self.cfg.model_type)
+        spec = get_spec(self.cfg.model_type).expand(self.cfg.num_experts)
         batches = prepare_dataset(calibration_dataset, self.tokenizer,
                                   batch_size, calibration_concat_size)
         out = quantize_model(self.cfg, self.params, spec, qcfg, batches)

@@ -57,6 +57,7 @@ def save_quantized(save_dir: str, hf_config: Dict[str, Any], qcfg: QuantizeConfi
     """Write a self-contained quantized checkpoint directory."""
     spec = get_spec(hf_config["model_type"])
     cfg = spec.make_config(hf_config)
+    spec = spec.expand(cfg.num_experts)
     os.makedirs(save_dir, exist_ok=True)
 
     state: Dict[str, np.ndarray] = {}
@@ -231,6 +232,7 @@ def load_quantized(model_dir: str, verify_hash: Optional[Dict[str, str]] = None
     qcfg = QuantizeConfig.from_pretrained(model_dir)
     spec = get_spec(hf_config["model_type"])
     cfg = spec.make_config(hf_config)
+    spec = spec.expand(cfg.num_experts)
 
     if verify_hash:
         for fname, expected in verify_hash.items():

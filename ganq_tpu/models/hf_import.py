@@ -49,9 +49,15 @@ def _set_nested(params: Dict[str, Any], dotted: str, value) -> None:
 def _get_nested(params: Dict[str, Any], dotted: str, default=None):
     cur = params
     for p in dotted.split("."):
-        if not isinstance(cur, dict) or p not in cur:
+        if isinstance(cur, list):
+            try:
+                cur = cur[int(p)]
+            except (ValueError, IndexError):
+                return default
+        elif isinstance(cur, dict) and p in cur:
+            cur = cur[p]
+        else:
             return default
-        cur = cur[p]
     return cur
 
 
@@ -62,6 +68,7 @@ def params_from_state_dict(state: Dict[str, np.ndarray], hf_config: Dict[str, An
     if spec.convert_state is not None:
         state = spec.convert_state(dict(state), hf_config)
     cfg = spec.make_config(hf_config)
+    spec = spec.expand(cfg.num_experts)
     n_layers = cfg.num_hidden_layers
 
     raw: Dict[str, Any] = {"layers": {}}
@@ -108,11 +115,22 @@ def params_from_state_dict(state: Dict[str, np.ndarray], hf_config: Dict[str, An
             "attn": {k: to_linear(rl.get("attn", {}).get(k))
                      for k in ("q", "k", "v", "o")},
         }
-        mlp = {}
-        for k in ("gate", "up", "down"):
-            if k in rl.get("mlp", {}):
-                mlp[k] = to_linear(rl["mlp"][k])
-        lp["mlp"] = mlp
+        if "moe" in rl:
+            experts_raw = rl["moe"].get("experts", {})
+            experts = []
+            for e in range(cfg.num_experts):
+                ed = experts_raw.get(str(e), {})
+                experts.append({k: to_linear(ed.get(k))
+                                for k in ("gate", "up", "down")})
+            lp["moe"] = {"router": to_linear(rl["moe"].get("router")),
+                         "experts": experts}
+            lp["mlp"] = {}
+        else:
+            mlp = {}
+            for k in ("gate", "up", "down"):
+                if k in rl.get("mlp", {}):
+                    mlp[k] = to_linear(rl["mlp"][k])
+            lp["mlp"] = mlp
         params["layers"].append(lp)
 
     return cfg, params
@@ -142,8 +160,11 @@ def set_module(params: Dict[str, Any], layer_idx: int, slot: str, value) -> None
     parts = slot.split(".")
     cur = params["layers"][layer_idx]
     for p in parts[:-1]:
-        cur = cur[p]
-    cur[parts[-1]] = value
+        cur = cur[int(p)] if isinstance(cur, list) else cur[p]
+    if isinstance(cur, list):
+        cur[int(parts[-1])] = value
+    else:
+        cur[parts[-1]] = value
 
 
 __all__ = ["params_from_state_dict", "params_from_dir", "params_from_torch_model",

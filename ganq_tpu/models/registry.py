@@ -39,6 +39,42 @@ class ArchSpec:
     lm_head_name: str = "lm_head"
     layers_prefix: str = "model.layers"
 
+    def expand(self, num_experts: int) -> "ArchSpec":
+        """Instantiate {e} expert templates (the reference's
+        get_moe_layer_modules / EXPERT_INDEX_PLACEHOLDER expansion,
+        utils/model.py:938-950)."""
+        if num_experts <= 0 or not any("{e}" in m for sub in self.layer_modules
+                                       for m in sub):
+            return self
+        import dataclasses as _dc
+        name_map = {}
+        for ours, theirs in self.name_map.items():
+            if "{e}" in ours:
+                for e in range(num_experts):
+                    name_map[ours.replace("{e}", str(e))] =                         theirs.replace("{e}", str(e))
+            else:
+                name_map[ours] = theirs
+        layer_modules = []
+        for sub in self.layer_modules:
+            exp_sub = []
+            for m in sub:
+                if "{e}" in m:
+                    exp_sub.extend(m.replace("{e}", str(e))
+                                   for e in range(num_experts))
+                else:
+                    exp_sub.append(m)
+            layer_modules.append(exp_sub)
+        module_slots = {}
+        for m, slot in self.module_slots.items():
+            if "{e}" in m:
+                for e in range(num_experts):
+                    module_slots[m.replace("{e}", str(e))] =                         slot.replace("{e}", str(e))
+            else:
+                module_slots[m] = slot
+        return _dc.replace(self, name_map=name_map,
+                           layer_modules=layer_modules,
+                           module_slots=module_slots)
+
 
 REGISTRY: Dict[str, ArchSpec] = {}
 
@@ -349,4 +385,61 @@ register(ArchSpec(
     layer_modules=GPT2_LAYER_MODULES,
     module_slots=GPT2_SLOTS,
     layers_prefix="transformer.h",
+))
+
+
+# -------------------------------------------------------------------- mixtral
+def _mixtral_config(hf: Dict[str, Any]) -> ModelConfig:
+    base = _llama_config(hf)
+    import dataclasses as _dc
+    return _dc.replace(
+        base, model_type="mixtral",
+        num_experts=hf.get("num_local_experts", 8),
+        num_experts_per_tok=hf.get("num_experts_per_tok", 2))
+
+
+MIXTRAL_NAME_MAP = {
+    "embed_tokens.weight": "model.embed_tokens.weight",
+    "final_norm.weight": "model.norm.weight",
+    "lm_head.weight": "lm_head.weight",
+    "layers.{i}.input_norm.weight": "model.layers.{i}.input_layernorm.weight",
+    "layers.{i}.post_norm.weight": "model.layers.{i}.post_attention_layernorm.weight",
+    "layers.{i}.attn.q.weight": "model.layers.{i}.self_attn.q_proj.weight",
+    "layers.{i}.attn.k.weight": "model.layers.{i}.self_attn.k_proj.weight",
+    "layers.{i}.attn.v.weight": "model.layers.{i}.self_attn.v_proj.weight",
+    "layers.{i}.attn.o.weight": "model.layers.{i}.self_attn.o_proj.weight",
+    "layers.{i}.moe.router.weight": "model.layers.{i}.block_sparse_moe.gate.weight",
+    "layers.{i}.moe.experts.{e}.gate.weight":
+        "model.layers.{i}.block_sparse_moe.experts.{e}.w1.weight",
+    "layers.{i}.moe.experts.{e}.down.weight":
+        "model.layers.{i}.block_sparse_moe.experts.{e}.w2.weight",
+    "layers.{i}.moe.experts.{e}.up.weight":
+        "model.layers.{i}.block_sparse_moe.experts.{e}.w3.weight",
+}
+
+# router stays dense (tiny, accuracy-critical) — reference mixtral.py quantizes
+# only experts w1/w3/w2
+MIXTRAL_LAYER_MODULES = [
+    ["self_attn.q_proj", "self_attn.k_proj", "self_attn.v_proj"],
+    ["self_attn.o_proj"],
+    ["block_sparse_moe.experts.{e}.w1", "block_sparse_moe.experts.{e}.w3"],
+    ["block_sparse_moe.experts.{e}.w2"],
+]
+
+MIXTRAL_SLOTS = {
+    "self_attn.q_proj": "attn.q",
+    "self_attn.k_proj": "attn.k",
+    "self_attn.v_proj": "attn.v",
+    "self_attn.o_proj": "attn.o",
+    "block_sparse_moe.experts.{e}.w1": "moe.experts.{e}.gate",
+    "block_sparse_moe.experts.{e}.w3": "moe.experts.{e}.up",
+    "block_sparse_moe.experts.{e}.w2": "moe.experts.{e}.down",
+}
+
+register(ArchSpec(
+    model_type="mixtral",
+    make_config=_mixtral_config,
+    name_map=MIXTRAL_NAME_MAP,
+    layer_modules=MIXTRAL_LAYER_MODULES,
+    module_slots=MIXTRAL_SLOTS,
 ))

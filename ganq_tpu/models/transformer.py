@@ -61,6 +61,10 @@ class ModelConfig:
 
     attn_scale: Optional[float] = None  # default 1/sqrt(head_dim)
 
+    # MoE (mixtral-family)
+    num_experts: int = 0               # 0 = dense mlp
+    num_experts_per_tok: int = 2
+
     @property
     def q_dim(self) -> int:
         return self.num_attention_heads * self.head_dim
@@ -160,6 +164,42 @@ def _activation(x: jax.Array, act: str) -> jax.Array:
     raise ValueError(f"unknown activation {act}")
 
 
+def _moe_forward(cfg: ModelConfig, moe: Dict[str, Any], h: jax.Array,
+                 taps: Optional[Dict[str, jax.Array]], backend: str) -> jax.Array:
+    """Mixtral-style sparse MoE, dense formulation: every expert runs on all
+    tokens with zeroed routing weights for non-selected tokens (static shapes,
+    no gather/scatter; compute waste E/k is the classic TPU trade at small E).
+
+    Taps per expert are the routing-masked inputs: zero rows add nothing to
+    the Hessian sum, so per-expert H matches the reference's hook capture of
+    routed tokens (module_looper.py:333-343 semantics incl. the
+    no-activation-expert case)."""
+    router_logits = qlinear.apply(moe["router"], h, backend)     # [b, s, E]
+    E = cfg.num_experts
+    k = cfg.num_experts_per_tok
+    probs = jax.nn.softmax(router_logits.astype(jnp.float32), axis=-1)
+    topv, _ = jax.lax.top_k(probs, k)
+    thresh = topv[..., -1:]
+    sel = probs >= thresh                                        # [b, s, E]
+    gated = jnp.where(sel, probs, 0.0)
+    gated = gated / jnp.maximum(jnp.sum(gated, axis=-1, keepdims=True), 1e-9)
+
+    out = jnp.zeros_like(h)
+    for e, exp in enumerate(moe["experts"]):
+        w_e = gated[..., e:e + 1].astype(h.dtype)                # [b, s, 1]
+        x_e = h * (sel[..., e:e + 1]).astype(h.dtype)
+        if taps is not None:
+            taps[f"moe.experts.{e}.gate"] = x_e
+            taps[f"moe.experts.{e}.up"] = x_e
+        g = qlinear.apply(exp["gate"], x_e, backend)
+        u = qlinear.apply(exp["up"], x_e, backend)
+        a = _activation(g, cfg.act) * u
+        if taps is not None:
+            taps[f"moe.experts.{e}.down"] = a * (sel[..., e:e + 1]).astype(a.dtype)
+        out = out + w_e * qlinear.apply(exp["down"], a, backend)
+    return out
+
+
 def layer_forward(cfg: ModelConfig, lp: Dict[str, Any], x: jax.Array,
                   mask: Optional[jax.Array],
                   rope: Optional[Tuple[jax.Array, jax.Array]] = None,
@@ -230,7 +270,10 @@ def layer_forward(cfg: ModelConfig, lp: Dict[str, Any], x: jax.Array,
 
     residual = x
     h = apply_norm(lp["post_norm"], x, cfg.norm, cfg.norm_eps, cfg.rms_offset) if cfg.do_layer_norm_before else x
-    if cfg.gated_mlp:
+    if "moe" in lp:
+        mlp_out = _moe_forward(cfg, lp["moe"], h, taps if want_taps else None,
+                               backend)
+    elif cfg.gated_mlp:
         if want_taps:
             taps["mlp.gate"] = taps["mlp.up"] = h
         if "gateup" in lp["mlp"]:

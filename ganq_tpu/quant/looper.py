@@ -257,6 +257,12 @@ def quantize_model(
 
             # solve each module
             for mod, slot, eff in todo:
+                # MoE experts with no routed calibration tokens have an
+                # all-zero Hessian — skip them like the reference
+                # (module_looper.py:333-343)
+                if float(jnp.sum(jnp.abs(jnp.diagonal(H_by_slot[slot])))) == 0.0:
+                    log.warning(f"layer {li}: {mod} saw no activations; skipped")
+                    continue
                 t0 = time.perf_counter()
                 lin = hf_import.get_module(params, li, slot)
                 W = lin["weight"]

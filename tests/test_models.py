@@ -136,3 +136,47 @@ def test_qwen2_forward_parity(rng):
     model = transformers.Qwen2ForCausalLM(hf_cfg)
     ids = rng.integers(0, 256, size=(2, 16))
     _compare(model, ids)
+
+
+def test_mixtral_forward_parity(rng):
+    hf_cfg = transformers.MixtralConfig(
+        vocab_size=256, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        num_local_experts=4, num_experts_per_tok=2,
+        max_position_embeddings=128)
+    torch.manual_seed(8)
+    model = transformers.MixtralForCausalLM(hf_cfg)
+    ids = rng.integers(0, 256, size=(2, 16))
+    cfg, params = _compare(model, ids)
+    assert cfg.num_experts == 4
+    assert len(params["layers"][0]["moe"]["experts"]) == 4
+
+
+def test_mixtral_quantize_end_to_end(rng):
+    from ganq_tpu.core.config import QuantizeConfig
+    from ganq_tpu.models.registry import get_spec
+    from ganq_tpu.quant.looper import quantize_model
+
+    hf_cfg = transformers.MixtralConfig(
+        vocab_size=256, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=1, num_attention_heads=4, num_key_value_heads=2,
+        num_local_experts=4, num_experts_per_tok=2,
+        max_position_embeddings=128)
+    torch.manual_seed(9)
+    model = transformers.MixtralForCausalLM(hf_cfg)
+    cfg, params = hf_import.params_from_torch_model(model)
+    _, p_ref = hf_import.params_from_torch_model(model)
+    spec = get_spec("mixtral").expand(cfg.num_experts)
+    assert "block_sparse_moe.experts.3.w2" in spec.module_slots
+
+    batches = [rng.integers(0, 256, size=(2, 32)).astype(np.int32)
+               for _ in range(3)]
+    out = quantize_model(cfg, params, spec, QuantizeConfig(
+        bits=4, quant_method="ganq", ganq_iterations=2,
+        act_sort="asc", l_damp_style="ganq", dead="mean"), batches)
+    # 4 attn + 4 experts x 3 linears (some experts may be skipped if unrouted)
+    assert len(out.artifacts) >= 10
+    ids = jnp.asarray(rng.integers(0, 256, size=(1, 16)))
+    a = np.asarray(transformer.forward(cfg, p_ref, ids), np.float32)
+    b = np.asarray(transformer.forward(cfg, out.params, ids), np.float32)
+    assert np.mean((a - b) ** 2) < np.var(a) * 0.5
