@@ -105,6 +105,15 @@ class GanqModel:
             raise RuntimeError("model is already quantized")
         qcfg = self.qcfg or QuantizeConfig()
         self.qcfg = qcfg
+        if qcfg.rotation:
+            # QuaRot R1: fuse norms + rotate the residual basis before
+            # quantization (reference base.py:402-424 rotation path)
+            from .quant.rotation import rotate_model
+            import dataclasses as _dc
+            rotate_model(self.cfg, self.params, qcfg.rotation)
+            # rotated models carry an explicit (rotated) lm_head
+            self.cfg = _dc.replace(self.cfg, tie_word_embeddings=False)
+            self._rotated = True
         spec = get_spec(self.cfg.model_type).expand(self.cfg.num_experts)
         batches = prepare_dataset(calibration_dataset, self.tokenizer,
                                   batch_size, calibration_concat_size)
@@ -119,6 +128,8 @@ class GanqModel:
         if self._quant_output is None:
             raise RuntimeError("nothing to save: call quantize() first")
         hf_config = self._hf_config_dict()
+        if getattr(self, "_rotated", False):
+            hf_config = dict(hf_config, tie_word_embeddings=False)
         checkpoint.save_quantized(save_dir, hf_config, self.qcfg,
                                   self._quant_output.params,
                                   self._quant_output.artifacts,
