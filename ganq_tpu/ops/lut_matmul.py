@@ -39,6 +39,15 @@ def _pick_tile(dim: int, candidates) -> int:
     return dim
 
 
+def _pick_b_tile(B: int, block_b: int) -> int:
+    """Batch tile: Mosaic needs sublane dims divisible by 8 or spanning the
+    full array — pick an 8-multiple divisor, else take all of B."""
+    for c in (block_b, 256, 128, 64, 32, 16, 8):
+        if B % c == 0:
+            return c
+    return B
+
+
 def _select_tree_dequant(codes: jax.Array, lut: jax.Array) -> jax.Array:
     """codes [TM, W] in 0..15, lut [TM, 16] -> dequantized [TM, W] (lut dtype).
 
@@ -105,7 +114,7 @@ def lut_matmul(x: jax.Array, lut: jax.Array, idx_packed: jax.Array,
     if Kp != K:
         x2 = jnp.pad(x2, ((0, 0), (0, Kp - K)))
     B = x2.shape[0]
-    tb = _pick_tile(B, (block_b, 128, 64, 32, 16, 8, 4, 2, 1))
+    tb = _pick_b_tile(B, block_b)
 
     out = pl.pallas_call(
         functools.partial(_lut_matmul_kernel, width=width),

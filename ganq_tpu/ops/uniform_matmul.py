@@ -36,6 +36,15 @@ def _pick_tile(dim: int, candidates) -> int:
     return dim
 
 
+def _pick_b_tile(B: int, block_b: int) -> int:
+    """Batch tile: Mosaic needs sublane dims divisible by 8 or spanning the
+    full array — pick an 8-multiple divisor, else take all of B."""
+    for c in (block_b, 256, 128, 64, 32, 16, 8):
+        if B % c == 0:
+            return c
+    return B
+
+
 def _uniform_kernel(x_ref, qw_ref, s_ref, z_ref, o_ref, *, width: int, gs: int):
     """Full-K step for one (B tile, M tile). Group scale/zero expand to
     per-column via segment concat (group-aligned, so each segment's params
@@ -117,7 +126,7 @@ def uniform_matmul(x: jax.Array, qweight: jax.Array, scales: jax.Array,
         return uniform_matmul_reference(x, qweight, scales, zeros, g_idx, bits)
     x2 = x.reshape(-1, K)
     B = x2.shape[0]
-    tb = _pick_tile(B, (block_b, 128, 64, 32, 16, 8, 4, 2, 1))
+    tb = _pick_b_tile(B, block_b)
     out = _uniform_matmul_pallas(x2, qweight, scales, zeros, bits, tb, tm)
     return out.reshape(*x.shape[:-1], M)
 

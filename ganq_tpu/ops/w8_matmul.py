@@ -45,6 +45,15 @@ def _pick_tile(dim: int, candidates) -> int:
     return dim
 
 
+def _pick_b_tile(B: int, block_b: int) -> int:
+    """Batch tile: Mosaic needs sublane dims divisible by 8 or spanning the
+    full array — pick an 8-multiple divisor, else take all of B."""
+    for c in (block_b, 256, 128, 64, 32, 16, 8):
+        if B % c == 0:
+            return c
+    return B
+
+
 def _w8_kernel(x_ref, w8_ref, s_ref, o_ref):
     w = w8_ref[:].astype(jnp.float32) * s_ref[:].astype(jnp.float32)
     acc = jax.lax.dot_general(
@@ -69,7 +78,7 @@ def w8_matmul(x: jax.Array, w8: jax.Array, scale: jax.Array,
     if Kp != K:
         x2 = jnp.pad(x2, ((0, 0), (0, Kp - K)))
     B = x2.shape[0]
-    tb = _pick_tile(B, (block_b, 128, 64, 32, 16, 8, 4, 2, 1))
+    tb = _pick_b_tile(B, block_b)
 
     out = pl.pallas_call(
         _w8_kernel,
@@ -126,7 +135,7 @@ def w8a8_matmul(x: jax.Array, w8: jax.Array, scale: jax.Array,
     if Kp != K:
         x2 = jnp.pad(x2, ((0, 0), (0, Kp - K)))
     B = x2.shape[0]
-    tb = _pick_tile(B, (block_b, 128, 64, 32, 16, 8, 4, 2, 1))
+    tb = _pick_b_tile(B, block_b)
 
     out = pl.pallas_call(
         _w8a8_kernel,
