@@ -48,46 +48,49 @@ def _pick_b_tile(B: int, block_b: int) -> int:
     return B
 
 
-def _select_tree_dequant(codes: jax.Array, lut: jax.Array) -> jax.Array:
-    """codes [TM, W] in 0..15, lut [TM, 16] -> dequantized [TM, W] (lut dtype).
+def _select_tree_dequant(codes: jax.Array, lut: jax.Array,
+                         bits: int = 4) -> jax.Array:
+    """codes [TM, W] in [0, 2^bits), lut [TM, 2^bits] -> dequantized [TM, W].
 
-    Binary select tree on the code bits: 8+4+2+1 vector selects, entirely on
-    the VPU, no per-lane gather required.
+    Binary select tree on the code bits — arithmetic blends instead of
+    jnp.where (Mosaic's layout inference rejects broadcast i1 masks). The
+    first two levels collapse into one bilinear interpolation per 4-entry
+    group; per-row combination coefficients are rank-1 columns. ~28 VPU
+    ops/element at 4 bits, ~16 at 3 bits, ~13 at 2 bits.
     """
-    # Arithmetic blends instead of jnp.where (Mosaic's layout inference
-    # rejects broadcast i1 masks). The first two levels collapse into one
-    # bilinear interpolation per 4-entry group — per-row combination
-    # coefficients are rank-1 columns, so the per-element cost is
-    # 4 groups x 3 FMA + 2 blends x 2 + 1 blend x 2 + bits: ~28 VPU
-    # ops/element vs ~39 for the plain 15-blend tree.
     f = jnp.float32
     b0 = (codes & 1).astype(f)
     b1 = ((codes >> 1) & 1).astype(f)
-    b2 = ((codes >> 2) & 1).astype(f)
-    b3 = ((codes >> 3) & 1).astype(f)
     p01 = b0 * b1
 
     def col(s):  # [TM, 1] broadcastable column of the codebook
         return lut[:, s][:, None].astype(f)
 
     l2 = []
-    for g in range(4):
+    for g in range(2 ** bits // 4):
         a, b, c, d = (col(4 * g), col(4 * g + 1), col(4 * g + 2), col(4 * g + 3))
         # lut[4g + (2*b1 + b0)] == a + b0(b-a) + b1(c-a) + b0b1(a-b-c+d)
         l2.append(a + b0 * (b - a) + b1 * (c - a) + p01 * (a - b - c + d))
+    if bits == 2:
+        return l2[0].astype(lut.dtype)
+    b2 = ((codes >> 2) & 1).astype(f)
+    if bits == 3:
+        return (l2[0] + b2 * (l2[1] - l2[0])).astype(lut.dtype)
+    b3 = ((codes >> 3) & 1).astype(f)
     l3 = [l2[0] + b2 * (l2[1] - l2[0]), l2[2] + b2 * (l2[3] - l2[2])]
     return (l3[0] + b3 * (l3[1] - l3[0])).astype(lut.dtype)
 
 
-def _lut_matmul_kernel(x_ref, lut_ref, idx_ref, o_ref, *, width: int):
-    """One (B tile, M tile) step over the full K extent: 8 planar planes,
-    each dequantized and contracted on the MXU."""
+def _lut_matmul_kernel(x_ref, lut_ref, idx_ref, o_ref, *, width: int,
+                       bits: int):
+    """One (B tile, M tile) step over the full K extent: one planar plane per
+    pack slot, each dequantized and contracted on the MXU."""
     lut = lut_ref[:]
     packed = idx_ref[:]
     acc = jnp.zeros(o_ref.shape, jnp.float32)
-    for p in range(8):
-        codes = unpack_plane(packed, 4, p)               # [TM, width]
-        w = _select_tree_dequant(codes, lut)             # [TM, width]
+    for p in range(pack_factor(bits)):
+        codes = unpack_plane(packed, bits, p)            # [TM, width]
+        w = _select_tree_dequant(codes, lut, bits)       # [TM, width]
         xs = x_ref[:, p * width:(p + 1) * width]         # [TB, width]
         acc += jax.lax.dot_general(
             xs, w, (((1,), (1,)), ((), ())),
@@ -103,11 +106,12 @@ def lut_matmul(x: jax.Array, lut: jax.Array, idx_packed: jax.Array,
     orig_shape = x.shape
     K = x.shape[-1]
     M = lut.shape[0]
-    Kp = idx_packed.shape[1] * 8  # may be padded past K (lut_linear pads)
-    width = Kp // 8
+    pf = pack_factor(bits)
+    Kp = idx_packed.shape[1] * pf  # may be padded past K (lut_linear pads)
+    width = Kp // pf
 
     tm = _pick_tile(M, (block_m, 512, 256, 128, 64, 32, 16, 8))
-    if bits != 4 or M % tm or Kp % 8 or Kp < K or (width % 128 and M > 8):
+    if bits not in (2, 3, 4) or M % tm or Kp % pf or Kp < K             or (width % 128 and M > 8):
         return lut_matmul_reference(x, lut, idx_packed, bits)
 
     x2 = x.reshape(-1, K)
@@ -117,11 +121,12 @@ def lut_matmul(x: jax.Array, lut: jax.Array, idx_packed: jax.Array,
     tb = _pick_b_tile(B, block_b)
 
     out = pl.pallas_call(
-        functools.partial(_lut_matmul_kernel, width=width),
+        functools.partial(_lut_matmul_kernel, width=width, bits=bits),
         grid=(B // tb, M // tm),
         in_specs=[
             pl.BlockSpec((tb, Kp), lambda b, m: (b, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tm, 16), lambda b, m: (m, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tm, 2 ** bits), lambda b, m: (m, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((tm, width), lambda b, m: (m, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((tb, tm), lambda b, m: (b, m), memory_space=pltpu.VMEM),
@@ -130,7 +135,8 @@ def lut_matmul(x: jax.Array, lut: jax.Array, idx_packed: jax.Array,
             dimension_semantics=("parallel", "parallel")),
         cost_estimate=pl.CostEstimate(
             flops=2 * B * M * K,
-            bytes_accessed=B * K * x.dtype.itemsize + M * K // 2 + B * M * x.dtype.itemsize,
+            bytes_accessed=(B * K * x.dtype.itemsize + M * K * bits // 8
+                            + B * M * x.dtype.itemsize),
             transcendentals=0,
         ),
     )(x2, lut.astype(x.dtype), idx_packed)

@@ -99,11 +99,13 @@ def lut_linear(lut: jax.Array, idx: jax.Array, bits: int,
     rank = jnp.argsort(order, axis=1)  # old code -> new code
     lut_sorted = jnp.take_along_axis(lut, order, axis=1)
     idx_new = jnp.take_along_axis(rank, idx, axis=1)
-    # pad columns to a multiple of 1024 so the planar plane width (K'/8) meets
-    # the Mosaic 128-lane constraint for any K (e.g. 11008 -> 11264); padded
-    # codes are 0 and the matmul entry zero-pads x to match.
+    # pad columns so the planar plane width (K'/packfactor) meets the Mosaic
+    # 128-lane constraint for any K (e.g. 11008 -> 11264); padded codes are 0
+    # and the matmul entry zero-pads x to match.
+    from .packing import pack_factor
+    align = 128 * pack_factor(bits)
     K = idx_new.shape[1]
-    Kp = -(-K // 1024) * 1024 if K > 1024 else K
+    Kp = -(-K // align) * align if K > align else K
     if Kp != K:
         idx_new = jnp.pad(idx_new, ((0, 0), (0, Kp - K)))
     arrays = {

@@ -29,7 +29,8 @@ def recode_lut_to_int8(lut: jax.Array, idx_packed: jax.Array, bits: int,
     """(lut [m,16], packed codes) -> (w8 int8 [m, K'], scale f32 [m, 1]).
     K' keeps the pack-time padding (padded codes map to lut[0]*0-ish; the
     matmul zero-pads x so the extra columns are inert)."""
-    Kp = idx_packed.shape[1] * 8
+    from .packing import pack_factor
+    Kp = idx_packed.shape[1] * pack_factor(bits)
     idx = unpack_int_rows(idx_packed, bits, Kp)
     w = jnp.take_along_axis(lut.astype(jnp.float32), idx, axis=1)  # [m, K']
     amax = jnp.max(jnp.abs(lut.astype(jnp.float32)), axis=1, keepdims=True)

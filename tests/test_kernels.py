@@ -111,3 +111,16 @@ def test_uniform_desc_act_falls_back(rng):
     out = um.uniform_matmul(x, qw, s, z, jnp.asarray(g_perm), 4)
     ref = um.uniform_matmul_reference(x, qw, s, z, jnp.asarray(g_perm), 4)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5)
+
+
+@pytest.mark.parametrize("bits", [2, 3])
+def test_lut_matmul_low_bits(rng, interp, bits):
+    B, M, K = 8, 128, 256
+    x = jnp.asarray(rng.normal(size=(B, K)).astype(np.float32))
+    lut = jnp.asarray(np.sort(rng.normal(size=(M, 2 ** bits)).astype(np.float32), axis=1))
+    idx = rng.integers(0, 2 ** bits, size=(M, K)).astype(np.int32)
+    packed = pack_int_rows(jnp.asarray(idx), bits)
+    ref = lm.lut_matmul_reference(x, lut, packed, bits)
+    out = lm.lut_matmul(x, lut, packed, bits)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-2, atol=2e-2)
