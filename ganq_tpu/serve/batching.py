@@ -261,4 +261,60 @@ class BatchingEngine:
                 self.slot_req[i] = r
 
 
-__all__ = ["BatchingEngine", "Request"]
+class ThreadedBatcher:
+    """Thread-safe front for :class:`BatchingEngine`: concurrent callers
+    submit and block; one worker thread drives engine steps so independent
+    requests share decode batches (what the OpenAI server uses with
+    ``use_batching=True``)."""
+
+    def __init__(self, cfg, params, backend: str = "reference", slots: int = 4,
+                 max_seq: int = 512, eos_id: int = -1):
+        import threading
+
+        self.engine = BatchingEngine(cfg, params, backend=backend, slots=slots,
+                                     max_seq=max_seq, eos_id=eos_id)
+        self._lock = threading.Lock()
+        self._cv = threading.Condition(self._lock)
+        self._done: Dict[int, List[int]] = {}
+        self._tracked: Dict[int, Request] = {}
+        self._stop = False
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._thread.start()
+
+    def _run(self) -> None:
+        import time as _time
+        while not self._stop:
+            with self._cv:
+                has_work = (self.engine.queue
+                            or any(s is not None for s in self.engine.slot_req))
+            if not has_work:
+                _time.sleep(0.005)
+                continue
+            with self._cv:
+                for r in list(self.engine.queue):
+                    self._tracked[r.req_id] = r
+                for r in self.engine.slot_req:
+                    if r is not None:
+                        self._tracked[r.req_id] = r
+                self.engine.step()
+                finished = [rid for rid, r in self._tracked.items() if r.done]
+                for rid in finished:
+                    self._done[rid] = self._tracked.pop(rid).generated
+                if finished:
+                    self._cv.notify_all()
+
+    def generate_ids(self, prompt_ids, max_new_tokens: int = 32,
+                     temperature: float = 0.0, timeout: float = 600.0):
+        with self._cv:
+            rid = self.engine.submit(prompt_ids, max_new_tokens, temperature)
+            ok = self._cv.wait_for(lambda: rid in self._done, timeout=timeout)
+            if not ok:
+                raise TimeoutError(f"request {rid} timed out")
+            return self._done.pop(rid)
+
+    def shutdown(self) -> None:
+        self._stop = True
+        self._thread.join(timeout=5)
+
+
+__all__ = ["BatchingEngine", "Request", "ThreadedBatcher"]

@@ -23,7 +23,9 @@ log = get_logger(__name__)
 
 class OpenAIServer:
     def __init__(self, model, host: str = "127.0.0.1", port: int = 8000,
-                 model_id: str = "ganq-tpu-model", max_new_tokens: int = 256):
+                 model_id: str = "ganq-tpu-model", max_new_tokens: int = 256,
+                 use_batching: bool = False, slots: int = 4,
+                 max_seq: int = 1024):
         self.model = model
         self.host = host
         self.port = port
@@ -32,6 +34,18 @@ class OpenAIServer:
         self._httpd: Optional[ThreadingHTTPServer] = None
         self._thread: Optional[threading.Thread] = None
         self._lock = threading.Lock()  # one generate at a time on the chip
+        self._batcher = None
+        if use_batching:
+            from .batching import ThreadedBatcher
+            eos = -1
+            if (model.tokenizer is not None
+                    and model.tokenizer.eos_token_id is not None):
+                eos = int(model.tokenizer.eos_token_id)
+            self._batcher = ThreadedBatcher(
+                model.cfg, model.params, backend=model.backend,
+                slots=slots, max_seq=min(max_seq,
+                                         model.cfg.max_position_embeddings),
+                eos_id=eos)
 
     # ------------------------------------------------------------- lifecycle
     def start(self) -> "OpenAIServer":
@@ -45,6 +59,8 @@ class OpenAIServer:
         return self
 
     def shutdown(self) -> None:
+        if self._batcher is not None:
+            self._batcher.shutdown()
         if self._httpd:
             self._httpd.shutdown()
             self._httpd.server_close()
@@ -73,6 +89,15 @@ class OpenAIServer:
     def _generate(self, prompt: str, body: Dict[str, Any]) -> str:
         max_new = int(body.get("max_tokens") or self.max_new_tokens)
         temperature = float(body.get("temperature", 0.0) or 0.0)
+        if self._batcher is not None:
+            tok = self.model.tokenizer
+            if tok is None:
+                raise ValueError("string input requires a tokenizer")
+            ids = tok(prompt)["input_ids"]
+            out = self._batcher.generate_ids(ids, max_new_tokens=max_new,
+                                             temperature=temperature)
+            eos = tok.eos_token_id
+            return tok.decode([t for t in out if t != eos])
         with self._lock:
             return self.model.generate(prompt, max_new_tokens=max_new,
                                        temperature=temperature,

@@ -72,3 +72,52 @@ def test_eos_retires_slot(model, rng):
     rid = eng.submit(p, max_new_tokens=5)
     out = eng.run_all()[rid]
     assert out[-1] == eos and len(out) <= 2
+
+
+def test_threaded_batcher_concurrent(model, rng):
+    import threading
+    from ganq_tpu.serve.batching import ThreadedBatcher
+    from ganq_tpu.serve.engine import Engine
+
+    cfg, params = model
+    tb = ThreadedBatcher(cfg, params, slots=2, max_seq=64)
+    single = Engine(cfg, params, max_seq=64)
+    prompts = [rng.integers(1, 128, size=(8,)).astype(np.int32)
+               for _ in range(4)]
+    expected = [single.generate(p, max_new_tokens=4)[0].tolist()
+                for p in prompts]
+
+    results = [None] * 4
+
+    def worker(i):
+        results[i] = tb.generate_ids(prompts[i], max_new_tokens=4)
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=120)
+    tb.shutdown()
+    assert results == expected
+
+
+def test_openai_server_with_batching(model, rng):
+    import json
+    import urllib.request
+    from tests.test_api import CharTokenizer, tiny_model
+    from ganq_tpu import GanqModel
+
+    m = GanqModel.from_torch_model(tiny_model(4), tokenizer=CharTokenizer())
+    from ganq_tpu.serve.openai_server import OpenAIServer
+    srv = OpenAIServer(m, port=0, use_batching=True, slots=2, max_seq=64).start()
+    try:
+        srv.wait_until_ready()
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{srv.port}/v1/completions",
+            data=json.dumps({"prompt": "hello", "max_tokens": 4}).encode(),
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req, timeout=120) as r:
+            out = json.loads(r.read())
+        assert out["choices"][0]["text"]
+    finally:
+        srv.shutdown()
