@@ -121,3 +121,60 @@ def test_sharded_write(rng, tmp_path):
     loaded = {k: v for k, v in hf_import.iter_safetensors(str(tmp_path))}
     for k, v in state.items():
         np.testing.assert_array_equal(loaded[k], v)
+
+
+def test_load_reference_style_gptq_checkpoint(rng, tmp_path):
+    """Interop: a checkpoint written with the GPTQ ecosystem's conventions
+    (reference writer: v1 qweight/qzeros/scales/g_idx under HF module
+    prefixes, quantize_config.json with its field set) must load and serve."""
+    import json
+    from safetensors.numpy import save_file
+
+    # build a fake ecosystem checkpoint for a 1-layer llama
+    hf_cfg = {"model_type": "llama", "vocab_size": 128, "hidden_size": 64,
+              "intermediate_size": 96, "num_hidden_layers": 1,
+              "num_attention_heads": 4, "num_key_value_heads": 4,
+              "max_position_embeddings": 64, "rms_norm_eps": 1e-5,
+              "tie_word_embeddings": False}
+    state = {
+        "model.embed_tokens.weight": rng.normal(size=(128, 64)).astype(np.float32),
+        "model.norm.weight": np.ones(64, np.float32),
+        "lm_head.weight": rng.normal(size=(128, 64)).astype(np.float32),
+        "model.layers.0.input_layernorm.weight": np.ones(64, np.float32),
+        "model.layers.0.post_attention_layernorm.weight": np.ones(64, np.float32),
+    }
+    dequants = {}
+    for mod, (out_f, in_f) in {
+            "self_attn.q_proj": (64, 64), "self_attn.k_proj": (64, 64),
+            "self_attn.v_proj": (64, 64), "self_attn.o_proj": (64, 64),
+            "mlp.gate_proj": (96, 64), "mlp.up_proj": (96, 64),
+            "mlp.down_proj": (64, 96)}.items():
+        qidx = rng.integers(0, 16, size=(out_f, in_f)).astype(np.int32)
+        gs = 32
+        scales = rng.random(size=(out_f, in_f // gs)).astype(np.float32) * 0.01 + 0.001
+        zeros = rng.integers(1, 16, size=(out_f, in_f // gs)).astype(np.float32)
+        g_idx = (np.arange(in_f) // gs).astype(np.int32)
+        packed = gptq_compat.pack_gptq(qidx, scales, zeros, g_idx, 4, v1=True)
+        for k, v in packed.items():
+            state[f"model.layers.0.{mod}.{k}"] = v
+        dequants[mod] = scales[:, g_idx] * (qidx - zeros[:, g_idx])
+    save_file({k: np.ascontiguousarray(v) for k, v in state.items()},
+              str(tmp_path / "model.safetensors"))
+    # ecosystem-style quantize_config.json (reference field set)
+    (tmp_path / "quantize_config.json").write_text(json.dumps({
+        "bits": 4, "group_size": 32, "desc_act": False, "sym": False,
+        "quant_method": "gptq", "checkpoint_format": "gptq",
+        "damp_percent": 0.01, "true_sequential": True}))
+    (tmp_path / "config.json").write_text(json.dumps(hf_cfg))
+
+    cfg, params, qcfg = checkpoint.load_quantized(str(tmp_path))
+    assert qcfg.format == FORMAT.GPTQ and qcfg.group_size == 32
+    q0 = hf_import.get_module(params, 0, "attn.q")
+    assert q0.kind == "uniform"
+    np.testing.assert_allclose(
+        np.asarray(qlinear.dequantize_weight(q0)), dequants["self_attn.q_proj"],
+        rtol=1e-2, atol=1e-4)
+    # and the model actually runs
+    ids = jnp.asarray(rng.integers(0, 128, size=(1, 8)))
+    out = transformer.forward(cfg, params, ids)
+    assert np.all(np.isfinite(np.asarray(out)))
