@@ -170,8 +170,8 @@ class GanqModel:
     # -------------------------------------------------------------- generate
     def generate(self, inputs: Union[str, Sequence[int], np.ndarray],
                  max_new_tokens: int = 64, temperature: float = 0.0,
-                 top_k: int = 0, max_seq: int = 2048, seed: int = 0
-                 ) -> Union[str, np.ndarray]:
+                 top_k: int = 0, top_p: float = 1.0, max_seq: int = 2048,
+                 seed: int = 0) -> Union[str, np.ndarray]:
         """String-aware generate (reference base.py:1164-1177)."""
         is_str = isinstance(inputs, str)
         if is_str:
@@ -188,7 +188,7 @@ class GanqModel:
         eng = Engine(self.cfg, self.params, backend=self.backend,
                      max_seq=min(max_seq, self.cfg.max_position_embeddings))
         out = eng.generate(ids, max_new_tokens=max_new_tokens,
-                           temperature=temperature, top_k=top_k,
+                           temperature=temperature, top_k=top_k, top_p=top_p,
                            eos_id=eos, seed=seed)
         if is_str:
             return self.tokenizer.decode(
@@ -196,6 +196,22 @@ class GanqModel:
         return out
 
     # ------------------------------------------------------------------ eval
+    def eval(self, framework: str = "mc", **kw):
+        """Evaluation facade (reference GPTQModel.eval, auto.py:318-494).
+
+        framework="lm_eval": lm-eval harness via the GanqLM adapter
+        (tasks=[...] kwargs pass through); "mc": offline multiple-choice
+        (examples=[{query, choices, gold}, ...])."""
+        if framework == "lm_eval":
+            from .evals.harness import GanqLM
+            import lm_eval
+            return lm_eval.simple_evaluate(model=GanqLM(self), **kw)
+        if framework == "mc":
+            from .evals.harness import multiple_choice_eval
+            return multiple_choice_eval(self, kw["examples"],
+                                        tokenizer=self.tokenizer)
+        raise ValueError(f"unknown eval framework {framework}")
+
     def perplexity(self, tokens: np.ndarray, seqlen: int = 2048,
                    limit: Optional[int] = None) -> float:
         """Fixed-stride wikitext-style ppl (the README-number recipe)."""

@@ -49,6 +49,12 @@ def pack_gptq(qidx: np.ndarray, scales: np.ndarray, zeros: np.ndarray,
 
     z = np.round(zeros).astype(np.uint32).T              # [n_groups, out]
     if v1:
+        if np.any(z == 0):
+            # the classic v1 asym bug: zero-point 0 wraps to 2^bits-1 on the
+            # -1 storage; the reference works around it with v2 internally
+            import warnings
+            warnings.warn("zero-point 0 present: GPTQ v1 storage wraps it; "
+                          "save with format='gptq_v2' for exactness")
         z = (z - 1) & ((1 << bits) - 1)                  # legacy -1 storage
     n_groups = z.shape[0]
     if out_f % pf:

@@ -82,22 +82,33 @@ def decode_step(cfg: ModelConfig, params, cache, token, pos, backend="reference"
 
 
 def _sample(logits: jax.Array, key: jax.Array, temperature: float,
-            top_k: int) -> jax.Array:
+            top_k: int, top_p: float = 1.0) -> jax.Array:
     if temperature <= 0.0:
         return jnp.argmax(logits, axis=-1).astype(jnp.int32)
     logits = logits / temperature
     if top_k > 0:
         kth = jnp.sort(logits, axis=-1)[:, -top_k][:, None]
         logits = jnp.where(logits < kth, -jnp.inf, logits)
+    if top_p < 1.0:
+        # nucleus filter: keep the smallest prefix of sorted probs >= top_p
+        sorted_logits = jnp.sort(logits, axis=-1)[:, ::-1]
+        probs = jax.nn.softmax(sorted_logits, axis=-1)
+        cum = jnp.cumsum(probs, axis=-1)
+        # a token survives if the cumulative mass *before* it is < top_p
+        keep_sorted = (cum - probs) < top_p
+        min_keep = jnp.min(jnp.where(keep_sorted, sorted_logits, jnp.inf),
+                           axis=-1)[:, None]
+        logits = jnp.where(logits < min_keep, -jnp.inf, logits)
     return jax.random.categorical(key, logits, axis=-1).astype(jnp.int32)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "backend", "max_new_tokens",
-                                             "temperature", "top_k", "eos_id"),
+                                             "temperature", "top_k", "top_p",
+                                             "eos_id"),
                    donate_argnums=(2,))
 def generate_tokens(cfg: ModelConfig, params, cache, input_ids, key,
                     max_new_tokens: int, temperature: float = 0.0,
-                    top_k: int = 0, eos_id: int = -1,
+                    top_k: int = 0, top_p: float = 1.0, eos_id: int = -1,
                     backend: str = "reference"):
     """Prefill + scan-decode in one compiled program.
 
@@ -107,14 +118,14 @@ def generate_tokens(cfg: ModelConfig, params, cache, input_ids, key,
     b, s = input_ids.shape
     logits0, cache = prefill(cfg, params, cache, input_ids, backend)
     key, k0 = jax.random.split(key)
-    tok0 = _sample(logits0, k0, temperature, top_k)
+    tok0 = _sample(logits0, k0, temperature, top_k, top_p)
     done0 = (tok0 == eos_id) if eos_id >= 0 else jnp.zeros((b,), bool)
 
     def body(carry, _):
         cache, tok, pos, key, done = carry
         logits, cache = _decode_one(cfg, params, cache, tok, pos, backend)
         key, sub = jax.random.split(key)
-        nxt = _sample(logits, sub, temperature, top_k)
+        nxt = _sample(logits, sub, temperature, top_k, top_p)
         nxt = jnp.where(done, eos_id if eos_id >= 0 else 0, nxt)
         done = done | ((nxt == eos_id) if eos_id >= 0 else False)
         return (cache, nxt, pos + 1, key, done), tok
@@ -135,7 +146,7 @@ class Engine:
     max_seq: int = 2048
 
     def generate(self, input_ids: np.ndarray, max_new_tokens: int = 32,
-                 temperature: float = 0.0, top_k: int = 0,
+                 temperature: float = 0.0, top_k: int = 0, top_p: float = 1.0,
                  eos_id: int = -1, seed: int = 0) -> np.ndarray:
         ids = jnp.asarray(input_ids)
         if ids.ndim == 1:
@@ -146,7 +157,7 @@ class Engine:
         cache = init_cache(self.cfg, ids.shape[0], self.max_seq)
         out = generate_tokens(self.cfg, self.params, cache, ids,
                               jax.random.PRNGKey(seed), max_new_tokens,
-                              temperature, top_k, eos_id, self.backend)
+                              temperature, top_k, top_p, eos_id, self.backend)
         return np.asarray(out)
 
 

@@ -102,3 +102,14 @@ def test_sampling_is_reproducible(rng):
     c = eng.generate(prompt, max_new_tokens=8, temperature=1.0, top_k=16, seed=8)
     np.testing.assert_array_equal(a, b)
     assert not np.array_equal(a, c) or True  # different seed may coincide; no assert
+
+
+def test_top_p_restricts_support(rng):
+    """With tiny top_p the sampler must reduce to (near-)greedy."""
+    cfg, params = tiny(4)
+    prompt = rng.integers(0, 256, size=(1, 6)).astype(np.int32)
+    eng = engine.Engine(cfg, params, max_seq=32)
+    greedy = eng.generate(prompt, max_new_tokens=6)
+    nucleus = eng.generate(prompt, max_new_tokens=6, temperature=1.0,
+                           top_p=1e-6, seed=3)
+    np.testing.assert_array_equal(nucleus, greedy)
