@@ -220,6 +220,55 @@ class GanqModel:
         return fixed_stride_ppl(fwd, self.params, tokens, seqlen=seqlen,
                                 limit=limit)
 
+    # ---------------------------------------------------------------- export
+    def export_dequantized(self, save_dir: str) -> None:
+        """Write a plain fp checkpoint with every quantized weight
+        materialized (the reference's dequant export path,
+        auto.py:496 / qlinear/torch.py:179-204)."""
+        import json as _json
+
+        from .formats.checkpoint import _write_sharded
+        from .models.registry import get_spec as _gs
+        from .ops.qlinear import QLinear, dequantize_weight
+
+        spec = _gs(self.cfg.model_type).expand(self.cfg.num_experts)
+        state: Dict[str, np.ndarray] = {}
+
+        def fetch(ours: str):
+            cur: Any = self.params
+            for part in ours.split("."):
+                if isinstance(cur, QLinear):
+                    if part == "weight":
+                        return np.asarray(dequantize_weight(cur))
+                    cur = cur.get(part)
+                elif isinstance(cur, dict):
+                    cur = cur.get(part)
+                elif isinstance(cur, list):
+                    cur = cur[int(part)]
+                else:
+                    return None
+                if cur is None:
+                    return None
+            if isinstance(cur, QLinear):
+                return None
+            return np.asarray(cur)
+
+        for ours_tpl, theirs_tpl in spec.name_map.items():
+            if "{i}" in ours_tpl:
+                for i in range(self.cfg.num_hidden_layers):
+                    v = fetch(ours_tpl.format(i=i))
+                    if v is not None:
+                        state[theirs_tpl.format(i=i)] = v
+            else:
+                v = fetch(ours_tpl)
+                if v is not None:
+                    state[theirs_tpl] = v
+        os.makedirs(save_dir, exist_ok=True)
+        _write_sharded(save_dir, state, 4 * 1024**3)
+        with open(os.path.join(save_dir, "config.json"), "w") as f:
+            _json.dump(self._hf_config_dict(), f, indent=2)
+        log.info(f"exported dequantized checkpoint to {save_dir}")
+
     # -------------------------------------------------------------- optimize
     def optimize(self, recode: str = "w8") -> "GanqModel":
         """Pick the fastest serving path (the reference's ``model.optimize()``

@@ -80,13 +80,15 @@ def save_quantized(save_dir: str, hf_config: Dict[str, Any], qcfg: QuantizeConfi
         state[theirs] = np.asarray(cur)
 
     n_layers = cfg.num_hidden_layers
+    fake = qcfg.format == FORMAT.FAKE
     quantized_prefixes = set()
-    for li in range(n_layers):
-        for mod in spec.module_slots:
-            full = f"{spec.layers_prefix}.{li}.{mod}"
-            if full in artifacts:
-                quantized_prefixes.add(_hf_module_prefix(spec, li, mod))
-    lm_head_quantized = spec.lm_head_name in artifacts
+    if not fake:  # FAKE saves the dequantized weights themselves
+        for li in range(n_layers):
+            for mod in spec.module_slots:
+                full = f"{spec.layers_prefix}.{li}.{mod}"
+                if full in artifacts:
+                    quantized_prefixes.add(_hf_module_prefix(spec, li, mod))
+    lm_head_quantized = spec.lm_head_name in artifacts and not fake
 
     for ours_tpl, theirs_tpl in spec.name_map.items():
         is_weight_of_quantized = False
@@ -102,8 +104,9 @@ def save_quantized(save_dir: str, hf_config: Dict[str, Any], qcfg: QuantizeConfi
                 continue
             put(ours_tpl, theirs_tpl)
 
-    # ---- packed artifacts
-    for full_name, art in artifacts.items():
+    # ---- packed artifacts (FAKE keeps fp weights only, reference
+    #      qlinear/fake.py:65-89)
+    for full_name, art in ([] if fake else artifacts.items()):
         if full_name == spec.lm_head_name:
             prefix = spec.lm_head_name
         else:

@@ -178,3 +178,41 @@ def test_load_reference_style_gptq_checkpoint(rng, tmp_path):
     ids = jnp.asarray(rng.integers(0, 128, size=(1, 8)))
     out = transformer.forward(cfg, params, ids)
     assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_fake_format_save_and_export(rng, tmp_path):
+    """FORMAT.FAKE writes dequantized fp weights (the reference's GANQ
+    default artifact); export_dequantized yields a plain HF checkpoint."""
+    torch = pytest.importorskip("torch")
+    import transformers as hf
+    from ganq_tpu import GanqModel, QuantizeConfig
+
+    hf_cfg = hf.LlamaConfig(
+        vocab_size=128, hidden_size=64, intermediate_size=96,
+        num_hidden_layers=1, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=64)
+    torch.manual_seed(11)
+    m = GanqModel.from_torch_model(
+        hf.LlamaForCausalLM(hf_cfg),
+        QuantizeConfig(bits=4, quant_method="ganq", ganq_iterations=1,
+                       act_sort="asc", l_damp_style="ganq", dead="mean",
+                       format="fake"))
+    m.quantize([rng.integers(0, 128, size=(24,)).astype(np.int32)
+                for _ in range(2)])
+    d = str(tmp_path / "fake")
+    m.save(d)
+    # fake checkpoint: plain weights present, no packed tensors
+    state = {k: v for k, v in hf_import.iter_safetensors(d)}
+    assert "model.layers.0.self_attn.q_proj.weight" in state
+    assert not any(k.endswith(".lut") for k in state)
+    m2 = __import__("ganq_tpu").GanqModel.load(d)
+    assert m2.quantized
+    q0 = hf_import.get_module(m2.params, 0, "attn.q")
+    assert q0.kind == "dense"
+
+    # export path (works for packed models too)
+    e = str(tmp_path / "export")
+    m.export_dequantized(e)
+    state2 = {k: v for k, v in hf_import.iter_safetensors(e)}
+    assert "model.layers.0.mlp.down_proj.weight" in state2
+    assert os.path.isfile(os.path.join(e, "config.json"))
