@@ -108,6 +108,17 @@ def param_specs(cfg: ModelConfig, params: Dict[str, Any],
         }
         for k in lp["mlp"]:
             ls["mlp"][k] = row(lp["mlp"][k]) if k == "down" else col(lp["mlp"][k])
+        if "moe" in lp:
+            # tensor-parallel within every expert (router replicated);
+            # expert-index parallelism needs stacked expert arrays — round 2
+            ls["moe"] = {
+                "router": rep(lp["moe"]["router"]),
+                "experts": [
+                    {"gate": col(e["gate"]), "up": col(e["up"]),
+                     "down": row(e["down"])}
+                    for e in lp["moe"]["experts"]
+                ],
+            }
         specs["layers"].append(ls)
     return specs
 

@@ -59,3 +59,41 @@ def test_sharded_generate_matches_unsharded(rng):
         eng = engine.Engine(cfg, sparams, max_seq=32)
         out = eng.generate(prompt, max_new_tokens=6)
     np.testing.assert_array_equal(out, ref)
+
+
+def test_sharded_mixtral_forward(rng):
+    """TP over a MoE model: per-expert column/row parallel, router replicated."""
+    hf_cfg = transformers.MixtralConfig(
+        vocab_size=128, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=1, num_attention_heads=8, num_key_value_heads=4,
+        num_local_experts=2, num_experts_per_tok=1,
+        max_position_embeddings=64)
+    torch.manual_seed(12)
+    cfg, params = hf_import.params_from_torch_model(
+        transformers.MixtralForCausalLM(hf_cfg))
+    ids = jnp.asarray(rng.integers(0, 128, size=(2, 8)))
+    ref = np.asarray(transformer.forward(cfg, params, ids))
+
+    mesh = sharding.make_mesh(data=2, model=4)
+    sparams = sharding.shard_params(cfg, params, mesh)
+    with jax.set_mesh(mesh):
+        out = np.asarray(transformer.forward(cfg, sparams, ids))
+    np.testing.assert_allclose(out, ref, atol=3e-4, rtol=3e-4)
+
+
+def test_sequence_sharded_prefill(rng):
+    """Long-context prefill with activations sharded along the sequence dim:
+    GSPMD inserts the attention collectives; results match unsharded."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    cfg, params = tiny8(3)
+    ids_np = rng.integers(0, 256, size=(1, 64)).astype(np.int32)
+    ref = np.asarray(transformer.forward(cfg, params, jnp.asarray(ids_np)))
+
+    mesh = sharding.make_mesh(data=1, model=8)
+    sparams = sharding.shard_params(cfg, params, mesh)
+    ids = jax.device_put(jnp.asarray(ids_np),
+                         NamedSharding(mesh, P(None, "model")))  # seq-sharded
+    with jax.set_mesh(mesh):
+        out = np.asarray(transformer.forward(cfg, sparams, ids))
+    np.testing.assert_allclose(out, ref, atol=3e-4, rtol=3e-4)
