@@ -279,17 +279,26 @@ def layer_forward(cfg: ModelConfig, lp: Dict[str, Any], x: jax.Array,
         if ("gateup" in lp["mlp"] and backend == "pallas_a8"
                 and lp["mlp"]["gateup"].kind == "w8"
                 and lp["mlp"]["down"].kind == "w8"):
-            # whole-MLP megakernel: one op instead of six (ops/fused_mlp.py)
+            # whole-MLP megakernel: norm + gate/up + act + down + residual
+            # in one op instead of ~eight (ops/fused_mlp.py)
             from ..ops.fused_mlp import fused_mlp_w8a8
             gu, dn = lp["mlp"]["gateup"], lp["mlp"]["down"]
             act_kind = "silu" if cfg.act == "silu" else (
                 "gelu_tanh" if "tanh" in cfg.act or cfg.act == "gelu_new"
                 else "gelu")
-            mlp_out = fused_mlp_w8a8(h, gu["w8"], gu["scale"],
-                                     dn["w8"], dn["scale"], act=act_kind)
-            x = residual + mlp_out
-            if not cfg.do_layer_norm_before:
-                x = apply_norm(lp["post_norm"], x, cfg.norm, cfg.norm_eps, cfg.rms_offset)
+            if cfg.do_layer_norm_before and cfg.norm == "rmsnorm":
+                # h was not consumed: fold norm + residual into the kernel
+                x = fused_mlp_w8a8(residual, gu["w8"], gu["scale"],
+                                   dn["w8"], dn["scale"], act=act_kind,
+                                   norm_w=lp["post_norm"]["weight"],
+                                   eps=cfg.norm_eps,
+                                   rms_offset=cfg.rms_offset)
+            else:
+                mlp_out = fused_mlp_w8a8(h, gu["w8"], gu["scale"],
+                                         dn["w8"], dn["scale"], act=act_kind)
+                x = residual + mlp_out
+                if not cfg.do_layer_norm_before:
+                    x = apply_norm(lp["post_norm"], x, cfg.norm, cfg.norm_eps, cfg.rms_offset)
             return x, new_cache, taps
         if "gateup" in lp["mlp"]:
             gu = qlinear.apply(lp["mlp"]["gateup"], h, backend)

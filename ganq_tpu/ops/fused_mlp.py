@@ -34,16 +34,24 @@ def _quant_rows(x):
     return x8, sx
 
 
-def _fused_mlp_kernel(x_ref, gw_ref, gs_ref, uw_ref, us_ref,
-                      dw_ref, ds_ref, o_ref, acc_ref, *, n_t: int, act: str):
+def _fused_mlp_kernel(x_ref, nw_ref, gw_ref, gs_ref, uw_ref, us_ref,
+                      dw_ref, ds_ref, o_ref, acc_ref, *, n_t: int, act: str,
+                      fold_norm: bool, eps: float, rms_offset: float):
     t = pl.program_id(0)
 
     @pl.when(t == 0)
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    x = x_ref[:].astype(jnp.float32)                      # [B, Hp]
-    x8, sx = _quant_rows(x)
+    x = x_ref[:].astype(jnp.float32)                      # [B, H]
+    if fold_norm:
+        # pre-norm folded in: h = rmsnorm(x) * (w + offset)
+        var = jnp.mean(x * x, axis=1, keepdims=True)
+        h = x * jax.lax.rsqrt(var + eps) * (
+            nw_ref[:].astype(jnp.float32) + rms_offset)
+    else:
+        h = x
+    x8, sx = _quant_rows(h)
 
     g = jax.lax.dot_general(x8, gw_ref[:], (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.int32)
@@ -65,14 +73,20 @@ def _fused_mlp_kernel(x_ref, gw_ref, gs_ref, uw_ref, us_ref,
 
     @pl.when(t == n_t - 1)
     def _():
-        o_ref[:] = (acc_ref[:] * ds_ref[:][:, 0][None, :]).astype(o_ref.dtype)
+        out = acc_ref[:] * ds_ref[:][:, 0][None, :]
+        if fold_norm:  # residual folded in too
+            out = out + x_ref[:].astype(jnp.float32)
+        o_ref[:] = out.astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("act", "block_i"))
+@functools.partial(jax.jit, static_argnames=("act", "block_i", "eps",
+                                             "rms_offset"))
 def fused_mlp_w8a8(x: jax.Array,
                    gateup_w8: jax.Array, gateup_scale: jax.Array,
                    down_w8: jax.Array, down_scale: jax.Array,
-                   act: str = "silu", block_i: int = 1024) -> jax.Array:
+                   act: str = "silu", block_i: int = 1024,
+                   norm_w: jax.Array = None, eps: float = 1e-5,
+                   rms_offset: float = 0.0) -> jax.Array:
     """x [..., H] -> [..., H]. gateup: int8 [2I, Hp] (gate rows then up rows)
     + scale [2I, 1]; down: int8 [H, Ip] + scale [H, 1] (padded cols unused).
     The gateup array is fed twice with offset index maps — one block stream
@@ -88,9 +102,17 @@ def fused_mlp_w8a8(x: jax.Array,
     ti = block_i
     while I % ti:
         ti //= 2
+    fold_norm = norm_w is not None
     ok = (Hd == H and Hp >= H and Ip >= I and ti >= 256 and ti % 128 == 0
-          and Hp % 128 == 0)
+          and Hp % 128 == 0 and (not fold_norm or Hp == H))
     if not ok:
+        if fold_norm:  # apply norm + residual outside, then the fallback
+            var = jnp.mean(x2.astype(jnp.float32) ** 2, axis=1, keepdims=True)
+            h = x2 * jax.lax.rsqrt(var + eps) * (
+                norm_w.astype(x2.dtype) + rms_offset)
+            y = fused_mlp_w8a8(h, gateup_w8, gateup_scale, down_w8,
+                               down_scale, act=act, block_i=block_i)
+            return (x + y.reshape(orig_shape)).astype(x.dtype)
         gw = gateup_w8.astype(jnp.float32) * gateup_scale
         g = jnp.dot(x2, gw[:I, :H].T)
         u = jnp.dot(x2, gw[I:, :H].T)
@@ -102,12 +124,18 @@ def fused_mlp_w8a8(x: jax.Array,
     if Hp != H:
         x2 = jnp.pad(x2, ((0, 0), (0, Hp - H)))
     n_t = I // ti
+    nw = (norm_w.reshape(1, H) if fold_norm
+          else jnp.ones((1, Hp), jnp.float32))
 
     out = pl.pallas_call(
-        functools.partial(_fused_mlp_kernel, n_t=n_t, act=act),
+        functools.partial(_fused_mlp_kernel, n_t=n_t, act=act,
+                          fold_norm=fold_norm, eps=eps,
+                          rms_offset=rms_offset),
         grid=(n_t,),
         in_specs=[
             pl.BlockSpec((B, Hp), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nw.shape[1]), lambda t: (0, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((ti, Hp), lambda t: (t, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((ti, 1), lambda t: (t, 0), memory_space=pltpu.VMEM),
             # up half: block index offset by n_t rows-of-tiles
@@ -128,7 +156,7 @@ def fused_mlp_w8a8(x: jax.Array,
             bytes_accessed=3 * I * H + B * H * x.dtype.itemsize,
             transcendentals=B * I,
         ),
-    )(x2, gateup_w8, gateup_scale, gateup_w8, gateup_scale,
+    )(x2, nw, gateup_w8, gateup_scale, gateup_w8, gateup_scale,
       down_w8, down_scale)
     return out.reshape(*orig_shape[:-1], H)
 

@@ -72,3 +72,23 @@ def test_fused_mlp_in_layer_forward(rng):
     out_ref = np.asarray(stacked.greedy_decode(
         cfg, sp, ck, cv, ids, 4, "reference"))
     assert np.mean(out_a8 == out_ref) >= 0.75
+
+
+def test_fused_mlp_norm_residual_folding(rng):
+    """norm_w path: output must equal residual + mlp(rmsnorm(x)*w)."""
+    import jax
+    import os
+    H, I = 256, 512
+    gu8, gus, dw8, dws = make_weights(rng, H, I)
+    x = jnp.asarray(rng.normal(size=(8, H)).astype(np.float32))
+    nw = jnp.asarray(rng.random(size=(H,)).astype(np.float32) + 0.5)
+
+    var = jnp.mean(x * x, axis=1, keepdims=True)
+    h = x * jax.lax.rsqrt(var + 1e-5) * nw
+    ctx = (pltpu.force_tpu_interpret_mode()
+           if not os.environ.get("GANQ_TPU_TEST_TPU") else _null())
+    with ctx:
+        ref = x + fused_mlp_w8a8(h, gu8, gus, dw8, dws)
+        out = fused_mlp_w8a8(x, gu8, gus, dw8, dws, norm_w=nw, eps=1e-5)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-2, atol=2e-2)
