@@ -15,9 +15,9 @@ import copy
 import json
 import os
 import re
-from dataclasses import dataclass, field, fields
+from dataclasses import dataclass, fields
 from enum import Enum
-from typing import Any, Dict, Optional, Union
+from typing import Any, Dict, Optional
 
 META_FIELD_QUANTIZER = "quantizer"
 META_FIELD_URI = "uri"

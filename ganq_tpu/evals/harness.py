@@ -13,7 +13,7 @@ drives lm-eval / evalplus; ``utils/mmlupro.py`` is a self-rolled CoT loop):
 
 from __future__ import annotations
 
-from typing import Any, Dict, List, Sequence, Tuple
+from typing import Any, Dict, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp

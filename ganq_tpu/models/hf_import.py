@@ -12,13 +12,13 @@ from __future__ import annotations
 import glob
 import json
 import os
-from typing import Any, Dict, Iterator, Optional, Tuple
+from typing import Any, Dict, Iterator, Tuple
 
 import jax.numpy as jnp
 import numpy as np
 
 from ..ops import qlinear
-from .registry import ArchSpec, get_spec
+from .registry import get_spec
 from .transformer import ModelConfig
 
 

@@ -13,7 +13,6 @@ import jax
 import jax.numpy as jnp
 
 from ..ops import qlinear
-from ..ops.packing import pack_int_rows
 from .transformer import ModelConfig
 
 

@@ -11,8 +11,6 @@ Layouts follow the model code: q/k/v are [batch, seq, heads, head_dim].
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 

@@ -22,7 +22,7 @@ Every kind has a pure-jnp reference implementation here; fused Pallas kernels
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional, Tuple
+from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp

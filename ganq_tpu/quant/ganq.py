@@ -26,7 +26,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 from functools import partial
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
@@ -34,7 +34,7 @@ import numpy as np
 
 from ..core.config import QuantizeConfig
 from ..ops.kmeans import leanquant_weights, weighted_kmeans_1d
-from .preamble import Prepared, prepare
+from .preamble import prepare
 
 HIGH = jax.lax.Precision.HIGHEST
 

@@ -13,7 +13,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 from functools import partial
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -21,7 +21,7 @@ import numpy as np
 
 from ..core.config import QuantizeConfig
 from . import quantizer as qz
-from .preamble import Prepared, prepare
+from .preamble import prepare
 
 BLOCKSIZE = 128
 

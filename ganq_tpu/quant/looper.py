@@ -31,7 +31,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..core.config import FORMAT, QUANT_METHOD, QuantizeConfig
+from ..core.config import QUANT_METHOD, QuantizeConfig
 from ..models import hf_import
 from ..models.registry import ArchSpec
 from ..models.transformer import (ModelConfig, causal_mask, embed,

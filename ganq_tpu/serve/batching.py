@@ -22,8 +22,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..models.transformer import (ModelConfig, causal_mask, embed,
-                                  layer_forward, rope_tables, unembed)
+from ..models.transformer import (ModelConfig, embed, layer_forward,
+                                  rope_tables, unembed)
 from ..utils.logger import get_logger
 from .engine import init_cache
 

@@ -10,7 +10,6 @@ iterations to defeat DCE/CSE) and divides by the iteration count.
 from __future__ import annotations
 
 import time
-from functools import partial
 from typing import Callable
 
 import jax
