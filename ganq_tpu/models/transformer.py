@@ -130,18 +130,20 @@ def apply_rope(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
 # ----------------------------------------------------------------- attention
 def attention(q: jax.Array, k: jax.Array, v: jax.Array, mask: Optional[jax.Array],
               scale: float) -> jax.Array:
-    """q: [b, s, hq, d]; k,v: [b, t, hkv, d] -> [b, s, hq, d]. GQA via repeat."""
+    """q: [b, s, hq, d]; k,v: [b, t, hkv, d] -> [b, s, hq, d].
+
+    GQA via grouped einsums — NOT jnp.repeat, which would materialize a
+    g-times copy of the whole KV cache on every decode step."""
     b, s, hq, d = q.shape
     hkv = k.shape[2]
-    if hq != hkv:
-        rep = hq // hkv
-        k = jnp.repeat(k, rep, axis=2)
-        v = jnp.repeat(v, rep, axis=2)
-    logits = jnp.einsum("bshd,bthd->bhst", q, k).astype(jnp.float32) * scale
+    g = hq // hkv
+    qg = q.reshape(b, s, hkv, g, d)
+    logits = jnp.einsum("bshgd,bthd->bhgst", qg, k).astype(jnp.float32) * scale
     if mask is not None:
-        logits = jnp.where(mask, logits, jnp.finfo(jnp.float32).min)
+        logits = jnp.where(mask[:, :, None], logits, jnp.finfo(jnp.float32).min)
     probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
-    return jnp.einsum("bhst,bthd->bshd", probs, v)
+    out = jnp.einsum("bhgst,bthd->bshgd", probs, v)
+    return out.reshape(b, s, hq, d)
 
 
 def causal_mask(s: int, t: int, offset: int = 0) -> jax.Array:
@@ -278,7 +280,8 @@ def layer_forward(cfg: ModelConfig, lp: Dict[str, Any], x: jax.Array,
             taps["mlp.gate"] = taps["mlp.up"] = h
         if ("gateup" in lp["mlp"] and backend == "pallas_a8"
                 and lp["mlp"]["gateup"].kind == "w8"
-                and lp["mlp"]["down"].kind == "w8"):
+                and lp["mlp"]["down"].kind == "w8"
+                and b * s <= 64):  # decode-shaped; prefill uses w8a8 matmuls
             # whole-MLP megakernel: norm + gate/up + act + down + residual
             # in one op instead of ~eight (ops/fused_mlp.py)
             from ..ops.fused_mlp import fused_mlp_w8a8

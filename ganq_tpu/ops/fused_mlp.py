@@ -103,8 +103,10 @@ def fused_mlp_w8a8(x: jax.Array,
     while I % ti:
         ti //= 2
     fold_norm = norm_w is not None
+    # decode-shaped only: at prefill token counts the x/acc buffers plus the
+    # weight tiles exceed VMEM; the unfused w8a8 path serves prefill
     ok = (Hd == H and Hp >= H and Ip >= I and ti >= 256 and ti % 128 == 0
-          and Hp % 128 == 0 and (not fold_norm or Hp == H))
+          and Hp % 128 == 0 and (not fold_norm or Hp == H) and B <= 64)
     if not ok:
         if fold_norm:  # apply norm + residual outside, then the fallback
             var = jnp.mean(x2.astype(jnp.float32) ** 2, axis=1, keepdims=True)
