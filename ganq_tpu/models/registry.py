@@ -160,10 +160,13 @@ register(ArchSpec(
     module_slots=LLAMA_SLOTS,
 ))
 
-# llama-family derivatives sharing the spec (qkv-bias etc. read from config)
-for _mt in ("mistral", "qwen2", "qwen3", "yi", "internlm",
-            "stablelm", "granite", "olmo2", "exaone", "deci",
-            "instella", "telechat2", "longllama", "mobilellm"):
+# llama-family derivatives sharing the spec verbatim — only architectures
+# whose module structure and tensor names truly match llama's (qkv biases are
+# picked up by presence). Lookalikes with extra machinery (qwen3 q/k norms,
+# olmo2 post-norms, stablelm partial rope, granite multipliers, deci
+# variable GQA, remote-code arches) are intentionally NOT aliased: wrong
+# silently is worse than unsupported loudly.
+for _mt in ("mistral", "qwen2", "yi", "mobilellm"):
     register(ArchSpec(
         model_type=_mt,
         make_config=_llama_config,
@@ -442,4 +445,49 @@ register(ArchSpec(
     name_map=MIXTRAL_NAME_MAP,
     layer_modules=MIXTRAL_LAYER_MODULES,
     module_slots=MIXTRAL_SLOTS,
+))
+
+
+# ----------------------------------------------------------------------- phi3
+def _phi3_config(hf: Dict[str, Any]) -> ModelConfig:
+    base = _llama_config(hf)
+    import dataclasses as _dc
+    return _dc.replace(base, model_type="phi3")
+
+
+def _phi3_convert_state(state: Dict[str, Any], hf: Dict[str, Any]) -> Dict[str, Any]:
+    """Split phi3's fused qkv_proj ([q; k; v] rows) and gate_up_proj
+    ([gate; up] rows) into per-projection tensors."""
+    import numpy as _np
+
+    heads = hf["num_attention_heads"]
+    kv = hf.get("num_key_value_heads", heads)
+    hd = hf.get("head_dim") or hf["hidden_size"] // heads
+    qd, kvd = heads * hd, kv * hd
+    inter = hf["intermediate_size"]
+    out: Dict[str, Any] = {}
+    for k, v in state.items():
+        v = _np.asarray(v)
+        if ".self_attn.qkv_proj." in k:
+            base = k.replace("qkv_proj", "{}")
+            suffix = k.rsplit(".", 1)[-1]  # weight|bias
+            out[base.format("q_proj")] = _np.ascontiguousarray(v[:qd])
+            out[base.format("k_proj")] = _np.ascontiguousarray(v[qd:qd + kvd])
+            out[base.format("v_proj")] = _np.ascontiguousarray(v[qd + kvd:])
+        elif ".mlp.gate_up_proj." in k:
+            base = k.replace("gate_up_proj", "{}")
+            out[base.format("gate_proj")] = _np.ascontiguousarray(v[:inter])
+            out[base.format("up_proj")] = _np.ascontiguousarray(v[inter:])
+        else:
+            out[k] = v
+    return out
+
+
+register(ArchSpec(
+    model_type="phi3",
+    make_config=_phi3_config,
+    convert_state=_phi3_convert_state,
+    name_map=LLAMA_NAME_MAP,
+    layer_modules=LLAMA_LAYER_MODULES,
+    module_slots=LLAMA_SLOTS,
 ))

@@ -180,3 +180,21 @@ def test_mixtral_quantize_end_to_end(rng):
     a = np.asarray(transformer.forward(cfg, p_ref, ids), np.float32)
     b = np.asarray(transformer.forward(cfg, out.params, ids), np.float32)
     assert np.mean((a - b) ** 2) < np.var(a) * 0.5
+
+
+def test_phi3_forward_parity(rng):
+    hf_cfg = transformers.Phi3Config(
+        vocab_size=256, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=128, pad_token_id=0)
+    torch.manual_seed(10)
+    model = transformers.Phi3ForCausalLM(hf_cfg)
+    ids = rng.integers(0, 256, size=(2, 16))
+    _compare(model, ids)
+
+
+def test_unsupported_arch_fails_loudly():
+    from ganq_tpu.models.registry import get_spec
+    import pytest as _pt
+    with _pt.raises(KeyError, match="Unsupported architecture"):
+        get_spec("qwen3")  # q/k norms not modeled; must not silently alias
