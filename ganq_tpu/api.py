@@ -220,6 +220,21 @@ class GanqModel:
         return fixed_stride_ppl(fwd, self.params, tokens, seqlen=seqlen,
                                 limit=limit)
 
+    def push_to_hub(self, repo_id: str, save_dir: Optional[str] = None, **kw):
+        """Upload a saved checkpoint (reference GPTQModel.push_to_hub,
+        auto.py:534). Requires network egress + huggingface_hub."""
+        try:
+            from huggingface_hub import HfApi
+        except ImportError as e:
+            raise RuntimeError(
+                "huggingface_hub is not available in this environment "
+                "(zero-egress); copy the checkpoint directory out instead") from e
+        if save_dir is None:
+            raise ValueError("pass save_dir (a directory produced by .save())")
+        api = HfApi()
+        api.create_repo(repo_id, exist_ok=True, **kw)
+        api.upload_folder(folder_path=save_dir, repo_id=repo_id)
+
     # ---------------------------------------------------------------- export
     def export_dequantized(self, save_dir: str) -> None:
         """Write a plain fp checkpoint with every quantized weight
