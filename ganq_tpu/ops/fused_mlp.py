@@ -53,10 +53,13 @@ def _fused_mlp_kernel(x_ref, nw_ref, gw_ref, gs_ref, uw_ref, us_ref,
         h = x
     x8, sx = _quant_rows(h)
 
+    # DEFAULT precision: integer MXU dots reject a global HIGHEST override
     g = jax.lax.dot_general(x8, gw_ref[:], (((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.int32)
+                            preferred_element_type=jnp.int32,
+                            precision=jax.lax.Precision.DEFAULT)
     u = jax.lax.dot_general(x8, uw_ref[:], (((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.int32)
+                            preferred_element_type=jnp.int32,
+                            precision=jax.lax.Precision.DEFAULT)
     g = g.astype(jnp.float32) * sx * gs_ref[:][:, 0][None, :]   # [B, TI]
     u = u.astype(jnp.float32) * sx * us_ref[:][:, 0][None, :]
     if act == "silu":
@@ -68,7 +71,8 @@ def _fused_mlp_kernel(x_ref, nw_ref, gw_ref, gs_ref, uw_ref, us_ref,
 
     a8, sa = _quant_rows(a)                                # [B, TI]
     part = jax.lax.dot_general(a8, dw_ref[:], (((1,), (1,)), ((), ())),
-                               preferred_element_type=jnp.int32)
+                               preferred_element_type=jnp.int32,
+                               precision=jax.lax.Precision.DEFAULT)
     acc_ref[:] += part.astype(jnp.float32) * sa            # [B, H]
 
     @pl.when(t == n_t - 1)

@@ -112,9 +112,12 @@ def _w8a8_kernel(x_ref, w8_ref, s_ref, o_ref):
     sx = jnp.max(jnp.abs(x), axis=1, keepdims=True) / 127.0
     sx = jnp.maximum(sx, 1e-12)
     x8 = jnp.clip(jnp.round(x / sx), -127, 127).astype(jnp.int8)
+    # precision must be DEFAULT: a global HIGHEST override makes Mosaic
+    # reject integer operands ("Bad lhs type")
     acc = jax.lax.dot_general(
         x8, w8_ref[:], (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.int32)                  # [TB, TM]
+        preferred_element_type=jnp.int32,
+        precision=jax.lax.Precision.DEFAULT)               # [TB, TM]
     out = acc.astype(jnp.float32) * sx * s_ref[:][:, 0][None, :]
     o_ref[:] = out.astype(o_ref.dtype)
 
