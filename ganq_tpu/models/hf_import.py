@@ -115,6 +115,9 @@ def params_from_state_dict(state: Dict[str, np.ndarray], hf_config: Dict[str, An
             "attn": {k: to_linear(rl.get("attn", {}).get(k))
                      for k in ("q", "k", "v", "o")},
         }
+        for nk in ("q_norm", "k_norm"):  # qwen3-family per-head norms
+            if nk in rl.get("attn", {}):
+                lp["attn"][nk] = rl["attn"][nk]
         if "moe" in rl:
             experts_raw = rl["moe"].get("experts", {})
             experts = []

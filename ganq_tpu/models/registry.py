@@ -491,3 +491,91 @@ register(ArchSpec(
     layer_modules=LLAMA_LAYER_MODULES,
     module_slots=LLAMA_SLOTS,
 ))
+
+
+# ---------------------------------------------------------------------- qwen3
+def _qwen3_config(hf: Dict[str, Any]) -> ModelConfig:
+    base = _llama_config(hf)
+    import dataclasses as _dc
+    return _dc.replace(base, model_type="qwen3", qk_norm=True)
+
+
+QWEN3_NAME_MAP = dict(LLAMA_NAME_MAP)
+QWEN3_NAME_MAP.update({
+    "layers.{i}.attn.q_norm.weight": "model.layers.{i}.self_attn.q_norm.weight",
+    "layers.{i}.attn.k_norm.weight": "model.layers.{i}.self_attn.k_norm.weight",
+})
+
+register(ArchSpec(
+    model_type="qwen3",
+    make_config=_qwen3_config,
+    name_map=QWEN3_NAME_MAP,
+    layer_modules=LLAMA_LAYER_MODULES,
+    module_slots=LLAMA_SLOTS,
+))
+
+
+# ----------------------------------------------------------------- starcoder2
+def _starcoder2_config(hf: Dict[str, Any]) -> ModelConfig:
+    heads = hf["num_attention_heads"]
+    return ModelConfig(
+        model_type="starcoder2",
+        vocab_size=hf["vocab_size"],
+        hidden_size=hf["hidden_size"],
+        intermediate_size=hf["intermediate_size"],
+        num_hidden_layers=hf["num_hidden_layers"],
+        num_attention_heads=heads,
+        num_key_value_heads=hf.get("num_key_value_heads", heads),
+        head_dim=hf["hidden_size"] // heads,
+        max_position_embeddings=hf.get("max_position_embeddings", 4096),
+        norm="layernorm",
+        norm_eps=hf.get("norm_epsilon", 1e-5),
+        act=hf.get("hidden_act", "gelu_pytorch_tanh"),
+        gated_mlp=False,
+        pos="rope",
+        rope_theta=hf.get("rope_theta", 10000.0),
+        attn_bias=hf.get("use_bias", True),
+        mlp_bias=hf.get("use_bias", True),
+        tie_word_embeddings=hf.get("tie_word_embeddings", True),
+    )
+
+
+STARCODER2_NAME_MAP = {
+    "embed_tokens.weight": "model.embed_tokens.weight",
+    "final_norm.weight": "model.norm.weight",
+    "final_norm.bias": "model.norm.bias",
+    "lm_head.weight": "lm_head.weight",
+    "layers.{i}.input_norm.weight": "model.layers.{i}.input_layernorm.weight",
+    "layers.{i}.input_norm.bias": "model.layers.{i}.input_layernorm.bias",
+    "layers.{i}.post_norm.weight": "model.layers.{i}.post_attention_layernorm.weight",
+    "layers.{i}.post_norm.bias": "model.layers.{i}.post_attention_layernorm.bias",
+    "layers.{i}.attn.q.weight": "model.layers.{i}.self_attn.q_proj.weight",
+    "layers.{i}.attn.k.weight": "model.layers.{i}.self_attn.k_proj.weight",
+    "layers.{i}.attn.v.weight": "model.layers.{i}.self_attn.v_proj.weight",
+    "layers.{i}.attn.o.weight": "model.layers.{i}.self_attn.o_proj.weight",
+    "layers.{i}.attn.q.bias": "model.layers.{i}.self_attn.q_proj.bias",
+    "layers.{i}.attn.k.bias": "model.layers.{i}.self_attn.k_proj.bias",
+    "layers.{i}.attn.v.bias": "model.layers.{i}.self_attn.v_proj.bias",
+    "layers.{i}.attn.o.bias": "model.layers.{i}.self_attn.o_proj.bias",
+    "layers.{i}.mlp.up.weight": "model.layers.{i}.mlp.c_fc.weight",
+    "layers.{i}.mlp.up.bias": "model.layers.{i}.mlp.c_fc.bias",
+    "layers.{i}.mlp.down.weight": "model.layers.{i}.mlp.c_proj.weight",
+    "layers.{i}.mlp.down.bias": "model.layers.{i}.mlp.c_proj.bias",
+}
+
+register(ArchSpec(
+    model_type="starcoder2",
+    make_config=_starcoder2_config,
+    name_map=STARCODER2_NAME_MAP,
+    layer_modules=[
+        ["self_attn.q_proj", "self_attn.k_proj", "self_attn.v_proj"],
+        ["self_attn.o_proj"],
+        ["mlp.c_fc"],
+        ["mlp.c_proj"],
+    ],
+    module_slots={
+        "self_attn.q_proj": "attn.q", "self_attn.k_proj": "attn.k",
+        "self_attn.v_proj": "attn.v", "self_attn.o_proj": "attn.o",
+        "mlp.c_fc": "mlp.up", "mlp.c_proj": "mlp.down",
+    },
+))

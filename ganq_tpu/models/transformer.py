@@ -65,6 +65,9 @@ class ModelConfig:
     num_experts: int = 0               # 0 = dense mlp
     num_experts_per_tok: int = 2
 
+    # qwen3-family: per-head RMSNorm on q/k before rope
+    qk_norm: bool = False
+
     @property
     def q_dim(self) -> int:
         return self.num_attention_heads * self.head_dim
@@ -235,6 +238,16 @@ def layer_forward(cfg: ModelConfig, lp: Dict[str, Any], x: jax.Array,
     q = q.reshape(b, s, cfg.num_attention_heads, cfg.head_dim)
     k = k.reshape(b, s, cfg.num_key_value_heads, cfg.head_dim)
     v = v.reshape(b, s, cfg.num_key_value_heads, cfg.head_dim)
+
+    if cfg.qk_norm:
+        # per-head RMSNorm over head_dim (qwen3): weights [head_dim]
+        def hd_norm(t, w):
+            tf = t.astype(jnp.float32)
+            var = jnp.mean(tf * tf, axis=-1, keepdims=True)
+            return (tf * jax.lax.rsqrt(var + cfg.norm_eps)
+                    * w.astype(jnp.float32)).astype(t.dtype)
+        q = hd_norm(q, lp["attn"]["q_norm"]["weight"])
+        k = hd_norm(k, lp["attn"]["k_norm"]["weight"])
 
     if cfg.pos == "rope":
         cos, sin = rope

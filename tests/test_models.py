@@ -197,4 +197,29 @@ def test_unsupported_arch_fails_loudly():
     from ganq_tpu.models.registry import get_spec
     import pytest as _pt
     with _pt.raises(KeyError, match="Unsupported architecture"):
-        get_spec("qwen3")  # q/k norms not modeled; must not silently alias
+        get_spec("olmo2")  # post-norm layout not modeled; must not alias
+
+
+def test_qwen3_forward_parity(rng):
+    hf_cfg = transformers.Qwen3Config(
+        vocab_size=256, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=16, max_position_embeddings=128)
+    torch.manual_seed(13)
+    model = transformers.Qwen3ForCausalLM(hf_cfg)
+    ids = rng.integers(0, 256, size=(2, 16))
+    cfg, params = _compare(model, ids)
+    assert cfg.qk_norm
+    assert "q_norm" in params["layers"][0]["attn"]
+
+
+def test_starcoder2_forward_parity(rng):
+    hf_cfg = transformers.Starcoder2Config(
+        vocab_size=256, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=128, use_bias=True,
+        residual_dropout=0.0, embedding_dropout=0.0, attention_dropout=0.0)
+    torch.manual_seed(14)
+    model = transformers.Starcoder2ForCausalLM(hf_cfg)
+    ids = rng.integers(0, 256, size=(2, 16))
+    _compare(model, ids)
