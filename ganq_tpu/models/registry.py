@@ -579,3 +579,108 @@ register(ArchSpec(
         "mlp.c_fc": "mlp.up", "mlp.c_proj": "mlp.down",
     },
 ))
+
+
+# ------------------------------------------------------------------- gpt_neox
+def _gpt_neox_config(hf: Dict[str, Any]) -> ModelConfig:
+    heads = hf["num_attention_heads"]
+    hd = hf["hidden_size"] // heads
+    return ModelConfig(
+        model_type="gpt_neox",
+        vocab_size=hf["vocab_size"],
+        hidden_size=hf["hidden_size"],
+        intermediate_size=hf["intermediate_size"],
+        num_hidden_layers=hf["num_hidden_layers"],
+        num_attention_heads=heads,
+        num_key_value_heads=heads,
+        head_dim=hd,
+        max_position_embeddings=hf.get("max_position_embeddings", 2048),
+        norm="layernorm",
+        norm_eps=hf.get("layer_norm_eps", 1e-5),
+        act=hf.get("hidden_act", "gelu"),
+        gated_mlp=False,
+        pos="rope",
+        rope_theta=hf.get("rotary_emb_base", 10000.0),
+        rotary_dim=int(hd * hf.get("rotary_pct", 0.25)),
+        parallel_residual=hf.get("use_parallel_residual", True),
+        attn_bias=hf.get("attention_bias", True),
+        mlp_bias=True,
+        tie_word_embeddings=hf.get("tie_word_embeddings", False),
+    )
+
+
+def _gpt_neox_convert_state(state: Dict[str, Any], hf: Dict[str, Any]) -> Dict[str, Any]:
+    """Split the per-head-interleaved query_key_value fusion
+    ([heads, 3, head_dim] rows) into plain q/k/v tensors."""
+    import numpy as _np
+
+    heads = hf["num_attention_heads"]
+    h = hf["hidden_size"]
+    hd = h // heads
+    out: Dict[str, Any] = {}
+    for k, v in state.items():
+        v = _np.asarray(v)
+        if ".attention.query_key_value." in k:
+            base = k.replace("query_key_value", "{}")
+            if k.endswith("weight"):
+                w = v.reshape(heads, 3, hd, h)
+                out[base.format("q_proj")] = _np.ascontiguousarray(
+                    w[:, 0].reshape(h, h))
+                out[base.format("k_proj")] = _np.ascontiguousarray(
+                    w[:, 1].reshape(h, h))
+                out[base.format("v_proj")] = _np.ascontiguousarray(
+                    w[:, 2].reshape(h, h))
+            else:
+                b = v.reshape(heads, 3, hd)
+                out[base.format("q_proj")] = _np.ascontiguousarray(
+                    b[:, 0].reshape(h))
+                out[base.format("k_proj")] = _np.ascontiguousarray(
+                    b[:, 1].reshape(h))
+                out[base.format("v_proj")] = _np.ascontiguousarray(
+                    b[:, 2].reshape(h))
+        else:
+            out[k] = v
+    return out
+
+
+GPT_NEOX_NAME_MAP = {
+    "embed_tokens.weight": "gpt_neox.embed_in.weight",
+    "final_norm.weight": "gpt_neox.final_layer_norm.weight",
+    "final_norm.bias": "gpt_neox.final_layer_norm.bias",
+    "lm_head.weight": "embed_out.weight",
+    "layers.{i}.input_norm.weight": "gpt_neox.layers.{i}.input_layernorm.weight",
+    "layers.{i}.input_norm.bias": "gpt_neox.layers.{i}.input_layernorm.bias",
+    "layers.{i}.post_norm.weight": "gpt_neox.layers.{i}.post_attention_layernorm.weight",
+    "layers.{i}.post_norm.bias": "gpt_neox.layers.{i}.post_attention_layernorm.bias",
+    "layers.{i}.attn.q.weight": "gpt_neox.layers.{i}.attention.q_proj.weight",
+    "layers.{i}.attn.k.weight": "gpt_neox.layers.{i}.attention.k_proj.weight",
+    "layers.{i}.attn.v.weight": "gpt_neox.layers.{i}.attention.v_proj.weight",
+    "layers.{i}.attn.o.weight": "gpt_neox.layers.{i}.attention.dense.weight",
+    "layers.{i}.attn.q.bias": "gpt_neox.layers.{i}.attention.q_proj.bias",
+    "layers.{i}.attn.k.bias": "gpt_neox.layers.{i}.attention.k_proj.bias",
+    "layers.{i}.attn.v.bias": "gpt_neox.layers.{i}.attention.v_proj.bias",
+    "layers.{i}.attn.o.bias": "gpt_neox.layers.{i}.attention.dense.bias",
+    "layers.{i}.mlp.up.weight": "gpt_neox.layers.{i}.mlp.dense_h_to_4h.weight",
+    "layers.{i}.mlp.up.bias": "gpt_neox.layers.{i}.mlp.dense_h_to_4h.bias",
+    "layers.{i}.mlp.down.weight": "gpt_neox.layers.{i}.mlp.dense_4h_to_h.weight",
+    "layers.{i}.mlp.down.bias": "gpt_neox.layers.{i}.mlp.dense_4h_to_h.bias",
+}
+
+register(ArchSpec(
+    model_type="gpt_neox",
+    make_config=_gpt_neox_config,
+    convert_state=_gpt_neox_convert_state,
+    name_map=GPT_NEOX_NAME_MAP,
+    layer_modules=[
+        ["attention.q_proj", "attention.k_proj", "attention.v_proj"],
+        ["attention.dense"],
+        ["mlp.dense_h_to_4h"],
+        ["mlp.dense_4h_to_h"],
+    ],
+    module_slots={
+        "attention.q_proj": "attn.q", "attention.k_proj": "attn.k",
+        "attention.v_proj": "attn.v", "attention.dense": "attn.o",
+        "mlp.dense_h_to_4h": "mlp.up", "mlp.dense_4h_to_h": "mlp.down",
+    },
+    layers_prefix="gpt_neox.layers",
+))

@@ -67,6 +67,10 @@ class ModelConfig:
 
     # qwen3-family: per-head RMSNorm on q/k before rope
     qk_norm: bool = False
+    # gpt-neox/gptj-family: rope on only the first rotary_dim of head_dim
+    rotary_dim: Optional[int] = None
+    # gpt-neox: attn and mlp both read the post-input-norm x and add jointly
+    parallel_residual: bool = False
 
     @property
     def q_dim(self) -> int:
@@ -95,7 +99,8 @@ def apply_norm(np_: Dict[str, Any], x: jax.Array, kind: str, eps: float,
 
 # ---------------------------------------------------------------------- rope
 def _rope_inv_freq(cfg: ModelConfig) -> jax.Array:
-    inv_freq = 1.0 / (cfg.rope_theta ** (jnp.arange(0, cfg.head_dim, 2, dtype=jnp.float32) / cfg.head_dim))
+    rd = cfg.rotary_dim or cfg.head_dim
+    inv_freq = 1.0 / (cfg.rope_theta ** (jnp.arange(0, rd, 2, dtype=jnp.float32) / rd))
     rs = cfg.rope_scaling
     if rs and rs.get("rope_type", rs.get("type")) == "llama3":
         # HF llama3 frequency-dependent scaling (Llama-3.x checkpoints)
@@ -123,11 +128,17 @@ def rope_tables(cfg: ModelConfig, positions: jax.Array) -> Tuple[jax.Array, jax.
 
 
 def apply_rope(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
-    """x: [b, s, heads, hd]; cos/sin: [b, s, hd] (HF rotate_half convention)."""
-    half = x.shape[-1] // 2
-    x1, x2 = x[..., :half], x[..., half:]
+    """x: [b, s, heads, hd]; cos/sin: [b, s, rd] (HF rotate_half convention).
+    When rd < hd (partial rotary, gpt-neox style) the tail passes through."""
+    rd = cos.shape[-1]
+    xr, x_pass = x[..., :rd], x[..., rd:]
+    half = rd // 2
+    x1, x2 = xr[..., :half], xr[..., half:]
     rot = jnp.concatenate([-x2, x1], axis=-1)
-    return (x * cos[:, :, None, :] + rot * sin[:, :, None, :]).astype(x.dtype)
+    out = (xr * cos[:, :, None, :] + rot * sin[:, :, None, :]).astype(x.dtype)
+    if x_pass.shape[-1]:
+        out = jnp.concatenate([out, x_pass], axis=-1)
+    return out
 
 
 # ----------------------------------------------------------------- attention
@@ -279,12 +290,16 @@ def layer_forward(cfg: ModelConfig, lp: Dict[str, Any], x: jax.Array,
     if want_taps:
         taps["attn.o"] = attn_out
     attn_out = qlinear.apply(lp["attn"]["o"], attn_out, backend)
-    x = residual + attn_out
-    if not cfg.do_layer_norm_before:
-        x = apply_norm(lp["input_norm"], x, cfg.norm, cfg.norm_eps, cfg.rms_offset)
-
-    residual = x
-    h = apply_norm(lp["post_norm"], x, cfg.norm, cfg.norm_eps, cfg.rms_offset) if cfg.do_layer_norm_before else x
+    if cfg.parallel_residual:
+        # gpt-neox: x_out = x + attn(ln1 x) + mlp(ln2 x)
+        h = apply_norm(lp["post_norm"], x, cfg.norm, cfg.norm_eps, cfg.rms_offset)
+        residual = residual + attn_out
+    else:
+        x = residual + attn_out
+        if not cfg.do_layer_norm_before:
+            x = apply_norm(lp["input_norm"], x, cfg.norm, cfg.norm_eps, cfg.rms_offset)
+        residual = x
+        h = apply_norm(lp["post_norm"], x, cfg.norm, cfg.norm_eps, cfg.rms_offset) if cfg.do_layer_norm_before else x
     if "moe" in lp:
         mlp_out = _moe_forward(cfg, lp["moe"], h, taps if want_taps else None,
                                backend)

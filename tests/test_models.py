@@ -223,3 +223,19 @@ def test_starcoder2_forward_parity(rng):
     model = transformers.Starcoder2ForCausalLM(hf_cfg)
     ids = rng.integers(0, 256, size=(2, 16))
     _compare(model, ids)
+
+
+def test_gpt_neox_forward_parity(rng):
+    """Pythia family: parallel residual, partial rotary, interleaved fused
+    query_key_value."""
+    hf_cfg = transformers.GPTNeoXConfig(
+        vocab_size=256, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4,
+        max_position_embeddings=128, rotary_pct=0.25,
+        use_parallel_residual=True,
+        hidden_dropout=0.0, attention_dropout=0.0)
+    torch.manual_seed(15)
+    model = transformers.GPTNeoXForCausalLM(hf_cfg)
+    ids = rng.integers(0, 256, size=(2, 16))
+    cfg, params = _compare(model, ids)
+    assert cfg.parallel_residual and cfg.rotary_dim == 4
