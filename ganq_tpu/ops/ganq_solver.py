@@ -77,7 +77,8 @@ def _sstep_kernel(wt_ref, tt_ref, diag_ref, bandpad_ref, ltpad_hbm,
         # still zero in the ref and enter via the band corrections below
         Rblk = jax.lax.dot_general(
             lbuf[7:7 + blk, :], werrt_ref[:], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)     # [blk, TM]
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)    # [blk, TM] (f32 operands)
 
         for t in range(blk - 1, -1, -1):
             eff = wblk[t:t + 1, :] + r / dblk[t:t + 1, :]

@@ -92,9 +92,15 @@ def _lut_matmul_kernel(x_ref, lut_ref, idx_ref, o_ref, *, width: int,
         codes = unpack_plane(packed, bits, p)            # [TM, width]
         w = _select_tree_dequant(codes, lut, bits)       # [TM, width]
         xs = x_ref[:, p * width:(p + 1) * width]         # [TB, width]
+        # explicit precision (a global HIGHEST override is rejected by
+        # Mosaic for bf16/int operands): full passes for f32 inputs, the
+        # native single pass for bf16
+        prec = (jax.lax.Precision.HIGHEST if xs.dtype == jnp.float32
+                else jax.lax.Precision.DEFAULT)
         acc += jax.lax.dot_general(
             xs, w, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)          # [TB, TM]
+            preferred_element_type=jnp.float32,
+            precision=prec)                              # [TB, TM]
     o_ref[:] = acc.astype(o_ref.dtype)
 
 

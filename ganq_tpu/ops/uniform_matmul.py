@@ -64,9 +64,11 @@ def _uniform_kernel(x_ref, qw_ref, s_ref, z_ref, o_ref, *, width: int, gs: int):
             ws.append(((c - z_col) * s_col).astype(x_ref.dtype))
         w = ws[0] if len(ws) == 1 else jnp.concatenate(ws, axis=1)  # [TM, width]
         xs = x_ref[:, p * width:(p + 1) * width]
+        prec = (jax.lax.Precision.HIGHEST if xs.dtype == jnp.float32
+                else jax.lax.Precision.DEFAULT)
         acc += jax.lax.dot_general(
             xs, w, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)
+            preferred_element_type=jnp.float32, precision=prec)
     o_ref[:] = acc.astype(o_ref.dtype)
 
 

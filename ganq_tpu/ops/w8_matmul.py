@@ -57,9 +57,11 @@ def _pick_b_tile(B: int, block_b: int) -> int:
 
 def _w8_kernel(x_ref, w8_ref, s_ref, o_ref):
     w = w8_ref[:].astype(jnp.float32) * s_ref[:].astype(jnp.float32)
+    prec = (jax.lax.Precision.HIGHEST if x_ref.dtype == jnp.float32
+            else jax.lax.Precision.DEFAULT)
     acc = jax.lax.dot_general(
         x_ref[:], w.astype(x_ref.dtype), (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)
+        preferred_element_type=jnp.float32, precision=prec)
     o_ref[:] = acc.astype(o_ref.dtype)
 
 
