@@ -93,6 +93,8 @@ def params_from_state_dict(state: Dict[str, np.ndarray], hf_config: Dict[str, An
     params["embed_tokens"] = raw["embed_tokens"]
     if "embed_positions" in raw:
         params["embed_positions"] = raw["embed_positions"]
+    if "embed_norm" in raw:
+        params["embed_norm"] = raw["embed_norm"]
     for name in ("project_in", "project_out"):
         lin = to_linear(raw.get(name))
         if lin is not None:

@@ -684,3 +684,102 @@ register(ArchSpec(
     },
     layers_prefix="gpt_neox.layers",
 ))
+
+
+# ----------------------------------------------------------------------- bloom
+def _bloom_config(hf: Dict[str, Any]) -> ModelConfig:
+    heads = hf["n_head"]
+    h = hf["hidden_size"]
+    return ModelConfig(
+        model_type="bloom",
+        vocab_size=hf["vocab_size"],
+        hidden_size=h,
+        intermediate_size=4 * h,
+        num_hidden_layers=hf["n_layer"],
+        num_attention_heads=heads,
+        num_key_value_heads=heads,
+        head_dim=h // heads,
+        max_position_embeddings=2048,
+        norm="layernorm",
+        norm_eps=hf.get("layer_norm_epsilon", 1e-5),
+        act="gelu_tanh",
+        gated_mlp=False,
+        pos="alibi",
+        embed_norm=True,
+        attn_bias=True,
+        mlp_bias=True,
+        tie_word_embeddings=True,
+    )
+
+
+def _bloom_convert_state(state: Dict[str, Any], hf: Dict[str, Any]) -> Dict[str, Any]:
+    """Split bloom's per-head-interleaved query_key_value fusion."""
+    import numpy as _np
+
+    heads = hf["n_head"]
+    h = hf["hidden_size"]
+    hd = h // heads
+    out: Dict[str, Any] = {}
+    for k, v in state.items():
+        v = _np.asarray(v)
+        if ".self_attention.query_key_value." in k:
+            base = k.replace("query_key_value", "{}")
+            if k.endswith("weight"):
+                w = v.reshape(heads, 3, hd, h)
+                for i, name in enumerate(("q_proj", "k_proj", "v_proj")):
+                    out[base.format(name)] = _np.ascontiguousarray(
+                        w[:, i].reshape(h, h))
+            else:
+                b = v.reshape(heads, 3, hd)
+                for i, name in enumerate(("q_proj", "k_proj", "v_proj")):
+                    out[base.format(name)] = _np.ascontiguousarray(
+                        b[:, i].reshape(h))
+        else:
+            out[k] = v
+    return out
+
+
+BLOOM_NAME_MAP = {
+    "embed_tokens.weight": "transformer.word_embeddings.weight",
+    "embed_norm.weight": "transformer.word_embeddings_layernorm.weight",
+    "embed_norm.bias": "transformer.word_embeddings_layernorm.bias",
+    "final_norm.weight": "transformer.ln_f.weight",
+    "final_norm.bias": "transformer.ln_f.bias",
+    "lm_head.weight": "lm_head.weight",
+    "layers.{i}.input_norm.weight": "transformer.h.{i}.input_layernorm.weight",
+    "layers.{i}.input_norm.bias": "transformer.h.{i}.input_layernorm.bias",
+    "layers.{i}.post_norm.weight": "transformer.h.{i}.post_attention_layernorm.weight",
+    "layers.{i}.post_norm.bias": "transformer.h.{i}.post_attention_layernorm.bias",
+    "layers.{i}.attn.q.weight": "transformer.h.{i}.self_attention.q_proj.weight",
+    "layers.{i}.attn.k.weight": "transformer.h.{i}.self_attention.k_proj.weight",
+    "layers.{i}.attn.v.weight": "transformer.h.{i}.self_attention.v_proj.weight",
+    "layers.{i}.attn.o.weight": "transformer.h.{i}.self_attention.dense.weight",
+    "layers.{i}.attn.q.bias": "transformer.h.{i}.self_attention.q_proj.bias",
+    "layers.{i}.attn.k.bias": "transformer.h.{i}.self_attention.k_proj.bias",
+    "layers.{i}.attn.v.bias": "transformer.h.{i}.self_attention.v_proj.bias",
+    "layers.{i}.attn.o.bias": "transformer.h.{i}.self_attention.dense.bias",
+    "layers.{i}.mlp.up.weight": "transformer.h.{i}.mlp.dense_h_to_4h.weight",
+    "layers.{i}.mlp.up.bias": "transformer.h.{i}.mlp.dense_h_to_4h.bias",
+    "layers.{i}.mlp.down.weight": "transformer.h.{i}.mlp.dense_4h_to_h.weight",
+    "layers.{i}.mlp.down.bias": "transformer.h.{i}.mlp.dense_4h_to_h.bias",
+}
+
+register(ArchSpec(
+    model_type="bloom",
+    make_config=_bloom_config,
+    convert_state=_bloom_convert_state,
+    name_map=BLOOM_NAME_MAP,
+    layer_modules=[
+        ["self_attention.q_proj", "self_attention.k_proj",
+         "self_attention.v_proj"],
+        ["self_attention.dense"],
+        ["mlp.dense_h_to_4h"],
+        ["mlp.dense_4h_to_h"],
+    ],
+    module_slots={
+        "self_attention.q_proj": "attn.q", "self_attention.k_proj": "attn.k",
+        "self_attention.v_proj": "attn.v", "self_attention.dense": "attn.o",
+        "mlp.dense_h_to_4h": "mlp.up", "mlp.dense_4h_to_h": "mlp.down",
+    },
+    layers_prefix="transformer.h",
+))

@@ -71,6 +71,8 @@ class ModelConfig:
     rotary_dim: Optional[int] = None
     # gpt-neox: attn and mlp both read the post-input-norm x and add jointly
     parallel_residual: bool = False
+    # bloom: LayerNorm applied right after the token embedding
+    embed_norm: bool = False
 
     @property
     def q_dim(self) -> int:
@@ -143,21 +145,37 @@ def apply_rope(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
 
 # ----------------------------------------------------------------- attention
 def attention(q: jax.Array, k: jax.Array, v: jax.Array, mask: Optional[jax.Array],
-              scale: float) -> jax.Array:
+              scale: float, bias: Optional[jax.Array] = None) -> jax.Array:
     """q: [b, s, hq, d]; k,v: [b, t, hkv, d] -> [b, s, hq, d].
 
     GQA via grouped einsums — NOT jnp.repeat, which would materialize a
-    g-times copy of the whole KV cache on every decode step."""
+    g-times copy of the whole KV cache on every decode step. ``bias``
+    [hq, t] is the ALiBi additive term (shift-invariant per-key form)."""
     b, s, hq, d = q.shape
     hkv = k.shape[2]
     g = hq // hkv
     qg = q.reshape(b, s, hkv, g, d)
     logits = jnp.einsum("bshgd,bthd->bhgst", qg, k).astype(jnp.float32) * scale
+    if bias is not None:
+        logits = logits + bias.reshape(hkv, g, 1, -1)[None]
     if mask is not None:
         logits = jnp.where(mask[:, :, None], logits, jnp.finfo(jnp.float32).min)
     probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
     out = jnp.einsum("bhgst,bthd->bshgd", probs, v)
     return out.reshape(b, s, hq, d)
+
+
+def alibi_slopes(n_heads: int) -> jax.Array:
+    """ALiBi per-head slopes (press et al.; HF bloom build_alibi_tensor)."""
+    import math as _math
+    closest = 2 ** _math.floor(_math.log2(n_heads))
+    base = 2.0 ** (-(2.0 ** -(_math.log2(closest) - 3)))
+    slopes = [base ** (i + 1) for i in range(closest)]
+    if closest < n_heads:
+        extra_base = 2.0 ** (-(2.0 ** -(_math.log2(2 * closest) - 3)))
+        slopes += [extra_base ** (2 * i + 1)
+                   for i in range(n_heads - closest)]
+    return jnp.asarray(slopes, jnp.float32)
 
 
 def causal_mask(s: int, t: int, offset: int = 0) -> jax.Array:
@@ -278,14 +296,25 @@ def layer_forward(cfg: ModelConfig, lp: Dict[str, Any], x: jax.Array,
     else:
         new_cache = None
 
-    if is_prefill:
+    alibi = None
+    if cfg.pos == "alibi":
+        T = (new_cache["k"].shape[1] if (new_cache is not None and not is_prefill)
+             else k.shape[1])
+        alibi = (alibi_slopes(cfg.num_attention_heads)[:, None]
+                 * jnp.arange(T, dtype=jnp.float32)[None, :])  # [hq, T]
+
+    if is_prefill and alibi is None:
         from ..ops.attention import flash_attention
         attn_out = flash_attention(q, k.astype(q.dtype), v.astype(q.dtype),
                                    scale, causal=True)
+    elif is_prefill:
+        pre_mask = causal_mask(s, k.shape[1])
+        attn_out = attention(q, k.astype(q.dtype), v.astype(q.dtype),
+                             pre_mask, scale, bias=alibi)
     else:
         k_all = new_cache["k"].astype(q.dtype)
         v_all = new_cache["v"].astype(q.dtype)
-        attn_out = attention(q, k_all, v_all, mask, scale)
+        attn_out = attention(q, k_all, v_all, mask, scale, bias=alibi)
     attn_out = attn_out.reshape(b, s, cfg.q_dim)
     if want_taps:
         taps["attn.o"] = attn_out
@@ -361,6 +390,8 @@ def embed(cfg: ModelConfig, params: Dict[str, Any], input_ids: jax.Array,
     x = params["embed_tokens"]["weight"][input_ids]
     if cfg.embed_scale is not None:
         x = x * jnp.asarray(cfg.embed_scale, x.dtype)
+    if cfg.embed_norm and "embed_norm" in params:
+        x = apply_norm(params["embed_norm"], x, "layernorm", cfg.norm_eps)
     if "project_in" in params:
         x = qlinear.apply(params["project_in"], x)
     if cfg.pos == "learned":
@@ -394,4 +425,5 @@ def forward(cfg: ModelConfig, params: Dict[str, Any], input_ids: jax.Array,
 
 
 __all__ = ["ModelConfig", "layer_forward", "forward", "embed", "unembed",
-           "apply_norm", "rope_tables", "apply_rope", "attention", "causal_mask"]
+           "apply_norm", "rope_tables", "apply_rope", "attention",
+           "causal_mask", "alibi_slopes"]

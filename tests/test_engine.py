@@ -113,3 +113,23 @@ def test_top_p_restricts_support(rng):
     nucleus = eng.generate(prompt, max_new_tokens=6, temperature=1.0,
                            top_p=1e-6, seed=3)
     np.testing.assert_array_equal(nucleus, greedy)
+
+
+def test_bloom_cached_decode_matches_full_forward(rng):
+    """ALiBi + cache: per-key bias form must stay consistent between prefill
+    and incremental decode."""
+    hf_cfg = transformers.BloomConfig(
+        vocab_size=256, hidden_size=64, n_layer=2, n_head=4,
+        hidden_dropout=0.0, attention_dropout=0.0)
+    torch.manual_seed(17)
+    model = transformers.BloomForCausalLM(hf_cfg)
+    cfg, params = hf_import.params_from_torch_model(model)
+    prompt = rng.integers(0, 256, size=(1, 10)).astype(np.int32)
+    out = engine.Engine(cfg, params, max_seq=48).generate(prompt, max_new_tokens=6)
+
+    ids = prompt.copy()
+    for _ in range(6):
+        logits = transformer.forward(cfg, params, jnp.asarray(ids))
+        nxt = np.asarray(jnp.argmax(logits[:, -1, :], axis=-1))[:, None]
+        ids = np.concatenate([ids, nxt.astype(np.int32)], axis=1)
+    np.testing.assert_array_equal(out, ids[:, 10:])

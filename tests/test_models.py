@@ -239,3 +239,15 @@ def test_gpt_neox_forward_parity(rng):
     ids = rng.integers(0, 256, size=(2, 16))
     cfg, params = _compare(model, ids)
     assert cfg.parallel_residual and cfg.rotary_dim == 4
+
+
+def test_bloom_forward_parity(rng):
+    """ALiBi attention + embedding layernorm + interleaved fused QKV."""
+    hf_cfg = transformers.BloomConfig(
+        vocab_size=256, hidden_size=64, n_layer=2, n_head=4,
+        hidden_dropout=0.0, attention_dropout=0.0)
+    torch.manual_seed(16)
+    model = transformers.BloomForCausalLM(hf_cfg)
+    ids = rng.integers(0, 256, size=(2, 16))
+    cfg, params = _compare(model, ids)
+    assert cfg.pos == "alibi" and "embed_norm" in params
