@@ -100,26 +100,38 @@ def s_step_reference(W, L, T):
 
 
 # --------------------------------------------------------------------- T-step
-@partial(jax.jit, static_argnames=("k", "row_chunk"))
+@partial(jax.jit, static_argnames=("k", "row_chunk", "fast"))
 def t_step(WH: jax.Array, H: jax.Array, Q: jax.Array, k: int,
-           row_chunk: int = 256, rcond: float = 16 * 1.19e-7) -> jax.Array:
+           row_chunk: int = 256, rcond: float = 16 * 1.19e-7,
+           fast: bool = False) -> jax.Array:
     """Codebook refit: T[i] = (WH S_i^T) (S_i H S_i^T)^+ per row.
 
     Min-norm pseudo-inverse via symmetric eigh with a gelsd-style relative
     cutoff; rows whose codeword is unused get T entry 0 (matching the
     reference's lstsq min-norm behavior on singular S H S^T).
+
+    ``fast`` runs the O(m n^2 2^bits) one-hot contractions in bf16 with f32
+    accumulation (~8x MXU throughput; the one-hot factor is exact in bf16,
+    only H rounds) — the 7B-scale quantization-speed knob
+    (QuantizeConfig.hessian_dtype="bfloat16"); the 16x16 solves stay f32.
     """
     m, n = Q.shape
     pad = (-m) % row_chunk
     Qp = jnp.pad(Q, ((0, pad), (0, 0)))
     WHp = jnp.pad(WH, ((0, pad), (0, 0)))
+    cdt = jnp.bfloat16 if fast else jnp.float32
+    cprec = jax.lax.Precision.DEFAULT if fast else HIGH
+    Hc = H.astype(cdt)
 
     def solve_chunk(args):
         Qc, WHc = args                             # [rc, n], [rc, n]
-        E = jax.nn.one_hot(Qc, k, dtype=jnp.float32)        # [rc, n, k]
-        SH = jnp.einsum("rna,nl->ral", E, H, precision=HIGH)  # [rc, k, n]
-        SHST = jnp.einsum("ral,rlb->rab", SH, E, precision=HIGH)  # [rc, k, k]
-        WHST = jnp.einsum("rn,rna->ra", WHc, E, precision=HIGH)   # [rc, k]
+        E = jax.nn.one_hot(Qc, k, dtype=cdt)                # [rc, n, k]
+        SH = jnp.einsum("rna,nl->ral", E, Hc, precision=cprec,
+                        preferred_element_type=jnp.float32)   # [rc, k, n]
+        SHST = jnp.einsum("ral,rlb->rab", SH.astype(cdt), E, precision=cprec,
+                          preferred_element_type=jnp.float32)  # [rc, k, k]
+        WHST = jnp.einsum("rn,rna->ra", WHc.astype(cdt), E, precision=cprec,
+                          preferred_element_type=jnp.float32)  # [rc, k]
         SHST = 0.5 * (SHST + jnp.swapaxes(SHST, 1, 2))
         lam, V = jnp.linalg.eigh(SHST)             # ascending eigenvalues
         cutoff = rcond * jnp.maximum(lam[:, -1:], 0.0)
@@ -183,6 +195,7 @@ def ganq_quantize(W: jax.Array, H: jax.Array, qcfg: QuantizeConfig,
         from ..ops.ganq_solver import s_step_fits, s_step_pallas
         use_pallas = s_step_fits(m, n)
 
+    fast_t = qcfg.hessian_dtype == "bfloat16"
     best = (float("inf"), T, None)
     for _ in range(qcfg.ganq_iterations):
         if use_pallas:
@@ -190,7 +203,7 @@ def ganq_quantize(W: jax.Array, H: jax.Array, qcfg: QuantizeConfig,
             Q, _werr = s_step_pallas(prep.W, prep.L, T)
         else:
             Q, _werr = s_step(prep.W, prep.L, T)
-        T = t_step(WH, Hd, Q, k)
+        T = t_step(WH, Hd, Q, k, fast=fast_t)
         Wq = jnp.take_along_axis(T, Q, axis=1)
         dist = float(quad_loss(prep.W, Wq, Hd))
         if dist < best[0]:

@@ -154,3 +154,30 @@ def test_s_step_pallas_matches_scan(rng):
     assert agree > 0.999, f"pallas S-step agreement {agree}"
     np.testing.assert_allclose(np.asarray(Werr), np.asarray(Werr_ref),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_t_step_fast_close_to_exact(rng):
+    """bf16-contraction T-step (hessian_dtype='bfloat16') must track the f32
+    path closely: the one-hot factor is exact, only H rounds."""
+    m, n, k = 32, 96, 16
+    W = rng.normal(size=(m, n)).astype(np.float32)
+    H, _ = random_chol(rng, n)
+    Q = rng.integers(0, k, size=(m, n)).astype(np.int32)
+    WH = W @ H
+    T_exact = np.asarray(t_step(WH, H, Q, k))
+    T_fast = np.asarray(t_step(WH, H, Q, k, fast=True))
+    denom = np.abs(T_exact).max() + 1e-9
+    assert np.abs(T_fast - T_exact).max() / denom < 0.05
+
+
+def test_ganq_fast_hessian_dtype(rng):
+    W, H, nsamples = make_problem(rng, m=64, n=96, p=384)
+    cfg = QuantizeConfig(quant_method="ganq", ganq_iterations=3,
+                         act_sort="asc", l_damp_style="ganq", dead="mean",
+                         hessian_dtype="bfloat16")
+    res = ganq_quantize(W, H, cfg, nsamples)
+    cfg32 = QuantizeConfig(quant_method="ganq", ganq_iterations=3,
+                           act_sort="asc", l_damp_style="ganq", dead="mean")
+    res32 = ganq_quantize(W, H, cfg32, nsamples)
+    # fast path stays within a few percent of the exact quad loss
+    assert res.quad_loss < res32.quad_loss * 1.1
