@@ -783,3 +783,120 @@ register(ArchSpec(
     },
     layers_prefix="transformer.h",
 ))
+
+
+# ---------------------------------------------------------------------- falcon
+def _falcon_config(hf: Dict[str, Any]) -> ModelConfig:
+    heads = hf["num_attention_heads"]
+    h = hf["hidden_size"]
+    hd = h // heads
+    if hf.get("new_decoder_architecture", False):
+        kv = hf.get("num_kv_heads", heads)
+    elif hf.get("multi_query", True):
+        kv = 1
+    else:
+        kv = heads
+    return ModelConfig(
+        model_type="falcon",
+        vocab_size=hf["vocab_size"],
+        hidden_size=h,
+        intermediate_size=hf.get("ffn_hidden_size", 4 * h),
+        num_hidden_layers=hf["num_hidden_layers"],
+        num_attention_heads=heads,
+        num_key_value_heads=kv,
+        head_dim=hd,
+        max_position_embeddings=hf.get("max_position_embeddings", 2048),
+        norm="layernorm",
+        norm_eps=hf.get("layer_norm_epsilon", 1e-5),
+        act="gelu",
+        gated_mlp=False,
+        pos="alibi" if hf.get("alibi", False) else "rope",
+        rope_theta=hf.get("rope_theta", 10000.0),
+        parallel_residual=hf.get("parallel_attn", True),
+        attn_bias=hf.get("bias", False),
+        mlp_bias=hf.get("bias", False),
+        tie_word_embeddings=True,
+    )
+
+
+def _falcon_convert_state(state: Dict[str, Any], hf: Dict[str, Any]) -> Dict[str, Any]:
+    """Normalize falcon naming: split fused query_key_value (q heads, then
+    k, then v rows per kv group) and unify the norm names across the 7b
+    (single ln) and new-decoder (ln_attn/ln_mlp) layouts."""
+    import numpy as _np
+
+    heads = hf["num_attention_heads"]
+    h = hf["hidden_size"]
+    hd = h // heads
+    cfg = _falcon_config(hf)
+    kv = cfg.num_key_value_heads
+    out: Dict[str, Any] = {}
+    for k, v in state.items():
+        v = _np.asarray(v)
+        if ".self_attention.query_key_value." in k and k.endswith("weight"):
+            base = k.replace("query_key_value", "{}")
+            if hf.get("new_decoder_architecture", False):
+                # grouped layout: [kv groups, q_per_group + 2, hd, h]
+                g = heads // kv
+                w = v.reshape(kv, g + 2, hd, h)
+                out[base.format("q_proj")] = _np.ascontiguousarray(
+                    w[:, :g].reshape(heads * hd, h))
+                out[base.format("k_proj")] = _np.ascontiguousarray(
+                    w[:, g].reshape(kv * hd, h))
+                out[base.format("v_proj")] = _np.ascontiguousarray(
+                    w[:, g + 1].reshape(kv * hd, h))
+            else:
+                out[base.format("q_proj")] = _np.ascontiguousarray(v[:heads * hd])
+                out[base.format("k_proj")] = _np.ascontiguousarray(
+                    v[heads * hd:heads * hd + kv * hd])
+                out[base.format("v_proj")] = _np.ascontiguousarray(
+                    v[heads * hd + kv * hd:])
+        elif ".ln_attn." in k:
+            out[k.replace("ln_attn", "input_layernorm")] = v
+        elif ".ln_mlp." in k:
+            out[k.replace("ln_mlp", "mlp_layernorm")] = v
+        elif ".input_layernorm." in k:
+            # 7b-style single norm feeds both branches
+            out[k] = v
+            out[k.replace("input_layernorm", "mlp_layernorm")] = v.copy()
+        else:
+            out[k] = v
+    return out
+
+
+FALCON_NAME_MAP = {
+    "embed_tokens.weight": "transformer.word_embeddings.weight",
+    "final_norm.weight": "transformer.ln_f.weight",
+    "final_norm.bias": "transformer.ln_f.bias",
+    "lm_head.weight": "lm_head.weight",
+    "layers.{i}.input_norm.weight": "transformer.h.{i}.input_layernorm.weight",
+    "layers.{i}.input_norm.bias": "transformer.h.{i}.input_layernorm.bias",
+    "layers.{i}.post_norm.weight": "transformer.h.{i}.mlp_layernorm.weight",
+    "layers.{i}.post_norm.bias": "transformer.h.{i}.mlp_layernorm.bias",
+    "layers.{i}.attn.q.weight": "transformer.h.{i}.self_attention.q_proj.weight",
+    "layers.{i}.attn.k.weight": "transformer.h.{i}.self_attention.k_proj.weight",
+    "layers.{i}.attn.v.weight": "transformer.h.{i}.self_attention.v_proj.weight",
+    "layers.{i}.attn.o.weight": "transformer.h.{i}.self_attention.dense.weight",
+    "layers.{i}.mlp.up.weight": "transformer.h.{i}.mlp.dense_h_to_4h.weight",
+    "layers.{i}.mlp.down.weight": "transformer.h.{i}.mlp.dense_4h_to_h.weight",
+}
+
+register(ArchSpec(
+    model_type="falcon",
+    make_config=_falcon_config,
+    convert_state=_falcon_convert_state,
+    name_map=FALCON_NAME_MAP,
+    layer_modules=[
+        ["self_attention.q_proj", "self_attention.k_proj",
+         "self_attention.v_proj"],
+        ["self_attention.dense"],
+        ["mlp.dense_h_to_4h"],
+        ["mlp.dense_4h_to_h"],
+    ],
+    module_slots={
+        "self_attention.q_proj": "attn.q", "self_attention.k_proj": "attn.k",
+        "self_attention.v_proj": "attn.v", "self_attention.dense": "attn.o",
+        "mlp.dense_h_to_4h": "mlp.up", "mlp.dense_4h_to_h": "mlp.down",
+    },
+    layers_prefix="transformer.h",
+))

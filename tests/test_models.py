@@ -251,3 +251,18 @@ def test_bloom_forward_parity(rng):
     ids = rng.integers(0, 256, size=(2, 16))
     cfg, params = _compare(model, ids)
     assert cfg.pos == "alibi" and "embed_norm" in params
+
+
+def test_falcon_forward_parity(rng):
+    """Falcon-7b style: parallel attention with a single shared layernorm,
+    multi-query attention, fused QKV."""
+    hf_cfg = transformers.FalconConfig(
+        vocab_size=256, hidden_size=64, num_hidden_layers=2,
+        num_attention_heads=4, multi_query=True, parallel_attn=True,
+        new_decoder_architecture=False, bias=False, alibi=False,
+        hidden_dropout=0.0, attention_dropout=0.0)
+    torch.manual_seed(18)
+    model = transformers.FalconForCausalLM(hf_cfg)
+    ids = rng.integers(0, 256, size=(2, 16))
+    cfg, params = _compare(model, ids)
+    assert cfg.num_key_value_heads == 1 and cfg.parallel_residual
