@@ -17,8 +17,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .core.backend import BACKEND, select_backend
-from .core.config import FORMAT, QUANT_METHOD, QuantizeConfig
+from .core.backend import select_backend
+from .core.config import QuantizeConfig
 from .formats import checkpoint
 from .models import hf_import
 from .models.registry import get_spec

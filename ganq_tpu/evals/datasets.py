@@ -10,7 +10,7 @@ framework accepts raw token arrays).
 
 from __future__ import annotations
 
-from typing import List, Optional
+from typing import List
 
 import numpy as np
 

@@ -324,6 +324,8 @@ def quantize_model(
                                    method=str(eff.quant_method), loss=avg_loss,
                                    damp=damp, duration=time.perf_counter() - t0))
 
+    from ..utils.observability import quant_log_table
+    log.info("quantization summary:\n" + quant_log_table(qlog))
     return QuantizeOutput(params=params, artifacts=artifacts, log=qlog)
 
 
