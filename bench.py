@@ -75,15 +75,16 @@ def main():
             return 0.0
 
     backend = "pallas" if on_tpu else "reference"
+    # measurement order: the headline pair first, so a driver-side timeout
+    # after partial progress still leaves the informative paths compiled
     tps_dense = safe("bf16", "dense", "reference", batch, prompt, steps, max_seq)
     tps_w8a8 = safe("w8a8", "w8", "pallas_a8" if on_tpu else "reference",
                     batch, prompt, steps, max_seq)
-    tps_w8 = safe("w8", "w8", backend, batch, prompt, steps, max_seq)
     tps_lut = safe("lut", "lut", backend, batch, prompt, steps, max_seq)
     if tps_dense <= 0:
         tps_dense = 1e-9
 
-    best = max(tps_w8, tps_lut, tps_w8a8)
+    best = max(tps_lut, tps_w8a8)
     speedup = best / tps_dense
     print(json.dumps({
         "metric": "ganq_w4_decode_speedup_vs_bf16",
@@ -93,7 +94,6 @@ def main():
         "detail": {
             "tokens_per_s_best": round(best, 1),
             "tokens_per_s_lut_exact": round(tps_lut, 1),
-            "tokens_per_s_w8_recode": round(tps_w8, 1),
             "tokens_per_s_w8a8_dynamic": round(tps_w8a8, 1),
             "tokens_per_s_bf16": round(tps_dense, 1),
             "reference_baseline": "GANQ paper Table 5: 2.11x W4 vs fp16 decode (RTX 4090)",
