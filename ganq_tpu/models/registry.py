@@ -162,10 +162,11 @@ register(ArchSpec(
 
 # llama-family derivatives sharing the spec verbatim — only architectures
 # whose module structure and tensor names truly match llama's (qkv biases are
-# picked up by presence). Lookalikes with extra machinery (qwen3 q/k norms,
-# olmo2 post-norms, stablelm partial rope, granite multipliers, deci
-# variable GQA, remote-code arches) are intentionally NOT aliased: wrong
-# silently is worse than unsupported loudly.
+# picked up by presence). Lookalikes with extra machinery get their own specs
+# below (qwen3 q/k norms, olmo2 post-norms, stablelm partial rope); those
+# with still-unmodeled machinery (granite multipliers, deci variable GQA,
+# remote-code arches) are intentionally NOT aliased: wrong silently is worse
+# than unsupported loudly.
 for _mt in ("mistral", "qwen2", "yi", "mobilellm"):
     register(ArchSpec(
         model_type=_mt,
@@ -510,6 +511,85 @@ register(ArchSpec(
     model_type="qwen3",
     make_config=_qwen3_config,
     name_map=QWEN3_NAME_MAP,
+    layer_modules=LLAMA_LAYER_MODULES,
+    module_slots=LLAMA_SLOTS,
+))
+
+
+# ---------------------------------------------------------------------- olmo2
+def _olmo2_config(hf: Dict[str, Any]) -> ModelConfig:
+    """OLMo2: llama-shaped weights, but norms are applied to each sublayer's
+    output before the residual add, and q/k get flat RMSNorms pre-reshape
+    (reference definitions use the HF module tree; see
+    gptqmodel/models/definitions/olmo2.py)."""
+    base = _llama_config(hf)
+    import dataclasses as _dc
+    return _dc.replace(base, model_type="olmo2", qk_norm="flat",
+                       norm_after_sublayer=True)
+
+
+OLMO2_NAME_MAP = {
+    "embed_tokens.weight": "model.embed_tokens.weight",
+    "final_norm.weight": "model.norm.weight",
+    "lm_head.weight": "lm_head.weight",
+    # input_norm/post_norm slots hold the POST-sublayer norms (see
+    # ModelConfig.norm_after_sublayer)
+    "layers.{i}.input_norm.weight": "model.layers.{i}.post_attention_layernorm.weight",
+    "layers.{i}.post_norm.weight": "model.layers.{i}.post_feedforward_layernorm.weight",
+    "layers.{i}.attn.q.weight": "model.layers.{i}.self_attn.q_proj.weight",
+    "layers.{i}.attn.k.weight": "model.layers.{i}.self_attn.k_proj.weight",
+    "layers.{i}.attn.v.weight": "model.layers.{i}.self_attn.v_proj.weight",
+    "layers.{i}.attn.o.weight": "model.layers.{i}.self_attn.o_proj.weight",
+    "layers.{i}.attn.q_norm.weight": "model.layers.{i}.self_attn.q_norm.weight",
+    "layers.{i}.attn.k_norm.weight": "model.layers.{i}.self_attn.k_norm.weight",
+    "layers.{i}.mlp.gate.weight": "model.layers.{i}.mlp.gate_proj.weight",
+    "layers.{i}.mlp.up.weight": "model.layers.{i}.mlp.up_proj.weight",
+    "layers.{i}.mlp.down.weight": "model.layers.{i}.mlp.down_proj.weight",
+}
+
+register(ArchSpec(
+    model_type="olmo2",
+    make_config=_olmo2_config,
+    name_map=OLMO2_NAME_MAP,
+    layer_modules=LLAMA_LAYER_MODULES,
+    module_slots=LLAMA_SLOTS,
+))
+
+
+# ------------------------------------------------------------------- stablelm
+def _stablelm_config(hf: Dict[str, Any]) -> ModelConfig:
+    """StableLM: llama-style gated MLP but LayerNorm (with bias) and partial
+    rotary (rotary_pct of head_dim). The 12b's qk_layernorm and parallel
+    residual variant are unsupported — raise instead of importing wrong."""
+    if hf.get("qk_layernorm", False):
+        raise NotImplementedError("stablelm qk_layernorm variant")
+    if hf.get("use_parallel_residual", False):
+        raise NotImplementedError("stablelm parallel-residual variant")
+    heads = hf["num_attention_heads"]
+    hd = hf["hidden_size"] // heads
+    base = _llama_config(hf)
+    import dataclasses as _dc
+    return _dc.replace(
+        base, model_type="stablelm",
+        norm="layernorm",
+        norm_eps=hf.get("layer_norm_eps", 1e-5),
+        head_dim=hd,
+        rotary_dim=int(hd * hf.get("partial_rotary_factor", 0.25)),
+        attn_bias=hf.get("use_qkv_bias", False),
+    )
+
+
+STABLELM_NAME_MAP = dict(LLAMA_NAME_MAP)
+STABLELM_NAME_MAP.update({
+    "layers.{i}.input_norm.bias": "model.layers.{i}.input_layernorm.bias",
+    "layers.{i}.post_norm.bias": "model.layers.{i}.post_attention_layernorm.bias",
+    "final_norm.bias": "model.norm.bias",
+})
+
+register(ArchSpec(
+    model_type="stablelm",
+    make_config=_stablelm_config,
+    name_map=STABLELM_NAME_MAP,
     layer_modules=LLAMA_LAYER_MODULES,
     module_slots=LLAMA_SLOTS,
 ))

@@ -65,14 +65,21 @@ class ModelConfig:
     num_experts: int = 0               # 0 = dense mlp
     num_experts_per_tok: int = 2
 
-    # qwen3-family: per-head RMSNorm on q/k before rope
-    qk_norm: bool = False
+    # q/k normalization before rope: False | True/"head" (qwen3: per-head
+    # RMSNorm over head_dim) | "flat" (olmo2: RMSNorm over the whole q/kv
+    # projection dim, applied before the head reshape)
+    qk_norm: Any = False
     # gpt-neox/gptj-family: rope on only the first rotary_dim of head_dim
     rotary_dim: Optional[int] = None
     # gpt-neox: attn and mlp both read the post-input-norm x and add jointly
     parallel_residual: bool = False
     # bloom: LayerNorm applied right after the token embedding
     embed_norm: bool = False
+    # olmo2: norms are applied to each sublayer's OUTPUT before the residual
+    # add (x += norm(attn(x)); x += norm(mlp(x))) instead of to its input.
+    # The "input_norm"/"post_norm" slots then hold HF's
+    # post_attention_layernorm / post_feedforward_layernorm respectively.
+    norm_after_sublayer: bool = False
 
     @property
     def q_dim(self) -> int:
@@ -251,7 +258,10 @@ def layer_forward(cfg: ModelConfig, lp: Dict[str, Any], x: jax.Array,
     scale = cfg.attn_scale if cfg.attn_scale is not None else 1.0 / math.sqrt(cfg.head_dim)
 
     residual = x
-    h = apply_norm(lp["input_norm"], x, cfg.norm, cfg.norm_eps, cfg.rms_offset) if cfg.do_layer_norm_before else x
+    if cfg.norm_after_sublayer or not cfg.do_layer_norm_before:
+        h = x
+    else:
+        h = apply_norm(lp["input_norm"], x, cfg.norm, cfg.norm_eps, cfg.rms_offset)
     if want_taps:
         taps["attn.q"] = taps["attn.k"] = taps["attn.v"] = h
 
@@ -264,11 +274,20 @@ def layer_forward(cfg: ModelConfig, lp: Dict[str, Any], x: jax.Array,
         q = qlinear.apply(lp["attn"]["q"], h, backend)
         k = qlinear.apply(lp["attn"]["k"], h, backend)
         v = qlinear.apply(lp["attn"]["v"], h, backend)
+    if cfg.qk_norm == "flat":
+        # olmo2: RMSNorm over the full projection dim, pre-reshape
+        def flat_norm(t, w):
+            tf = t.astype(jnp.float32)
+            var = jnp.mean(tf * tf, axis=-1, keepdims=True)
+            return (tf * jax.lax.rsqrt(var + cfg.norm_eps)
+                    * w.astype(jnp.float32)).astype(t.dtype)
+        q = flat_norm(q, lp["attn"]["q_norm"]["weight"])
+        k = flat_norm(k, lp["attn"]["k_norm"]["weight"])
     q = q.reshape(b, s, cfg.num_attention_heads, cfg.head_dim)
     k = k.reshape(b, s, cfg.num_key_value_heads, cfg.head_dim)
     v = v.reshape(b, s, cfg.num_key_value_heads, cfg.head_dim)
 
-    if cfg.qk_norm:
+    if cfg.qk_norm in (True, "head"):
         # per-head RMSNorm over head_dim (qwen3): weights [head_dim]
         def hd_norm(t, w):
             tf = t.astype(jnp.float32)
@@ -319,7 +338,13 @@ def layer_forward(cfg: ModelConfig, lp: Dict[str, Any], x: jax.Array,
     if want_taps:
         taps["attn.o"] = attn_out
     attn_out = qlinear.apply(lp["attn"]["o"], attn_out, backend)
-    if cfg.parallel_residual:
+    if cfg.norm_after_sublayer:
+        # olmo2: x += post_attention_layernorm(attn_out)
+        x = residual + apply_norm(lp["input_norm"], attn_out, cfg.norm,
+                                  cfg.norm_eps, cfg.rms_offset)
+        residual = x
+        h = x
+    elif cfg.parallel_residual:
         # gpt-neox: x_out = x + attn(ln1 x) + mlp(ln2 x)
         h = apply_norm(lp["post_norm"], x, cfg.norm, cfg.norm_eps, cfg.rms_offset)
         residual = residual + attn_out
@@ -338,6 +363,7 @@ def layer_forward(cfg: ModelConfig, lp: Dict[str, Any], x: jax.Array,
         if ("gateup" in lp["mlp"] and backend == "pallas_a8"
                 and lp["mlp"]["gateup"].kind == "w8"
                 and lp["mlp"]["down"].kind == "w8"
+                and not cfg.norm_after_sublayer  # kernel norms input, not output
                 and b * s <= 64):  # decode-shaped; prefill uses w8a8 matmuls
             # whole-MLP megakernel: norm + gate/up + act + down + residual
             # in one op instead of ~eight (ops/fused_mlp.py)
@@ -377,6 +403,11 @@ def layer_forward(cfg: ModelConfig, lp: Dict[str, Any], x: jax.Array,
         if want_taps:
             taps["mlp.down"] = a
         mlp_out = qlinear.apply(lp["mlp"]["down"], a, backend)
+    if cfg.norm_after_sublayer:
+        # olmo2: x += post_feedforward_layernorm(mlp_out)
+        x = residual + apply_norm(lp["post_norm"], mlp_out, cfg.norm,
+                                  cfg.norm_eps, cfg.rms_offset)
+        return x, new_cache, taps
     x = residual + mlp_out
     if not cfg.do_layer_norm_before:
         x = apply_norm(lp["post_norm"], x, cfg.norm, cfg.norm_eps, cfg.rms_offset)

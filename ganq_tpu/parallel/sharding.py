@@ -106,6 +106,9 @@ def param_specs(cfg: ModelConfig, params: Dict[str, Any],
             },
             "mlp": {},
         }
+        for nk in ("q_norm", "k_norm"):  # qwen3/olmo2 q/k norms: replicated
+            if nk in lp["attn"]:
+                ls["attn"][nk] = {k: P() for k in lp["attn"][nk]}
         for k in lp["mlp"]:
             ls["mlp"][k] = row(lp["mlp"][k]) if k == "down" else col(lp["mlp"][k])
         if "moe" in lp:

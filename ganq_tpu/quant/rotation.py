@@ -42,6 +42,10 @@ def fuse_norms(cfg: ModelConfig, params: Dict[str, Any]) -> None:
     """Fold all RMSNorm scales into adjacent linears, in place."""
     if cfg.norm != "rmsnorm":
         raise ValueError("norm fusing requires an RMSNorm architecture")
+    if cfg.norm_after_sublayer:
+        # olmo2: norms act on sublayer outputs, so they are not input scales
+        # of the q/k/v/gate/up linears and cannot be folded this way
+        raise ValueError("norm fusing requires pre-norm (norm_after_sublayer=False)")
     for lp in params["layers"]:
         w_in = lp["input_norm"]["weight"].astype(jnp.float32) + cfg.rms_offset
         for k in ("q", "k", "v"):

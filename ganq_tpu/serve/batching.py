@@ -67,7 +67,11 @@ def _decode_layer(cfg, lp, x, mask, rope, lc, pos, backend):
     b, s, _ = x.shape
     scale = cfg.attn_scale if cfg.attn_scale is not None else 1.0 / _math.sqrt(cfg.head_dim)
     residual = x
-    h = apply_norm(lp["input_norm"], x, cfg.norm, cfg.norm_eps) if cfg.do_layer_norm_before else x
+    if cfg.norm_after_sublayer or not cfg.do_layer_norm_before:
+        h = x
+    else:
+        h = apply_norm(lp["input_norm"], x, cfg.norm, cfg.norm_eps,
+                       cfg.rms_offset)
     if "qkv" in lp["attn"]:
         qkv = ql.apply(lp["attn"]["qkv"], h, backend)
         q = qkv[..., :cfg.q_dim]
@@ -77,9 +81,22 @@ def _decode_layer(cfg, lp, x, mask, rope, lc, pos, backend):
         q = ql.apply(lp["attn"]["q"], h, backend)
         k = ql.apply(lp["attn"]["k"], h, backend)
         v = ql.apply(lp["attn"]["v"], h, backend)
+
+    def _rms(t, w):
+        tf = t.astype(jnp.float32)
+        var = jnp.mean(tf * tf, axis=-1, keepdims=True)
+        return (tf * jax.lax.rsqrt(var + cfg.norm_eps)
+                * w.astype(jnp.float32)).astype(t.dtype)
+
+    if cfg.qk_norm == "flat":  # olmo2: norm over full proj dim, pre-reshape
+        q = _rms(q, lp["attn"]["q_norm"]["weight"])
+        k = _rms(k, lp["attn"]["k_norm"]["weight"])
     q = q.reshape(b, 1, cfg.num_attention_heads, cfg.head_dim)
     k = k.reshape(b, 1, cfg.num_key_value_heads, cfg.head_dim)
     v = v.reshape(b, 1, cfg.num_key_value_heads, cfg.head_dim)
+    if cfg.qk_norm in (True, "head"):  # qwen3: per-head norm over head_dim
+        q = _rms(q, lp["attn"]["q_norm"]["weight"])
+        k = _rms(k, lp["attn"]["k_norm"]["weight"])
     if cfg.pos == "rope":
         from ..models.transformer import apply_rope
         cos, sin = rope
@@ -96,12 +113,20 @@ def _decode_layer(cfg, lp, x, mask, rope, lc, pos, backend):
     attn = attention(q, ck.astype(q.dtype), cv.astype(q.dtype), mask, scale)
     attn = attn.reshape(b, 1, cfg.q_dim)
     attn = ql.apply(lp["attn"]["o"], attn, backend)
-    x = residual + attn
-    if not cfg.do_layer_norm_before:
-        x = apply_norm(lp["input_norm"], x, cfg.norm, cfg.norm_eps)
+    if cfg.norm_after_sublayer:  # olmo2: x += norm(attn_out)
+        x = residual + apply_norm(lp["input_norm"], attn, cfg.norm,
+                                  cfg.norm_eps, cfg.rms_offset)
+    else:
+        x = residual + attn
+        if not cfg.do_layer_norm_before:
+            x = apply_norm(lp["input_norm"], x, cfg.norm, cfg.norm_eps)
 
     residual = x
-    h = apply_norm(lp["post_norm"], x, cfg.norm, cfg.norm_eps) if cfg.do_layer_norm_before else x
+    if cfg.norm_after_sublayer or not cfg.do_layer_norm_before:
+        h = x
+    else:
+        h = apply_norm(lp["post_norm"], x, cfg.norm, cfg.norm_eps,
+                       cfg.rms_offset)
     if cfg.gated_mlp:
         if "gateup" in lp["mlp"]:
             gu = ql.apply(lp["mlp"]["gateup"], h, backend)
@@ -113,6 +138,10 @@ def _decode_layer(cfg, lp, x, mask, rope, lc, pos, backend):
     else:
         a = _activation(ql.apply(lp["mlp"]["up"], h, backend), cfg.act)
     out = ql.apply(lp["mlp"]["down"], a, backend)
+    if cfg.norm_after_sublayer:  # olmo2: x += norm(mlp_out)
+        x = residual + apply_norm(lp["post_norm"], out, cfg.norm,
+                                  cfg.norm_eps, cfg.rms_offset)
+        return x, lc
     x = residual + out
     if not cfg.do_layer_norm_before:
         x = apply_norm(lp["post_norm"], x, cfg.norm, cfg.norm_eps)

@@ -133,3 +133,24 @@ def test_bloom_cached_decode_matches_full_forward(rng):
         nxt = np.asarray(jnp.argmax(logits[:, -1, :], axis=-1))[:, None]
         ids = np.concatenate([ids, nxt.astype(np.int32)], axis=1)
     np.testing.assert_array_equal(out, ids[:, 10:])
+
+
+def test_olmo2_cached_decode_matches_full_forward(rng):
+    """Post-sublayer norms + flat qk-norms must stay consistent between the
+    prefill path and incremental cached decode."""
+    hf_cfg = transformers.Olmo2Config(
+        vocab_size=256, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=256, attention_dropout=0.0)
+    torch.manual_seed(21)
+    model = transformers.Olmo2ForCausalLM(hf_cfg)
+    cfg, params = hf_import.params_from_torch_model(model)
+    prompt = rng.integers(0, 256, size=(1, 10)).astype(np.int32)
+    out = engine.Engine(cfg, params, max_seq=48).generate(prompt, max_new_tokens=6)
+
+    ids = prompt.copy()
+    for _ in range(6):
+        logits = transformer.forward(cfg, params, jnp.asarray(ids))
+        nxt = np.asarray(jnp.argmax(logits[:, -1, :], axis=-1))[:, None]
+        ids = np.concatenate([ids, nxt.astype(np.int32)], axis=1)
+    np.testing.assert_array_equal(out, ids[:, 10:])

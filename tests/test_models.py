@@ -197,7 +197,7 @@ def test_unsupported_arch_fails_loudly():
     from ganq_tpu.models.registry import get_spec
     import pytest as _pt
     with _pt.raises(KeyError, match="Unsupported architecture"):
-        get_spec("olmo2")  # post-norm layout not modeled; must not alias
+        get_spec("granite")  # residual/logit multipliers not modeled; must not alias
 
 
 def test_qwen3_forward_parity(rng):
@@ -266,3 +266,48 @@ def test_falcon_forward_parity(rng):
     ids = rng.integers(0, 256, size=(2, 16))
     cfg, params = _compare(model, ids)
     assert cfg.num_key_value_heads == 1 and cfg.parallel_residual
+
+
+def test_olmo2_forward_parity(rng):
+    """OLMo2: post-sublayer norms (x += norm(sublayer(x))) + flat q/k
+    RMSNorms applied before the head reshape."""
+    hf_cfg = transformers.Olmo2Config(
+        vocab_size=256, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=128, attention_dropout=0.0)
+    torch.manual_seed(19)
+    model = transformers.Olmo2ForCausalLM(hf_cfg)
+    ids = rng.integers(0, 256, size=(2, 16))
+    cfg, params = _compare(model, ids)
+    assert cfg.norm_after_sublayer and cfg.qk_norm == "flat"
+    # flat norms span the whole projection, not one head
+    assert params["layers"][0]["attn"]["q_norm"]["weight"].shape == (cfg.q_dim,)
+    assert params["layers"][0]["attn"]["k_norm"]["weight"].shape == (cfg.kv_dim,)
+
+
+def test_stablelm_forward_parity(rng):
+    """StableLM: gated MLP + LayerNorm with bias + partial rotary + qkv bias."""
+    hf_cfg = transformers.StableLmConfig(
+        vocab_size=256, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=128, partial_rotary_factor=0.5,
+        use_qkv_bias=True, attention_dropout=0.0, hidden_dropout=0.0)
+    torch.manual_seed(20)
+    model = transformers.StableLmForCausalLM(hf_cfg)
+    ids = rng.integers(0, 256, size=(2, 16))
+    cfg, params = _compare(model, ids)
+    assert cfg.norm == "layernorm" and cfg.rotary_dim == 8
+    assert "bias" in params["layers"][0]["input_norm"]
+    assert params["layers"][0]["attn"]["q"]["bias"] is not None
+
+
+def test_stablelm_unsupported_variants_raise():
+    from ganq_tpu.models.registry import get_spec
+    spec = get_spec("stablelm")
+    base = dict(vocab_size=64, hidden_size=32, intermediate_size=64,
+                num_hidden_layers=1, num_attention_heads=2,
+                num_key_value_heads=2)
+    with pytest.raises(NotImplementedError):
+        spec.make_config({**base, "qk_layernorm": True})
+    with pytest.raises(NotImplementedError):
+        spec.make_config({**base, "use_parallel_residual": True})

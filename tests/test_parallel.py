@@ -97,3 +97,24 @@ def test_sequence_sharded_prefill(rng):
     with jax.set_mesh(mesh):
         out = np.asarray(transformer.forward(cfg, sparams, ids))
     np.testing.assert_allclose(out, ref, atol=3e-4, rtol=3e-4)
+
+
+def test_sharded_qwen3_forward(rng):
+    """q/k norm params must have matching (replicated) specs in param_specs —
+    regression for the spec-tree/params-tree structure mismatch."""
+    import transformers, torch
+    hf_cfg = transformers.Qwen3Config(
+        vocab_size=256, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=1, num_attention_heads=8, num_key_value_heads=8,
+        head_dim=8, max_position_embeddings=128)
+    torch.manual_seed(22)
+    model = transformers.Qwen3ForCausalLM(hf_cfg)
+    from ganq_tpu.models import hf_import as hfi
+    cfg, params = hfi.params_from_torch_model(model)
+    ids = jnp.asarray(rng.integers(0, 256, size=(2, 8)))
+    ref = np.asarray(transformer.forward(cfg, params, ids))
+    mesh = sharding.make_mesh(data=1, model=8)
+    sparams = sharding.shard_params(cfg, params, mesh)
+    with jax.set_mesh(mesh):
+        out = np.asarray(transformer.forward(cfg, sparams, ids))
+    np.testing.assert_allclose(out, ref, atol=2e-4, rtol=1e-4)
