@@ -195,6 +195,44 @@ class GanqModel:
                 [t for t in out[0].tolist() if t != eos])
         return out
 
+    def generate_stream(self, inputs: Union[str, Sequence[int], np.ndarray],
+                        max_new_tokens: int = 64, temperature: float = 0.0,
+                        top_k: int = 0, top_p: float = 1.0,
+                        max_seq: int = 2048, seed: int = 0):
+        """Incremental generate: yields text deltas for string input, token
+        ids otherwise (the engine of the server's SSE streaming mode).
+
+        Text deltas are computed by re-decoding the accumulated ids and
+        emitting the suffix, so BPE merges and multi-byte characters never
+        split across chunks."""
+        is_str = isinstance(inputs, str)
+        if is_str:
+            if self.tokenizer is None:
+                raise ValueError("string input requires a tokenizer")
+            ids = np.asarray(self.tokenizer(inputs)["input_ids"], np.int32)
+        else:
+            ids = np.asarray(inputs, np.int32).reshape(-1)
+        eos = -1
+        if self.tokenizer is not None and self.tokenizer.eos_token_id is not None:
+            eos = int(self.tokenizer.eos_token_id)
+        eng = Engine(self.cfg, self.params, backend=self.backend,
+                     max_seq=min(max_seq, self.cfg.max_position_embeddings))
+        produced: list = []
+        prev_text = ""
+        for t in eng.stream(ids, max_new_tokens=max_new_tokens,
+                            temperature=temperature, top_k=top_k, top_p=top_p,
+                            eos_id=eos, seed=seed):
+            if not is_str:
+                yield t
+                continue
+            produced.append(t)
+            text = self.tokenizer.decode(produced)
+            if text.endswith("�"):  # mid-multibyte: hold the delta back
+                continue
+            if len(text) > len(prev_text):
+                yield text[len(prev_text):]
+                prev_text = text
+
     # ------------------------------------------------------------------ eval
     def eval(self, framework: str = "mc", **kw):
         """Evaluation facade (reference GPTQModel.eval, auto.py:318-494).

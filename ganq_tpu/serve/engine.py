@@ -160,5 +160,36 @@ class Engine:
                               temperature, top_k, top_p, eos_id, self.backend)
         return np.asarray(out)
 
+    def stream(self, input_ids: np.ndarray, max_new_tokens: int = 32,
+               temperature: float = 0.0, top_k: int = 0, top_p: float = 1.0,
+               eos_id: int = -1, seed: int = 0):
+        """Token-by-token generator (for SSE streaming): yields one int per
+        produced token; stops at eos. The host loop over the jitted
+        ``decode_step`` trades the single-dispatch scan program of
+        :func:`generate_tokens` for incremental delivery — the right trade
+        only when a consumer is waiting on each token."""
+        ids = jnp.asarray(input_ids)
+        if ids.ndim == 1:
+            ids = ids[None, :]
+        if ids.shape[0] != 1:
+            raise ValueError("stream() is single-sequence (batch=1)")
+        total = ids.shape[1] + max_new_tokens
+        if total > self.max_seq:
+            raise ValueError(f"sequence {total} exceeds max_seq {self.max_seq}")
+        cache = init_cache(self.cfg, 1, self.max_seq)
+        key = jax.random.PRNGKey(seed)
+        logits, cache = prefill(self.cfg, self.params, cache, ids, self.backend)
+        pos = ids.shape[1]
+        for _ in range(max_new_tokens):
+            key, sub = jax.random.split(key)
+            tok = _sample(logits, sub, temperature, top_k, top_p)
+            t = int(tok[0])
+            if eos_id >= 0 and t == eos_id:
+                return
+            yield t
+            logits, cache = decode_step(self.cfg, self.params, cache, tok,
+                                        jnp.int32(pos), self.backend)
+            pos += 1
+
 
 __all__ = ["Engine", "init_cache", "prefill", "decode_step", "generate_tokens"]

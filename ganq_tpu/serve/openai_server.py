@@ -86,6 +86,20 @@ class OpenAIServer:
         return "\n".join(f"{m.get('role', 'user')}: {m.get('content', '')}"
                          for m in messages) + "\nassistant:"
 
+    def _stream_deltas(self, prompt: str, body: Dict[str, Any]):
+        """Yield text deltas for an SSE response. The batching engine has no
+        incremental path yet, so with use_batching the full result arrives as
+        one delta — still a valid SSE stream to the client."""
+        max_new = int(body.get("max_tokens") or self.max_new_tokens)
+        temperature = float(body.get("temperature", 0.0) or 0.0)
+        if self._batcher is not None:
+            yield self._generate(prompt, body)
+            return
+        with self._lock:
+            yield from self.model.generate_stream(
+                prompt, max_new_tokens=max_new, temperature=temperature,
+                top_k=int(body.get("top_k", 0) or 0))
+
     def _generate(self, prompt: str, body: Dict[str, Any]) -> str:
         max_new = int(body.get("max_tokens") or self.max_new_tokens)
         temperature = float(body.get("temperature", 0.0) or 0.0)
@@ -118,6 +132,25 @@ class OpenAIServer:
                 self.end_headers()
                 self.wfile.write(data)
 
+            def _send_sse(self, deltas, chunk_of):
+                """OpenAI-style SSE: one chunk per delta, a finish chunk,
+                then the [DONE] sentinel."""
+                self.send_response(200)
+                self.send_header("Content-Type", "text/event-stream")
+                self.send_header("Cache-Control", "no-cache")
+                self.end_headers()
+
+                def emit(obj):
+                    self.wfile.write(b"data: " + json.dumps(obj).encode()
+                                     + b"\n\n")
+                    self.wfile.flush()
+
+                for delta in deltas:
+                    emit(chunk_of(delta, None))
+                emit(chunk_of(None, "stop"))
+                self.wfile.write(b"data: [DONE]\n\n")
+                self.wfile.flush()
+
             def do_GET(self):
                 if self.path == "/v1/models":
                     self._send(200, {"object": "list", "data": [
@@ -138,6 +171,26 @@ class OpenAIServer:
                         if not isinstance(msgs, list) or not msgs:
                             return self._send(400, {"error": "messages required"})
                         prompt = server._render_prompt(msgs)
+                        if body.get("stream"):
+                            created = int(time.time())
+                            state = {"first": True}
+
+                            def chat_chunk(delta, finish):
+                                d: Dict[str, Any] = {}
+                                if finish is None:
+                                    d["content"] = delta
+                                    if state["first"]:  # role rides chunk #1
+                                        d["role"] = "assistant"
+                                        state["first"] = False
+                                return {
+                                    "id": "chatcmpl-ganq",
+                                    "object": "chat.completion.chunk",
+                                    "created": created,
+                                    "model": server.model_id,
+                                    "choices": [{"index": 0, "delta": d,
+                                                 "finish_reason": finish}]}
+                            return self._send_sse(
+                                server._stream_deltas(prompt, body), chat_chunk)
                         text = server._generate(prompt, body)
                         self._send(200, {
                             "id": "chatcmpl-ganq", "object": "chat.completion",
@@ -150,6 +203,20 @@ class OpenAIServer:
                         prompt = body.get("prompt")
                         if not isinstance(prompt, str):
                             return self._send(400, {"error": "prompt required"})
+                        if body.get("stream"):
+                            created = int(time.time())
+
+                            def text_chunk(delta, finish):
+                                return {
+                                    "id": "cmpl-ganq",
+                                    "object": "text_completion",
+                                    "created": created,
+                                    "model": server.model_id,
+                                    "choices": [{"index": 0,
+                                                 "text": delta or "",
+                                                 "finish_reason": finish}]}
+                            return self._send_sse(
+                                server._stream_deltas(prompt, body), text_chunk)
                         text = server._generate(prompt, body)
                         self._send(200, {
                             "id": "cmpl-ganq", "object": "text_completion",

@@ -142,3 +142,63 @@ def test_backend_selection_and_optimize(rng, tmp_path):
     # recode makes the int8 MXU path eligible
     m2.optimize()
     assert validate_backend(BACKEND.PALLAS_A8, m2.params, on_tpu=True) is None
+
+
+def test_engine_stream_matches_generate(rng):
+    from ganq_tpu.serve.engine import Engine
+    m = GanqModel.from_torch_model(tiny_model(21))
+    eng = Engine(m.cfg, m.params, max_seq=64)
+    ids = rng.integers(0, 256, size=(12,)).astype(np.int32)
+    full = eng.generate(ids, max_new_tokens=6)[0].tolist()
+    streamed = list(eng.stream(ids, max_new_tokens=6))
+    assert streamed == full
+
+
+def test_generate_stream_text_deltas(rng):
+    m = GanqModel.from_torch_model(tiny_model(22), tokenizer=CharTokenizer())
+    deltas = list(m.generate_stream("ab", max_new_tokens=5, max_seq=64))
+    assert deltas and all(isinstance(d, str) for d in deltas)
+    assert "".join(deltas) == m.generate("ab", max_new_tokens=5, max_seq=64)
+
+
+def test_openai_server_sse_streaming(rng):
+    m = GanqModel.from_torch_model(tiny_model(23), tokenizer=CharTokenizer())
+    srv = m.serve(port=0)
+    try:
+        srv.wait_until_ready()
+        base = f"http://127.0.0.1:{srv.port}"
+
+        req = urllib.request.Request(
+            f"{base}/v1/chat/completions",
+            data=json.dumps({"messages": [{"role": "user", "content": "hi"}],
+                             "max_tokens": 4, "stream": True}).encode(),
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req) as r:
+            assert r.headers["Content-Type"].startswith("text/event-stream")
+            raw = r.read().decode()
+        events = [ln[len("data: "):] for ln in raw.split("\n")
+                  if ln.startswith("data: ")]
+        assert events[-1] == "[DONE]"
+        chunks = [json.loads(e) for e in events[:-1]]
+        assert chunks[0]["choices"][0]["delta"].get("role") == "assistant"
+        assert chunks[-1]["choices"][0]["finish_reason"] == "stop"
+        content = "".join(c["choices"][0]["delta"].get("content") or ""
+                          for c in chunks)
+        assert content  # some text actually streamed
+
+        # completions endpoint streams too
+        req = urllib.request.Request(
+            f"{base}/v1/completions",
+            data=json.dumps({"prompt": "ab", "max_tokens": 3,
+                             "stream": True}).encode(),
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req) as r:
+            raw = r.read().decode()
+        events = [ln[len("data: "):] for ln in raw.split("\n")
+                  if ln.startswith("data: ")]
+        assert events[-1] == "[DONE]"
+        text = "".join(json.loads(e)["choices"][0]["text"]
+                       for e in events[:-1])
+        assert text
+    finally:
+        srv.shutdown()
