@@ -225,6 +225,20 @@ def _moe_forward(cfg: ModelConfig, moe: Dict[str, Any], h: jax.Array,
     gated = jnp.where(sel, probs, 0.0)
     gated = gated / jnp.maximum(jnp.sum(gated, axis=-1, keepdims=True), 1e-9)
 
+    if "stacked" in moe:
+        # expert-parallel form (parallel/expert_parallel.py): one einsum per
+        # projection with e a real tensor axis. Shard *_w on e over the mesh
+        # and each device computes only its local experts; XLA inserts the
+        # reduce for the final combine. Unselected experts contribute through
+        # a zero routing weight (f_e(h)·0 == f_e(h·0)·w for the masked loop
+        # below, so outputs match the per-expert path exactly).
+        st = moe["stacked"]
+        g = jnp.einsum("bsh,eih->ebsi", h, st["gate_w"].astype(h.dtype))
+        u = jnp.einsum("bsh,eih->ebsi", h, st["up_w"].astype(h.dtype))
+        a = _activation(g, cfg.act) * u
+        y = jnp.einsum("ebsi,ehi->ebsh", a, st["down_w"].astype(a.dtype))
+        return jnp.einsum("ebsh,bse->bsh", y, gated.astype(y.dtype))
+
     out = jnp.zeros_like(h)
     for e, exp in enumerate(moe["experts"]):
         w_e = gated[..., e:e + 1].astype(h.dtype)                # [b, s, 1]

@@ -112,16 +112,27 @@ def param_specs(cfg: ModelConfig, params: Dict[str, Any],
         for k in lp["mlp"]:
             ls["mlp"][k] = row(lp["mlp"][k]) if k == "down" else col(lp["mlp"][k])
         if "moe" in lp:
-            # tensor-parallel within every expert (router replicated);
-            # expert-index parallelism needs stacked expert arrays — round 2
-            ls["moe"] = {
-                "router": rep(lp["moe"]["router"]),
-                "experts": [
-                    {"gate": col(e["gate"]), "up": col(e["up"]),
-                     "down": row(e["down"])}
-                    for e in lp["moe"]["experts"]
-                ],
-            }
+            if "stacked" in lp["moe"]:
+                # expert-index parallelism: shard the expert axis over the
+                # model dimension when it divides E (each device computes its
+                # local experts; XLA reduces the combine). Otherwise replicate.
+                E = lp["moe"]["stacked"]["gate_w"].shape[0]
+                e_spec = (P("model", None, None) if E % model_size == 0
+                          else P(None, None, None))
+                ls["moe"] = {
+                    "router": rep(lp["moe"]["router"]),
+                    "stacked": {k: e_spec for k in lp["moe"]["stacked"]},
+                }
+            else:
+                # tensor-parallel within every expert (router replicated)
+                ls["moe"] = {
+                    "router": rep(lp["moe"]["router"]),
+                    "experts": [
+                        {"gate": col(e["gate"]), "up": col(e["up"]),
+                         "down": row(e["down"])}
+                        for e in lp["moe"]["experts"]
+                    ],
+                }
         specs["layers"].append(ls)
     return specs
 

@@ -118,3 +118,51 @@ def test_sharded_qwen3_forward(rng):
     with jax.set_mesh(mesh):
         out = np.asarray(transformer.forward(cfg, sparams, ids))
     np.testing.assert_allclose(out, ref, atol=2e-4, rtol=1e-4)
+
+
+def test_expert_parallel_stacked_forward(rng):
+    """Expert-index parallelism: stacked expert arrays must (a) match the
+    per-expert loop exactly, (b) actually shard the expert axis over the
+    mesh, and (c) still match when sharded."""
+    from ganq_tpu.parallel.expert_parallel import stack_experts
+
+    hf_cfg = transformers.MixtralConfig(
+        vocab_size=128, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=1, num_attention_heads=8, num_key_value_heads=4,
+        num_local_experts=8, num_experts_per_tok=2,
+        max_position_embeddings=64)
+    torch.manual_seed(24)
+    cfg, params = hf_import.params_from_torch_model(
+        transformers.MixtralForCausalLM(hf_cfg))
+    ids = jnp.asarray(rng.integers(0, 128, size=(2, 8)))
+    ref = np.asarray(transformer.forward(cfg, params, ids))
+
+    stacked = stack_experts(params)
+    assert "experts" not in stacked["layers"][0]["moe"]
+    out = np.asarray(transformer.forward(cfg, stacked, ids))
+    np.testing.assert_allclose(out, ref, atol=2e-4, rtol=2e-4)
+
+    mesh = sharding.make_mesh(data=1, model=8)
+    sparams = sharding.shard_params(cfg, stacked, mesh)
+    gw = sparams["layers"][0]["moe"]["stacked"]["gate_w"]
+    assert len(gw.sharding.device_set) == 8
+    # E=8 over 8 devices -> one expert per device
+    assert gw.sharding.shard_shape(gw.shape)[0] == 1
+    with jax.set_mesh(mesh):
+        sout = np.asarray(transformer.forward(cfg, sparams, ids))
+    np.testing.assert_allclose(sout, ref, atol=3e-4, rtol=3e-4)
+
+
+def test_expert_stacking_rejects_quantized(rng):
+    from ganq_tpu.parallel import expert_parallel
+    from ganq_tpu.models import synthetic
+    params = synthetic.make_model(synthetic.llama_config(
+        hidden=64, inter=128, layers=1), kind="lut", seed=0)
+    # fabricate a fake moe layer holding a quantized expert
+    lp = dict(params["layers"][0])
+    lp["moe"] = {"router": params["layers"][0]["mlp"]["down"],
+                 "experts": [{"gate": params["layers"][0]["mlp"]["gate"],
+                              "up": params["layers"][0]["mlp"]["up"],
+                              "down": params["layers"][0]["mlp"]["down"]}]}
+    with pytest.raises(ValueError, match="dense"):
+        expert_parallel.stack_layer_experts(lp)
