@@ -120,6 +120,9 @@ def params_from_state_dict(state: Dict[str, np.ndarray], hf_config: Dict[str, An
         for nk in ("q_norm", "k_norm"):  # qwen3-family per-head norms
             if nk in rl.get("attn", {}):
                 lp["attn"][nk] = rl["attn"][nk]
+        for nk in ("post_attn_norm", "post_mlp_norm"):  # gemma2 sandwich
+            if nk in rl:
+                lp[nk] = rl[nk]
         if "moe" in rl:
             experts_raw = rl["moe"].get("experts", {})
             experts = []
@@ -129,6 +132,11 @@ def params_from_state_dict(state: Dict[str, np.ndarray], hf_config: Dict[str, An
                                 for k in ("gate", "up", "down")})
             lp["moe"] = {"router": to_linear(rl["moe"].get("router")),
                          "experts": experts}
+            if "shared" in rl["moe"]:  # qwen2_moe always-on shared expert
+                lp["moe"]["shared"] = {k: to_linear(rl["moe"]["shared"].get(k))
+                                       for k in ("gate", "up", "down")}
+            if "shared_gate" in rl["moe"]:
+                lp["moe"]["shared_gate"] = to_linear(rl["moe"]["shared_gate"])
             lp["mlp"] = {}
         else:
             mlp = {}

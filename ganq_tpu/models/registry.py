@@ -980,3 +980,808 @@ register(ArchSpec(
     },
     layers_prefix="transformer.h",
 ))
+
+
+# --------------------------------------------------------------------- gemma2
+def _gemma2_config(hf: Dict[str, Any]) -> ModelConfig:
+    """Gemma2: gemma's (1+w) RMSNorm and embed scaling plus sandwich norms
+    around both sublayers, tanh softcapping on attention scores and final
+    logits, query_pre_attn_scalar attention scale, and sliding-window
+    attention on alternate layers (reference definitions/gemma2.py; HF
+    modeling_gemma2.py eager_attention_forward / Gemma2DecoderLayer)."""
+    base = _llama_config(hf)
+    import dataclasses as _dc
+    layer_types = hf.get("layer_types") or tuple(
+        "sliding_attention" if (i + 1) % 2 else "full_attention"
+        for i in range(hf["num_hidden_layers"]))
+    return _dc.replace(
+        base,
+        model_type="gemma2",
+        head_dim=hf.get("head_dim", 256),
+        rms_offset=1.0,
+        embed_scale=hf["hidden_size"] ** 0.5,
+        act=hf.get("hidden_activation") or hf.get("hidden_act",
+                                                  "gelu_pytorch_tanh"),
+        tie_word_embeddings=True,
+        sandwich_norm=True,
+        attn_scale=hf.get("query_pre_attn_scalar", 256) ** -0.5,
+        attn_softcap=hf.get("attn_logit_softcapping", 50.0),
+        logit_softcap=hf.get("final_logit_softcapping", 30.0),
+        sliding_window=hf.get("sliding_window", 4096),
+        layer_types=tuple(layer_types),
+    )
+
+
+GEMMA2_NAME_MAP = dict(LLAMA_NAME_MAP)
+GEMMA2_NAME_MAP.update({
+    "layers.{i}.post_attn_norm.weight":
+        "model.layers.{i}.post_attention_layernorm.weight",
+    "layers.{i}.post_norm.weight":
+        "model.layers.{i}.pre_feedforward_layernorm.weight",
+    "layers.{i}.post_mlp_norm.weight":
+        "model.layers.{i}.post_feedforward_layernorm.weight",
+})
+
+register(ArchSpec(
+    model_type="gemma2",
+    make_config=_gemma2_config,
+    name_map=GEMMA2_NAME_MAP,
+    layer_modules=LLAMA_LAYER_MODULES,
+    module_slots=LLAMA_SLOTS,
+))
+
+
+# ----------------------------------------------------------------------- gptj
+# GPT-J-family: parallel attn+mlp residual off a SINGLE pre-norm (ln_1) and
+# interleaved (rotate_every_two) partial rotary. The shared norm reuses the
+# falcon-7b trick: the converter duplicates ln_1 into the post_norm slot so
+# the parallel-residual branch needs no new machinery.
+def _gptj_config(hf: Dict[str, Any]) -> ModelConfig:
+    h = hf["n_embd"]
+    heads = hf["n_head"]
+    return ModelConfig(
+        model_type="gptj",
+        vocab_size=hf["vocab_size"],
+        hidden_size=h,
+        intermediate_size=hf.get("n_inner") or 4 * h,
+        num_hidden_layers=hf["n_layer"],
+        num_attention_heads=heads,
+        num_key_value_heads=heads,
+        head_dim=h // heads,
+        max_position_embeddings=hf.get("n_positions", 2048),
+        norm="layernorm",
+        norm_eps=hf.get("layer_norm_epsilon", 1e-5),
+        act=hf.get("activation_function", "gelu_new"),
+        gated_mlp=False,
+        pos="rope",
+        rotary_dim=hf.get("rotary_dim") or h // heads,
+        rope_interleaved=True,
+        parallel_residual=True,
+        attn_bias=False,
+        mlp_bias=True,
+        tie_word_embeddings=hf.get("tie_word_embeddings", False),
+    )
+
+
+def _dup_shared_norm(state: Dict[str, Any], src: str, dst: str) -> Dict[str, Any]:
+    """Copy the shared pre-norm into a separate name so input_norm and
+    post_norm slots can both bind (parallel-residual single-norm family)."""
+    import numpy as _np
+    out = dict(state)
+    for k, v in state.items():
+        if f".{src}." in k:
+            out[k.replace(f".{src}.", f".{dst}.")] = _np.asarray(v).copy()
+    return out
+
+
+GPTJ_NAME_MAP = {
+    "embed_tokens.weight": "transformer.wte.weight",
+    "final_norm.weight": "transformer.ln_f.weight",
+    "final_norm.bias": "transformer.ln_f.bias",
+    "lm_head.weight": "lm_head.weight",
+    "lm_head.bias": "lm_head.bias",
+    "layers.{i}.input_norm.weight": "transformer.h.{i}.ln_1.weight",
+    "layers.{i}.input_norm.bias": "transformer.h.{i}.ln_1.bias",
+    "layers.{i}.post_norm.weight": "transformer.h.{i}.ln_parallel.weight",
+    "layers.{i}.post_norm.bias": "transformer.h.{i}.ln_parallel.bias",
+    "layers.{i}.attn.q.weight": "transformer.h.{i}.attn.q_proj.weight",
+    "layers.{i}.attn.k.weight": "transformer.h.{i}.attn.k_proj.weight",
+    "layers.{i}.attn.v.weight": "transformer.h.{i}.attn.v_proj.weight",
+    "layers.{i}.attn.o.weight": "transformer.h.{i}.attn.out_proj.weight",
+    "layers.{i}.mlp.up.weight": "transformer.h.{i}.mlp.fc_in.weight",
+    "layers.{i}.mlp.up.bias": "transformer.h.{i}.mlp.fc_in.bias",
+    "layers.{i}.mlp.down.weight": "transformer.h.{i}.mlp.fc_out.weight",
+    "layers.{i}.mlp.down.bias": "transformer.h.{i}.mlp.fc_out.bias",
+}
+
+register(ArchSpec(
+    model_type="gptj",
+    make_config=_gptj_config,
+    convert_state=lambda s, hf: _dup_shared_norm(s, "ln_1", "ln_parallel"),
+    name_map=GPTJ_NAME_MAP,
+    layer_modules=[
+        ["attn.q_proj", "attn.k_proj", "attn.v_proj"],
+        ["attn.out_proj"],
+        ["mlp.fc_in"],
+        ["mlp.fc_out"],
+    ],
+    module_slots={
+        "attn.q_proj": "attn.q", "attn.k_proj": "attn.k",
+        "attn.v_proj": "attn.v", "attn.out_proj": "attn.o",
+        "mlp.fc_in": "mlp.up", "mlp.fc_out": "mlp.down",
+    },
+    layers_prefix="transformer.h",
+))
+
+
+# ------------------------------------------------------------------------ phi
+def _phi_config(hf: Dict[str, Any]) -> ModelConfig:
+    """Phi-1/1.5/2: gptj-style parallel residual off one input_layernorm, but
+    half-split (rotate_half) partial rotary, qkv biases and GQA support."""
+    if hf.get("qk_layernorm", False):
+        raise NotImplementedError("phi qk_layernorm variant")
+    heads = hf["num_attention_heads"]
+    hd = hf["hidden_size"] // heads
+    return ModelConfig(
+        model_type="phi",
+        vocab_size=hf["vocab_size"],
+        hidden_size=hf["hidden_size"],
+        intermediate_size=hf["intermediate_size"],
+        num_hidden_layers=hf["num_hidden_layers"],
+        num_attention_heads=heads,
+        num_key_value_heads=hf.get("num_key_value_heads") or heads,
+        head_dim=hd,
+        max_position_embeddings=hf.get("max_position_embeddings", 2048),
+        norm="layernorm",
+        norm_eps=hf.get("layer_norm_eps", 1e-5),
+        act=hf.get("hidden_act", "gelu_new"),
+        gated_mlp=False,
+        pos="rope",
+        rope_theta=hf.get("rope_theta", 10000.0),
+        rotary_dim=int(hd * hf.get("partial_rotary_factor", 0.5)),
+        parallel_residual=True,
+        attn_bias=True,
+        mlp_bias=True,
+        tie_word_embeddings=hf.get("tie_word_embeddings", False),
+    )
+
+
+PHI_NAME_MAP = {
+    "embed_tokens.weight": "model.embed_tokens.weight",
+    "final_norm.weight": "model.final_layernorm.weight",
+    "final_norm.bias": "model.final_layernorm.bias",
+    "lm_head.weight": "lm_head.weight",
+    "lm_head.bias": "lm_head.bias",
+    "layers.{i}.input_norm.weight": "model.layers.{i}.input_layernorm.weight",
+    "layers.{i}.input_norm.bias": "model.layers.{i}.input_layernorm.bias",
+    "layers.{i}.post_norm.weight": "model.layers.{i}.ln_parallel.weight",
+    "layers.{i}.post_norm.bias": "model.layers.{i}.ln_parallel.bias",
+    "layers.{i}.attn.q.weight": "model.layers.{i}.self_attn.q_proj.weight",
+    "layers.{i}.attn.q.bias": "model.layers.{i}.self_attn.q_proj.bias",
+    "layers.{i}.attn.k.weight": "model.layers.{i}.self_attn.k_proj.weight",
+    "layers.{i}.attn.k.bias": "model.layers.{i}.self_attn.k_proj.bias",
+    "layers.{i}.attn.v.weight": "model.layers.{i}.self_attn.v_proj.weight",
+    "layers.{i}.attn.v.bias": "model.layers.{i}.self_attn.v_proj.bias",
+    "layers.{i}.attn.o.weight": "model.layers.{i}.self_attn.dense.weight",
+    "layers.{i}.attn.o.bias": "model.layers.{i}.self_attn.dense.bias",
+    "layers.{i}.mlp.up.weight": "model.layers.{i}.mlp.fc1.weight",
+    "layers.{i}.mlp.up.bias": "model.layers.{i}.mlp.fc1.bias",
+    "layers.{i}.mlp.down.weight": "model.layers.{i}.mlp.fc2.weight",
+    "layers.{i}.mlp.down.bias": "model.layers.{i}.mlp.fc2.bias",
+}
+
+register(ArchSpec(
+    model_type="phi",
+    make_config=_phi_config,
+    convert_state=lambda s, hf: _dup_shared_norm(
+        s, "input_layernorm", "ln_parallel"),
+    name_map=PHI_NAME_MAP,
+    layer_modules=[
+        ["self_attn.q_proj", "self_attn.k_proj", "self_attn.v_proj"],
+        ["self_attn.dense"],
+        ["mlp.fc1"],
+        ["mlp.fc2"],
+    ],
+    module_slots={
+        "self_attn.q_proj": "attn.q", "self_attn.k_proj": "attn.k",
+        "self_attn.v_proj": "attn.v", "self_attn.dense": "attn.o",
+        "mlp.fc1": "mlp.up", "mlp.fc2": "mlp.down",
+    },
+))
+
+
+# -------------------------------------------------------------------- codegen
+def _codegen_config(hf: Dict[str, Any]) -> ModelConfig:
+    base = _gptj_config(hf)
+    import dataclasses as _dc
+    return _dc.replace(base, model_type="codegen")
+
+
+def _codegen_convert_state(state: Dict[str, Any], hf: Dict[str, Any]) -> Dict[str, Any]:
+    """Split codegen's fused qkv_proj: rows are mp_num=4 blocks, each holding
+    (query, value, key) slices of local_dim = hidden/mp_num rows
+    (modeling_codegen.py:164-172 forward-time split order)."""
+    import numpy as _np
+
+    h = hf["n_embd"]
+    mp_num = 4
+    local = h // mp_num
+    out: Dict[str, Any] = {}
+    for k, v in state.items():
+        v = _np.asarray(v)
+        if k.endswith(".attn.qkv_proj.weight"):
+            base = k.replace("qkv_proj", "{}")
+            w = v.reshape(mp_num, 3 * local, h)
+            out[base.format("q_proj")] = _np.ascontiguousarray(
+                w[:, :local].reshape(h, h))
+            out[base.format("v_proj")] = _np.ascontiguousarray(
+                w[:, local:2 * local].reshape(h, h))
+            out[base.format("k_proj")] = _np.ascontiguousarray(
+                w[:, 2 * local:].reshape(h, h))
+        else:
+            out[k] = v
+    return _dup_shared_norm(out, "ln_1", "ln_parallel")
+
+
+CODEGEN_NAME_MAP = dict(GPTJ_NAME_MAP)
+
+register(ArchSpec(
+    model_type="codegen",
+    make_config=_codegen_config,
+    convert_state=_codegen_convert_state,
+    name_map=CODEGEN_NAME_MAP,
+    layer_modules=[
+        ["attn.q_proj", "attn.k_proj", "attn.v_proj"],
+        ["attn.out_proj"],
+        ["mlp.fc_in"],
+        ["mlp.fc_out"],
+    ],
+    module_slots={
+        "attn.q_proj": "attn.q", "attn.k_proj": "attn.k",
+        "attn.v_proj": "attn.v", "attn.out_proj": "attn.o",
+        "mlp.fc_in": "mlp.up", "mlp.fc_out": "mlp.down",
+    },
+    layers_prefix="transformer.h",
+))
+
+
+# --------------------------------------------------------------------- cohere
+def _cohere_config(hf: Dict[str, Any]) -> ModelConfig:
+    """Cohere command-r: bias-free LayerNorm, parallel attn+mlp off ONE shared
+    input_layernorm, interleaved full-dim rotary, logits scaled by
+    logit_scale; command-r-plus adds per-head q/k LayerNorms (use_qk_norm)."""
+    heads = hf["num_attention_heads"]
+    return ModelConfig(
+        model_type="cohere",
+        vocab_size=hf["vocab_size"],
+        hidden_size=hf["hidden_size"],
+        intermediate_size=hf["intermediate_size"],
+        num_hidden_layers=hf["num_hidden_layers"],
+        num_attention_heads=heads,
+        num_key_value_heads=hf.get("num_key_value_heads") or heads,
+        head_dim=hf.get("head_dim") or hf["hidden_size"] // heads,
+        max_position_embeddings=hf.get("max_position_embeddings", 8192),
+        norm="layernorm",
+        norm_eps=hf.get("layer_norm_eps", 1e-5),
+        act=hf.get("hidden_act", "silu"),
+        gated_mlp=True,
+        pos="rope",
+        rope_theta=hf.get("rope_theta", 10000.0),
+        rope_interleaved=True,
+        parallel_residual=True,
+        qk_norm="cohere" if hf.get("use_qk_norm", False) else False,
+        attn_bias=hf.get("attention_bias", False),
+        mlp_bias=False,
+        tie_word_embeddings=hf.get("tie_word_embeddings", True),
+        logit_scale=hf.get("logit_scale", 0.0625),
+    )
+
+
+COHERE_NAME_MAP = {
+    "embed_tokens.weight": "model.embed_tokens.weight",
+    "final_norm.weight": "model.norm.weight",
+    "lm_head.weight": "lm_head.weight",
+    "layers.{i}.input_norm.weight": "model.layers.{i}.input_layernorm.weight",
+    "layers.{i}.post_norm.weight": "model.layers.{i}.ln_parallel.weight",
+    "layers.{i}.attn.q.weight": "model.layers.{i}.self_attn.q_proj.weight",
+    "layers.{i}.attn.k.weight": "model.layers.{i}.self_attn.k_proj.weight",
+    "layers.{i}.attn.v.weight": "model.layers.{i}.self_attn.v_proj.weight",
+    "layers.{i}.attn.o.weight": "model.layers.{i}.self_attn.o_proj.weight",
+    "layers.{i}.attn.q.bias": "model.layers.{i}.self_attn.q_proj.bias",
+    "layers.{i}.attn.k.bias": "model.layers.{i}.self_attn.k_proj.bias",
+    "layers.{i}.attn.v.bias": "model.layers.{i}.self_attn.v_proj.bias",
+    "layers.{i}.attn.q_norm.weight": "model.layers.{i}.self_attn.q_norm.weight",
+    "layers.{i}.attn.k_norm.weight": "model.layers.{i}.self_attn.k_norm.weight",
+    "layers.{i}.mlp.gate.weight": "model.layers.{i}.mlp.gate_proj.weight",
+    "layers.{i}.mlp.up.weight": "model.layers.{i}.mlp.up_proj.weight",
+    "layers.{i}.mlp.down.weight": "model.layers.{i}.mlp.down_proj.weight",
+}
+
+register(ArchSpec(
+    model_type="cohere",
+    make_config=_cohere_config,
+    convert_state=lambda s, hf: _dup_shared_norm(
+        s, "input_layernorm", "ln_parallel"),
+    name_map=COHERE_NAME_MAP,
+    layer_modules=LLAMA_LAYER_MODULES,
+    module_slots=LLAMA_SLOTS,
+))
+
+
+# -------------------------------------------------------------------- granite
+def _granite_config(hf: Dict[str, Any]) -> ModelConfig:
+    """Granite 3.x: llama structure plus four fixed multipliers —
+    embedding_multiplier on the embed, attention_multiplier as the attention
+    scale, residual_multiplier on every sublayer output, and logits divided
+    by logits_scaling (modeling_granite.py 'main diff with Llama' sites)."""
+    base = _llama_config(hf)
+    import dataclasses as _dc
+    return _dc.replace(
+        base,
+        model_type="granite",
+        embed_scale=hf.get("embedding_multiplier", 1.0),
+        attn_scale=hf.get("attention_multiplier"),
+        residual_multiplier=hf.get("residual_multiplier", 1.0),
+        logit_scale=1.0 / hf.get("logits_scaling", 1.0),
+    )
+
+
+register(ArchSpec(
+    model_type="granite",
+    make_config=_granite_config,
+    name_map=LLAMA_NAME_MAP,
+    layer_modules=LLAMA_LAYER_MODULES,
+    module_slots=LLAMA_SLOTS,
+))
+
+
+# ------------------------------------------------------------------------ glm
+def _glm_config(hf: Dict[str, Any]) -> ModelConfig:
+    """GLM-4 (HF native 'glm'): llama flow with interleaved PARTIAL rotary
+    (first partial_rotary_factor of head_dim, adjacent-lane pairs), qkv
+    biases, and a fused gate_up_proj split at import."""
+    heads = hf["num_attention_heads"]
+    hd = hf.get("head_dim") or hf["hidden_size"] // heads
+    base = _llama_config(hf)
+    import dataclasses as _dc
+    return _dc.replace(
+        base,
+        model_type="glm",
+        head_dim=hd,
+        rotary_dim=int(hd * hf.get("partial_rotary_factor", 0.5)),
+        rope_interleaved=True,
+        attn_bias=hf.get("attention_bias", True),
+    )
+
+
+def _glm_convert_state(state: Dict[str, Any], hf: Dict[str, Any]) -> Dict[str, Any]:
+    """Split glm's fused gate_up_proj ([gate; up] rows, chunk order in
+    modeling_glm.py GlmMLP.forward)."""
+    import numpy as _np
+
+    inter = hf["intermediate_size"]
+    out: Dict[str, Any] = {}
+    for k, v in state.items():
+        v = _np.asarray(v)
+        if ".mlp.gate_up_proj." in k:
+            base = k.replace("gate_up_proj", "{}")
+            out[base.format("gate_proj")] = _np.ascontiguousarray(v[:inter])
+            out[base.format("up_proj")] = _np.ascontiguousarray(v[inter:])
+        else:
+            out[k] = v
+    return out
+
+
+register(ArchSpec(
+    model_type="glm",
+    make_config=_glm_config,
+    convert_state=_glm_convert_state,
+    name_map=LLAMA_NAME_MAP,
+    layer_modules=LLAMA_LAYER_MODULES,
+    module_slots=LLAMA_SLOTS,
+))
+
+
+# ------------------------------------------------------------------------ mpt
+def _mpt_config(hf: Dict[str, Any]) -> ModelConfig:
+    """MPT: bias-free linears, mosaic-grid ALiBi (alibi_bias_max=8,
+    odd/even-interleaved slopes), optional qkv clamping, ungated exact-gelu
+    MLP at expansion_ratio*d_model."""
+    attn = hf.get("attn_config") or {}
+    if isinstance(attn, dict):
+        alibi = attn.get("alibi", True)
+        clip_qkv = attn.get("clip_qkv")
+        softmax_scale = attn.get("softmax_scale")
+    else:  # MptAttentionConfig object survived to_dict in odd paths
+        alibi = getattr(attn, "alibi", True)
+        clip_qkv = getattr(attn, "clip_qkv", None)
+        softmax_scale = getattr(attn, "softmax_scale", None)
+    if not alibi:
+        raise NotImplementedError("mpt rope/absolute variants (alibi=False)")
+    h = hf["d_model"]
+    heads = hf["n_heads"]
+    return ModelConfig(
+        model_type="mpt",
+        vocab_size=hf["vocab_size"],
+        hidden_size=h,
+        intermediate_size=int(hf.get("expansion_ratio", 4) * h),
+        num_hidden_layers=hf["n_layers"],
+        num_attention_heads=heads,
+        num_key_value_heads=heads,
+        head_dim=h // heads,
+        max_position_embeddings=hf.get("max_seq_len", 2048),
+        norm="layernorm",
+        norm_eps=hf.get("layer_norm_epsilon", 1e-5),
+        act="gelu",
+        gated_mlp=False,
+        pos="alibi",
+        alibi_kind="mpt",
+        clip_qkv=clip_qkv,
+        attn_scale=softmax_scale,
+        attn_bias=not hf.get("no_bias", True),
+        mlp_bias=not hf.get("no_bias", True),
+        tie_word_embeddings=True,
+    )
+
+
+def _mpt_convert_state(state: Dict[str, Any], hf: Dict[str, Any]) -> Dict[str, Any]:
+    """Split the straight [q; k; v] Wqkv fusion."""
+    import numpy as _np
+    h = hf["d_model"]
+    out: Dict[str, Any] = {}
+    for k, v in state.items():
+        v = _np.asarray(v)
+        if ".attn.Wqkv." in k:
+            base = k.replace("Wqkv", "{}")
+            out[base.format("q_proj")] = _np.ascontiguousarray(v[:h])
+            out[base.format("k_proj")] = _np.ascontiguousarray(v[h:2 * h])
+            out[base.format("v_proj")] = _np.ascontiguousarray(v[2 * h:])
+        else:
+            out[k] = v
+    return out
+
+
+MPT_NAME_MAP = {
+    "embed_tokens.weight": "transformer.wte.weight",
+    "final_norm.weight": "transformer.norm_f.weight",
+    "final_norm.bias": "transformer.norm_f.bias",
+    "lm_head.weight": "lm_head.weight",
+    "layers.{i}.input_norm.weight": "transformer.blocks.{i}.norm_1.weight",
+    "layers.{i}.input_norm.bias": "transformer.blocks.{i}.norm_1.bias",
+    "layers.{i}.post_norm.weight": "transformer.blocks.{i}.norm_2.weight",
+    "layers.{i}.post_norm.bias": "transformer.blocks.{i}.norm_2.bias",
+    "layers.{i}.attn.q.weight": "transformer.blocks.{i}.attn.q_proj.weight",
+    "layers.{i}.attn.k.weight": "transformer.blocks.{i}.attn.k_proj.weight",
+    "layers.{i}.attn.v.weight": "transformer.blocks.{i}.attn.v_proj.weight",
+    "layers.{i}.attn.o.weight": "transformer.blocks.{i}.attn.out_proj.weight",
+    "layers.{i}.mlp.up.weight": "transformer.blocks.{i}.ffn.up_proj.weight",
+    "layers.{i}.mlp.down.weight": "transformer.blocks.{i}.ffn.down_proj.weight",
+}
+
+register(ArchSpec(
+    model_type="mpt",
+    make_config=_mpt_config,
+    convert_state=_mpt_convert_state,
+    name_map=MPT_NAME_MAP,
+    layer_modules=[
+        ["attn.q_proj", "attn.k_proj", "attn.v_proj"],
+        ["attn.out_proj"],
+        ["ffn.up_proj"],
+        ["ffn.down_proj"],
+    ],
+    module_slots={
+        "attn.q_proj": "attn.q", "attn.k_proj": "attn.k",
+        "attn.v_proj": "attn.v", "attn.out_proj": "attn.o",
+        "ffn.up_proj": "mlp.up", "ffn.down_proj": "mlp.down",
+    },
+    layers_prefix="transformer.blocks",
+))
+
+
+# ----------------------------------------------------------------- gpt_bigcode
+def _gpt_bigcode_config(hf: Dict[str, Any]) -> ModelConfig:
+    """GPT-BigCode (santacoder/starcoder1): MQA (kv_heads=1) behind a fused
+    c_attn, learned positions, plain nn.Linear (NOT gpt2's Conv1D)."""
+    h = hf["n_embd"]
+    heads = hf["n_head"]
+    return ModelConfig(
+        model_type="gpt_bigcode",
+        vocab_size=hf["vocab_size"],
+        hidden_size=h,
+        intermediate_size=hf.get("n_inner") or 4 * h,
+        num_hidden_layers=hf["n_layer"],
+        num_attention_heads=heads,
+        num_key_value_heads=1 if hf.get("multi_query", True) else heads,
+        head_dim=h // heads,
+        max_position_embeddings=hf.get("n_positions", 8192),
+        norm="layernorm",
+        norm_eps=hf.get("layer_norm_epsilon", 1e-5),
+        act=hf.get("activation_function", "gelu_pytorch_tanh"),
+        gated_mlp=False,
+        pos="learned",
+        attn_scale=(h // heads) ** -0.5 if hf.get("scale_attn_weights", True)
+                   else 1.0,
+        attn_bias=True,
+        mlp_bias=True,
+        tie_word_embeddings=True,
+    )
+
+
+def _gpt_bigcode_convert_state(state: Dict[str, Any], hf: Dict[str, Any]) -> Dict[str, Any]:
+    """Split c_attn: multi-query rows are [q (h); k (hd); v (hd)]; the MHA
+    variant interleaves per head like gpt-neox."""
+    import numpy as _np
+    h = hf["n_embd"]
+    heads = hf["n_head"]
+    hd = h // heads
+    mq = hf.get("multi_query", True)
+    out: Dict[str, Any] = {}
+    for k, v in state.items():
+        v = _np.asarray(v)
+        if ".attn.c_attn." in k:
+            base = k.replace("c_attn", "{}")
+            if mq:
+                out[base.format("q_proj")] = _np.ascontiguousarray(v[:h])
+                out[base.format("k_proj")] = _np.ascontiguousarray(v[h:h + hd])
+                out[base.format("v_proj")] = _np.ascontiguousarray(v[h + hd:])
+            else:
+                w = v.reshape(heads, 3 * hd, *v.shape[1:])
+                out[base.format("q_proj")] = _np.ascontiguousarray(
+                    w[:, :hd].reshape(h, *v.shape[1:]))
+                out[base.format("k_proj")] = _np.ascontiguousarray(
+                    w[:, hd:2 * hd].reshape(h, *v.shape[1:]))
+                out[base.format("v_proj")] = _np.ascontiguousarray(
+                    w[:, 2 * hd:].reshape(h, *v.shape[1:]))
+        else:
+            out[k] = v
+    return out
+
+
+GPT_BIGCODE_NAME_MAP = {
+    "embed_tokens.weight": "transformer.wte.weight",
+    "embed_positions.weight": "transformer.wpe.weight",
+    "final_norm.weight": "transformer.ln_f.weight",
+    "final_norm.bias": "transformer.ln_f.bias",
+    "lm_head.weight": "lm_head.weight",
+    "layers.{i}.input_norm.weight": "transformer.h.{i}.ln_1.weight",
+    "layers.{i}.input_norm.bias": "transformer.h.{i}.ln_1.bias",
+    "layers.{i}.post_norm.weight": "transformer.h.{i}.ln_2.weight",
+    "layers.{i}.post_norm.bias": "transformer.h.{i}.ln_2.bias",
+    "layers.{i}.attn.q.weight": "transformer.h.{i}.attn.q_proj.weight",
+    "layers.{i}.attn.q.bias": "transformer.h.{i}.attn.q_proj.bias",
+    "layers.{i}.attn.k.weight": "transformer.h.{i}.attn.k_proj.weight",
+    "layers.{i}.attn.k.bias": "transformer.h.{i}.attn.k_proj.bias",
+    "layers.{i}.attn.v.weight": "transformer.h.{i}.attn.v_proj.weight",
+    "layers.{i}.attn.v.bias": "transformer.h.{i}.attn.v_proj.bias",
+    "layers.{i}.attn.o.weight": "transformer.h.{i}.attn.c_proj.weight",
+    "layers.{i}.attn.o.bias": "transformer.h.{i}.attn.c_proj.bias",
+    "layers.{i}.mlp.up.weight": "transformer.h.{i}.mlp.c_fc.weight",
+    "layers.{i}.mlp.up.bias": "transformer.h.{i}.mlp.c_fc.bias",
+    "layers.{i}.mlp.down.weight": "transformer.h.{i}.mlp.c_proj.weight",
+    "layers.{i}.mlp.down.bias": "transformer.h.{i}.mlp.c_proj.bias",
+}
+
+register(ArchSpec(
+    model_type="gpt_bigcode",
+    make_config=_gpt_bigcode_config,
+    convert_state=_gpt_bigcode_convert_state,
+    name_map=GPT_BIGCODE_NAME_MAP,
+    layer_modules=GPT2_LAYER_MODULES,
+    module_slots=GPT2_SLOTS,
+    layers_prefix="transformer.h",
+))
+
+
+# ------------------------------------------------------------------- qwen2_moe
+def _qwen2_moe_config(hf: Dict[str, Any]) -> ModelConfig:
+    """Qwen2-MoE (qwen1.5-moe/qwen2-57b-a14b): mixtral-style router WITHOUT
+    top-k renorm by default (norm_topk_prob) plus an always-on shared expert
+    behind a sigmoid scalar gate. Layers in mlp_only_layers (or off the
+    decoder_sparse_step grid) fall back to a dense MLP."""
+    base = _llama_config(hf)
+    import dataclasses as _dc
+    step = hf.get("decoder_sparse_step", 1)
+    mlp_only = set(hf.get("mlp_only_layers") or [])
+    n = hf["num_hidden_layers"]
+    ne = hf.get("num_experts", 60)
+    sparse = [i not in mlp_only and ne > 0 and (i + 1) % max(step, 1) == 0
+              for i in range(n)]
+    if not all(sparse):
+        # heterogeneous layers load fine (per-layer moe/mlp slots); flag the
+        # stacked serving path off via layer_types-style inspection upstream
+        pass
+    return _dc.replace(
+        base, model_type="qwen2_moe",
+        num_experts=ne,
+        num_experts_per_tok=hf.get("num_experts_per_tok", 4),
+        moe_norm_topk=hf.get("norm_topk_prob", False),
+    )
+
+
+QWEN2_MOE_NAME_MAP = dict(LLAMA_NAME_MAP)
+QWEN2_MOE_NAME_MAP.update({
+    "layers.{i}.moe.router.weight": "model.layers.{i}.mlp.gate.weight",
+    "layers.{i}.moe.experts.{e}.gate.weight":
+        "model.layers.{i}.mlp.experts.{e}.gate_proj.weight",
+    "layers.{i}.moe.experts.{e}.up.weight":
+        "model.layers.{i}.mlp.experts.{e}.up_proj.weight",
+    "layers.{i}.moe.experts.{e}.down.weight":
+        "model.layers.{i}.mlp.experts.{e}.down_proj.weight",
+    "layers.{i}.moe.shared.gate.weight":
+        "model.layers.{i}.mlp.shared_expert.gate_proj.weight",
+    "layers.{i}.moe.shared.up.weight":
+        "model.layers.{i}.mlp.shared_expert.up_proj.weight",
+    "layers.{i}.moe.shared.down.weight":
+        "model.layers.{i}.mlp.shared_expert.down_proj.weight",
+    "layers.{i}.moe.shared_gate.weight":
+        "model.layers.{i}.mlp.shared_expert_gate.weight",
+})
+
+QWEN2_MOE_LAYER_MODULES = [
+    ["self_attn.q_proj", "self_attn.k_proj", "self_attn.v_proj"],
+    ["self_attn.o_proj"],
+    ["mlp.shared_expert.gate_proj", "mlp.shared_expert.up_proj",
+     "mlp.experts.{e}.gate_proj", "mlp.experts.{e}.up_proj"],
+    ["mlp.shared_expert.down_proj", "mlp.experts.{e}.down_proj"],
+]
+
+QWEN2_MOE_SLOTS = {
+    "self_attn.q_proj": "attn.q", "self_attn.k_proj": "attn.k",
+    "self_attn.v_proj": "attn.v", "self_attn.o_proj": "attn.o",
+    "mlp.experts.{e}.gate_proj": "moe.experts.{e}.gate",
+    "mlp.experts.{e}.up_proj": "moe.experts.{e}.up",
+    "mlp.experts.{e}.down_proj": "moe.experts.{e}.down",
+    "mlp.shared_expert.gate_proj": "moe.shared.gate",
+    "mlp.shared_expert.up_proj": "moe.shared.up",
+    "mlp.shared_expert.down_proj": "moe.shared.down",
+}
+
+register(ArchSpec(
+    model_type="qwen2_moe",
+    make_config=_qwen2_moe_config,
+    name_map=QWEN2_MOE_NAME_MAP,
+    layer_modules=QWEN2_MOE_LAYER_MODULES,
+    module_slots=QWEN2_MOE_SLOTS,
+))
+
+
+# -------------------------------------------------------------------- qwen3_moe
+def _qwen3_moe_config(hf: Dict[str, Any]) -> ModelConfig:
+    """Qwen3-MoE: qwen3's per-head q/k RMSNorms + mixtral-style experts with
+    norm_topk_prob renorm (default True), no shared expert."""
+    base = _llama_config(hf)
+    import dataclasses as _dc
+    return _dc.replace(
+        base, model_type="qwen3_moe",
+        qk_norm=True,
+        num_experts=hf.get("num_experts", 128),
+        num_experts_per_tok=hf.get("num_experts_per_tok", 8),
+        moe_norm_topk=hf.get("norm_topk_prob", True),
+    )
+
+
+QWEN3_MOE_NAME_MAP = dict(QWEN3_NAME_MAP)
+QWEN3_MOE_NAME_MAP.update({
+    "layers.{i}.moe.router.weight": "model.layers.{i}.mlp.gate.weight",
+    "layers.{i}.moe.experts.{e}.gate.weight":
+        "model.layers.{i}.mlp.experts.{e}.gate_proj.weight",
+    "layers.{i}.moe.experts.{e}.up.weight":
+        "model.layers.{i}.mlp.experts.{e}.up_proj.weight",
+    "layers.{i}.moe.experts.{e}.down.weight":
+        "model.layers.{i}.mlp.experts.{e}.down_proj.weight",
+})
+
+register(ArchSpec(
+    model_type="qwen3_moe",
+    make_config=_qwen3_moe_config,
+    name_map=QWEN3_MOE_NAME_MAP,
+    layer_modules=[
+        ["self_attn.q_proj", "self_attn.k_proj", "self_attn.v_proj"],
+        ["self_attn.o_proj"],
+        ["mlp.experts.{e}.gate_proj", "mlp.experts.{e}.up_proj"],
+        ["mlp.experts.{e}.down_proj"],
+    ],
+    module_slots={
+        "self_attn.q_proj": "attn.q", "self_attn.k_proj": "attn.k",
+        "self_attn.v_proj": "attn.v", "self_attn.o_proj": "attn.o",
+        "mlp.experts.{e}.gate_proj": "moe.experts.{e}.gate",
+        "mlp.experts.{e}.up_proj": "moe.experts.{e}.up",
+        "mlp.experts.{e}.down_proj": "moe.experts.{e}.down",
+    },
+))
+
+
+# ----------------------------------------------------------------------- olmoe
+def _olmoe_config(hf: Dict[str, Any]) -> ModelConfig:
+    """OLMoE: flat (pre-reshape) q/k RMSNorms like olmo2 but with standard
+    pre-norm layers, 64 experts top-8 without renorm by default."""
+    base = _llama_config(hf)
+    import dataclasses as _dc
+    return _dc.replace(
+        base, model_type="olmoe",
+        qk_norm="flat",
+        num_experts=hf.get("num_experts", 64),
+        num_experts_per_tok=hf.get("num_experts_per_tok", 8),
+        moe_norm_topk=hf.get("norm_topk_prob", False),
+    )
+
+
+OLMOE_NAME_MAP = dict(QWEN3_NAME_MAP)  # includes q_norm/k_norm entries
+OLMOE_NAME_MAP.update({
+    "layers.{i}.moe.router.weight": "model.layers.{i}.mlp.gate.weight",
+    "layers.{i}.moe.experts.{e}.gate.weight":
+        "model.layers.{i}.mlp.experts.{e}.gate_proj.weight",
+    "layers.{i}.moe.experts.{e}.up.weight":
+        "model.layers.{i}.mlp.experts.{e}.up_proj.weight",
+    "layers.{i}.moe.experts.{e}.down.weight":
+        "model.layers.{i}.mlp.experts.{e}.down_proj.weight",
+})
+
+register(ArchSpec(
+    model_type="olmoe",
+    make_config=_olmoe_config,
+    name_map=OLMOE_NAME_MAP,
+    layer_modules=[
+        ["self_attn.q_proj", "self_attn.k_proj", "self_attn.v_proj"],
+        ["self_attn.o_proj"],
+        ["mlp.experts.{e}.gate_proj", "mlp.experts.{e}.up_proj"],
+        ["mlp.experts.{e}.down_proj"],
+    ],
+    module_slots={
+        "self_attn.q_proj": "attn.q", "self_attn.k_proj": "attn.k",
+        "self_attn.v_proj": "attn.v", "self_attn.o_proj": "attn.o",
+        "mlp.experts.{e}.gate_proj": "moe.experts.{e}.gate",
+        "mlp.experts.{e}.up_proj": "moe.experts.{e}.up",
+        "mlp.experts.{e}.down_proj": "moe.experts.{e}.down",
+    },
+))
+
+
+# --------------------------------------------------------------------- gemma3
+def _gemma3_config(hf: Dict[str, Any]) -> ModelConfig:
+    """Gemma3 (text): gemma2's sandwich norms without the softcaps, per-head
+    (1+w) q/k RMSNorms, a 5:1 sliding:full layer pattern, and DUAL rope —
+    sliding layers at rope_local_base_freq unscaled, full layers at
+    rope_theta with optional linear rope_scaling (HF modeling_gemma3.py
+    rotary_emb vs rotary_emb_local)."""
+    base = _llama_config(hf)
+    import dataclasses as _dc
+    pattern = hf.get("sliding_window_pattern", 6)
+    layer_types = hf.get("layer_types") or tuple(
+        "sliding_attention" if (i + 1) % pattern else "full_attention"
+        for i in range(hf["num_hidden_layers"]))
+    return _dc.replace(
+        base,
+        model_type="gemma3_text",
+        head_dim=hf.get("head_dim", 256),
+        rms_offset=1.0,
+        embed_scale=hf["hidden_size"] ** 0.5,
+        act=hf.get("hidden_activation") or hf.get("hidden_act",
+                                                  "gelu_pytorch_tanh"),
+        tie_word_embeddings=True,
+        sandwich_norm=True,
+        qk_norm=True,
+        attn_scale=hf.get("query_pre_attn_scalar", 256) ** -0.5,
+        attn_softcap=hf.get("attn_logit_softcapping"),
+        logit_softcap=hf.get("final_logit_softcapping"),
+        sliding_window=hf.get("sliding_window", 4096),
+        layer_types=tuple(layer_types),
+        rope_theta=hf.get("rope_theta", 1_000_000.0),
+        rope_local_theta=hf.get("rope_local_base_freq", 10_000.0),
+    )
+
+
+GEMMA3_NAME_MAP = dict(GEMMA2_NAME_MAP)
+GEMMA3_NAME_MAP.update({
+    "layers.{i}.attn.q_norm.weight": "model.layers.{i}.self_attn.q_norm.weight",
+    "layers.{i}.attn.k_norm.weight": "model.layers.{i}.self_attn.k_norm.weight",
+})
+
+for _mt in ("gemma3_text", "gemma3"):
+    register(ArchSpec(
+        model_type=_mt,
+        make_config=_gemma3_config,
+        name_map=GEMMA3_NAME_MAP,
+        layer_modules=LLAMA_LAYER_MODULES,
+        module_slots=LLAMA_SLOTS,
+    ))

@@ -27,6 +27,15 @@ import jax.numpy as jnp
 from ..ops import qlinear
 
 
+class _HashableDict(dict):
+    """dict that hashes by sorted items — keeps ModelConfig usable as a jit
+    static argument when HF configs carry mapping-valued knobs
+    (rope_scaling). Values must themselves be hashable (scalars/strings)."""
+
+    def __hash__(self):  # type: ignore[override]
+        return hash(tuple(sorted(self.items())))
+
+
 @dataclasses.dataclass(frozen=True)
 class ModelConfig:
     model_type: str                   # "opt" | "llama" | derivatives
@@ -49,6 +58,9 @@ class ModelConfig:
     embed_scale: Optional[float] = None  # gemma: sqrt(hidden) multiplier
     rope_theta: float = 10000.0
     rope_scaling: Optional[Dict[str, Any]] = None
+    # gemma3: sliding layers use a separate unscaled rope at this theta
+    # (rope_local_base_freq); full layers use rope_theta + rope_scaling
+    rope_local_theta: Optional[float] = None
 
     attn_bias: bool = False
     mlp_bias: bool = False
@@ -65,12 +77,18 @@ class ModelConfig:
     num_experts: int = 0               # 0 = dense mlp
     num_experts_per_tok: int = 2
 
+    # qwen2_moe/olmoe norm_topk_prob: renormalize the selected top-k routing
+    # weights to sum 1 (mixtral always does; qwen2moe/olmoe default off)
+    moe_norm_topk: bool = True
     # q/k normalization before rope: False | True/"head" (qwen3: per-head
     # RMSNorm over head_dim) | "flat" (olmo2: RMSNorm over the whole q/kv
     # projection dim, applied before the head reshape)
     qk_norm: Any = False
     # gpt-neox/gptj-family: rope on only the first rotary_dim of head_dim
     rotary_dim: Optional[int] = None
+    # gptj/codegen: rotary pairs are adjacent lanes (rotate_every_two) rather
+    # than the HF half-split rotate_half layout
+    rope_interleaved: bool = False
     # gpt-neox: attn and mlp both read the post-input-norm x and add jointly
     parallel_residual: bool = False
     # bloom: LayerNorm applied right after the token embedding
@@ -80,6 +98,43 @@ class ModelConfig:
     # The "input_norm"/"post_norm" slots then hold HF's
     # post_attention_layernorm / post_feedforward_layernorm respectively.
     norm_after_sublayer: bool = False
+    # gemma2: each sublayer is wrapped in norms on BOTH sides —
+    # x += post_attn_norm(attn(input_norm(x))); x += post_mlp_norm(mlp(post_norm(x)))
+    # using the extra "post_attn_norm"/"post_mlp_norm" layer slots.
+    sandwich_norm: bool = False
+    # gemma2: logits softcapped as cap*tanh(x/cap) — on attention scores
+    # (before masking) and on the final lm-head logits respectively
+    attn_softcap: Optional[float] = None
+    logit_softcap: Optional[float] = None
+    # sliding-window attention: window size plus the per-layer pattern —
+    # a tuple of "sliding_attention"/"full_attention" (HF layer_types)
+    sliding_window: Optional[int] = None
+    layer_types: Optional[Tuple[str, ...]] = None
+    # cohere: final logits multiplier; granite: set to 1/logits_scaling
+    logit_scale: Optional[float] = None
+    # granite: x = residual + multiplier * sublayer_out
+    residual_multiplier: Optional[float] = None
+    # alibi slope construction: "bloom" (HF build_alibi_tensor) or "mpt"
+    # (mosaic's alibi_bias_max=8 grid with odd/even interleave)
+    alibi_kind: str = "bloom"
+    # mpt attn_config.clip_qkv: clamp q/k/v projections to [-c, c]
+    clip_qkv: Optional[float] = None
+
+    def __post_init__(self):
+        if isinstance(self.rope_scaling, dict):
+            object.__setattr__(self, "rope_scaling",
+                               _HashableDict(self.rope_scaling))
+        if isinstance(self.layer_types, list):
+            object.__setattr__(self, "layer_types", tuple(self.layer_types))
+
+    def layer_window(self, i: int) -> Optional[int]:
+        """Static per-layer sliding window (None = full attention)."""
+        if self.sliding_window is None:
+            return None
+        if self.layer_types is None:
+            return self.sliding_window
+        return (self.sliding_window
+                if self.layer_types[i] == "sliding_attention" else None)
 
     @property
     def q_dim(self) -> int:
@@ -102,7 +157,9 @@ def apply_norm(np_: Dict[str, Any], x: jax.Array, kind: str, eps: float,
         mean = jnp.mean(xf, axis=-1, keepdims=True)
         var = jnp.var(xf, axis=-1, keepdims=True)
         y = (xf - mean) * jax.lax.rsqrt(var + eps)
-        y = y * np_["weight"].astype(jnp.float32) + np_["bias"].astype(jnp.float32)
+        y = y * np_["weight"].astype(jnp.float32)
+        if "bias" in np_:  # cohere's LayerNorm has no bias
+            y = y + np_["bias"].astype(jnp.float32)
     return y.astype(x.dtype)
 
 
@@ -111,6 +168,9 @@ def _rope_inv_freq(cfg: ModelConfig) -> jax.Array:
     rd = cfg.rotary_dim or cfg.head_dim
     inv_freq = 1.0 / (cfg.rope_theta ** (jnp.arange(0, rd, 2, dtype=jnp.float32) / rd))
     rs = cfg.rope_scaling
+    if rs and rs.get("rope_type", rs.get("type")) == "linear":
+        inv_freq = inv_freq / rs["factor"]
+        rs = None
     if rs and rs.get("rope_type", rs.get("type")) == "llama3":
         # HF llama3 frequency-dependent scaling (Llama-3.x checkpoints)
         factor = rs["factor"]
@@ -129,21 +189,53 @@ def _rope_inv_freq(cfg: ModelConfig) -> jax.Array:
 
 
 def rope_tables(cfg: ModelConfig, positions: jax.Array) -> Tuple[jax.Array, jax.Array]:
-    """cos/sin tables [..., head_dim] for given positions (HF half-split layout)."""
+    """cos/sin tables [..., rd] for given positions. Half-split layout
+    ([f0..fn, f0..fn], HF rotate_half) by default; interleaved
+    ([f0, f0, f1, f1, ...], gptj duplicate_interleave) when
+    ``cfg.rope_interleaved``."""
     inv_freq = _rope_inv_freq(cfg)
-    freqs = positions[..., None].astype(jnp.float32) * inv_freq  # [..., hd/2]
-    emb = jnp.concatenate([freqs, freqs], axis=-1)
+    freqs = positions[..., None].astype(jnp.float32) * inv_freq  # [..., rd/2]
+    if cfg.rope_interleaved:
+        emb = jnp.repeat(freqs, 2, axis=-1)
+    else:
+        emb = jnp.concatenate([freqs, freqs], axis=-1)
     return jnp.cos(emb), jnp.sin(emb)
 
 
-def apply_rope(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
-    """x: [b, s, heads, hd]; cos/sin: [b, s, rd] (HF rotate_half convention).
-    When rd < hd (partial rotary, gpt-neox style) the tail passes through."""
+def rope_tables_all(cfg: ModelConfig, positions: jax.Array):
+    """Every rope table the model needs. Single-rope models return the plain
+    (cos, sin) tuple; dual-rope models (gemma3) return {"global", "local"} —
+    select per layer with :func:`rope_for_layer`."""
+    glob = rope_tables(cfg, positions)
+    if cfg.rope_local_theta is None:
+        return glob
+    lcfg = dataclasses.replace(cfg, rope_theta=cfg.rope_local_theta,
+                               rope_scaling=None)
+    return {"global": glob, "local": rope_tables(lcfg, positions)}
+
+
+def rope_for_layer(cfg: ModelConfig, rope, i: int):
+    """Pick layer i's (cos, sin): sliding layers use the local table."""
+    if isinstance(rope, dict):
+        return (rope["local"] if cfg.layer_window(i) is not None
+                else rope["global"])
+    return rope
+
+
+def apply_rope(x: jax.Array, cos: jax.Array, sin: jax.Array,
+               interleaved: bool = False) -> jax.Array:
+    """x: [b, s, heads, hd]; cos/sin: [b, s, rd]. When rd < hd (partial
+    rotary, gpt-neox style) the tail passes through. ``interleaved`` pairs
+    adjacent lanes (gptj rotate_every_two) instead of the half-split."""
     rd = cos.shape[-1]
     xr, x_pass = x[..., :rd], x[..., rd:]
-    half = rd // 2
-    x1, x2 = xr[..., :half], xr[..., half:]
-    rot = jnp.concatenate([-x2, x1], axis=-1)
+    if interleaved:
+        x1, x2 = xr[..., ::2], xr[..., 1::2]
+        rot = jnp.stack([-x2, x1], axis=-1).reshape(xr.shape)
+    else:
+        half = rd // 2
+        x1, x2 = xr[..., :half], xr[..., half:]
+        rot = jnp.concatenate([-x2, x1], axis=-1)
     out = (xr * cos[:, :, None, :] + rot * sin[:, :, None, :]).astype(x.dtype)
     if x_pass.shape[-1]:
         out = jnp.concatenate([out, x_pass], axis=-1)
@@ -152,12 +244,14 @@ def apply_rope(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
 
 # ----------------------------------------------------------------- attention
 def attention(q: jax.Array, k: jax.Array, v: jax.Array, mask: Optional[jax.Array],
-              scale: float, bias: Optional[jax.Array] = None) -> jax.Array:
+              scale: float, bias: Optional[jax.Array] = None,
+              softcap: Optional[float] = None) -> jax.Array:
     """q: [b, s, hq, d]; k,v: [b, t, hkv, d] -> [b, s, hq, d].
 
     GQA via grouped einsums — NOT jnp.repeat, which would materialize a
     g-times copy of the whole KV cache on every decode step. ``bias``
-    [hq, t] is the ALiBi additive term (shift-invariant per-key form)."""
+    [hq, t] is the ALiBi additive term (shift-invariant per-key form).
+    ``softcap`` applies gemma2's cap*tanh(x/cap) to the scores pre-mask."""
     b, s, hq, d = q.shape
     hkv = k.shape[2]
     g = hq // hkv
@@ -165,6 +259,8 @@ def attention(q: jax.Array, k: jax.Array, v: jax.Array, mask: Optional[jax.Array
     logits = jnp.einsum("bshgd,bthd->bhgst", qg, k).astype(jnp.float32) * scale
     if bias is not None:
         logits = logits + bias.reshape(hkv, g, 1, -1)[None]
+    if softcap is not None:
+        logits = softcap * jnp.tanh(logits / softcap)
     if mask is not None:
         logits = jnp.where(mask[:, :, None], logits, jnp.finfo(jnp.float32).min)
     probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
@@ -172,9 +268,20 @@ def attention(q: jax.Array, k: jax.Array, v: jax.Array, mask: Optional[jax.Array
     return out.reshape(b, s, hq, d)
 
 
-def alibi_slopes(n_heads: int) -> jax.Array:
-    """ALiBi per-head slopes (press et al.; HF bloom build_alibi_tensor)."""
+def alibi_slopes(n_heads: int, kind: str = "bloom") -> jax.Array:
+    """ALiBi per-head slopes. ``kind="bloom"``: HF build_alibi_tensor
+    (press et al.). ``kind="mpt"``: mosaic's variant — slopes 2^(-8i/P) on
+    the P=2^ceil(log2 H) grid, odd-indexed then even-indexed when H < P
+    (HF modeling_mpt.build_mpt_alibi_tensor). Both are applied in the
+    shift-invariant per-key form slopes*key_pos (softmax-equivalent to the
+    reference's relative form)."""
     import math as _math
+    if kind == "mpt":
+        p = 2 ** _math.ceil(_math.log2(n_heads))
+        slopes = [2.0 ** (-(i + 1) * 8.0 / p) for i in range(p)]
+        if p != n_heads:
+            slopes = (slopes[1::2] + slopes[::2])[:n_heads]
+        return jnp.asarray(slopes, jnp.float32)
     closest = 2 ** _math.floor(_math.log2(n_heads))
     base = 2.0 ** (-(2.0 ** -(_math.log2(closest) - 3)))
     slopes = [base ** (i + 1) for i in range(closest)]
@@ -223,7 +330,23 @@ def _moe_forward(cfg: ModelConfig, moe: Dict[str, Any], h: jax.Array,
     thresh = topv[..., -1:]
     sel = probs >= thresh                                        # [b, s, E]
     gated = jnp.where(sel, probs, 0.0)
-    gated = gated / jnp.maximum(jnp.sum(gated, axis=-1, keepdims=True), 1e-9)
+    if cfg.moe_norm_topk:  # mixtral always; qwen2moe/olmoe norm_topk_prob
+        gated = gated / jnp.maximum(jnp.sum(gated, axis=-1, keepdims=True),
+                                    1e-9)
+
+    def shared_expert_out():
+        # qwen2_moe: an always-on expert added through a sigmoid scalar gate
+        sh = moe["shared"]
+        if taps is not None:
+            taps["moe.shared.gate"] = taps["moe.shared.up"] = h
+        a = (_activation(qlinear.apply(sh["gate"], h, backend), cfg.act)
+             * qlinear.apply(sh["up"], h, backend))
+        if taps is not None:
+            taps["moe.shared.down"] = a
+        y = qlinear.apply(sh["down"], a, backend)
+        g = jax.nn.sigmoid(
+            qlinear.apply(moe["shared_gate"], h, backend).astype(jnp.float32))
+        return y * g.astype(y.dtype)
 
     if "stacked" in moe:
         # expert-parallel form (parallel/expert_parallel.py): one einsum per
@@ -237,7 +360,10 @@ def _moe_forward(cfg: ModelConfig, moe: Dict[str, Any], h: jax.Array,
         u = jnp.einsum("bsh,eih->ebsi", h, st["up_w"].astype(h.dtype))
         a = _activation(g, cfg.act) * u
         y = jnp.einsum("ebsi,ehi->ebsh", a, st["down_w"].astype(a.dtype))
-        return jnp.einsum("ebsh,bse->bsh", y, gated.astype(y.dtype))
+        y = jnp.einsum("ebsh,bse->bsh", y, gated.astype(y.dtype))
+        if "shared" in moe:
+            y = y + shared_expert_out()
+        return y
 
     out = jnp.zeros_like(h)
     for e, exp in enumerate(moe["experts"]):
@@ -252,6 +378,8 @@ def _moe_forward(cfg: ModelConfig, moe: Dict[str, Any], h: jax.Array,
         if taps is not None:
             taps[f"moe.experts.{e}.down"] = a * (sel[..., e:e + 1]).astype(a.dtype)
         out = out + w_e * qlinear.apply(exp["down"], a, backend)
+    if "shared" in moe:
+        out = out + shared_expert_out()
     return out
 
 
@@ -261,11 +389,17 @@ def layer_forward(cfg: ModelConfig, lp: Dict[str, Any], x: jax.Array,
                   cache: Optional[Dict[str, jax.Array]] = None,
                   cache_pos: Optional[jax.Array] = None,
                   want_taps: bool = False,
-                  backend: str = "reference"):
+                  backend: str = "reference",
+                  window: Optional[Any] = None):
     """One decoder layer. Returns (y, new_cache, taps).
 
     ``taps`` maps reference-convention submodule names to their *inputs*
     (the tensors the Hessian is accumulated from).
+
+    ``window``: sliding-attention window for THIS layer — None (full), a
+    python int (static, unrolled callers via ``cfg.layer_window(i)``), or a
+    traced int32 scalar (stacked-scan callers, where per-layer windows ride
+    the scan as data so the layer body stays homogeneous).
     """
     taps: Dict[str, jax.Array] = {}
     b, s, _ = x.shape
@@ -288,6 +422,9 @@ def layer_forward(cfg: ModelConfig, lp: Dict[str, Any], x: jax.Array,
         q = qlinear.apply(lp["attn"]["q"], h, backend)
         k = qlinear.apply(lp["attn"]["k"], h, backend)
         v = qlinear.apply(lp["attn"]["v"], h, backend)
+    if cfg.clip_qkv is not None:  # mpt
+        c = cfg.clip_qkv
+        q, k, v = (jnp.clip(t, -c, c) for t in (q, k, v))
     if cfg.qk_norm == "flat":
         # olmo2: RMSNorm over the full projection dim, pre-reshape
         def flat_norm(t, w):
@@ -302,19 +439,31 @@ def layer_forward(cfg: ModelConfig, lp: Dict[str, Any], x: jax.Array,
     v = v.reshape(b, s, cfg.num_key_value_heads, cfg.head_dim)
 
     if cfg.qk_norm in (True, "head"):
-        # per-head RMSNorm over head_dim (qwen3): weights [head_dim]
+        # per-head RMSNorm over head_dim (qwen3; gemma3 adds its (1+w)
+        # zero-centered weight via rms_offset): weights [head_dim]
         def hd_norm(t, w):
             tf = t.astype(jnp.float32)
             var = jnp.mean(tf * tf, axis=-1, keepdims=True)
             return (tf * jax.lax.rsqrt(var + cfg.norm_eps)
-                    * w.astype(jnp.float32)).astype(t.dtype)
+                    * (w.astype(jnp.float32) + cfg.rms_offset)).astype(t.dtype)
         q = hd_norm(q, lp["attn"]["q_norm"]["weight"])
         k = hd_norm(k, lp["attn"]["k_norm"]["weight"])
+    elif cfg.qk_norm == "cohere":
+        # cohere use_qk_norm: bias-free LayerNorm over head_dim with a
+        # DISTINCT weight per head ([heads, head_dim]), applied pre-rope
+        def ch_norm(t, w):
+            tf = t.astype(jnp.float32)
+            mean = jnp.mean(tf, axis=-1, keepdims=True)
+            var = jnp.var(tf, axis=-1, keepdims=True)
+            return ((tf - mean) * jax.lax.rsqrt(var + cfg.norm_eps)
+                    * w.astype(jnp.float32)[None, None]).astype(t.dtype)
+        q = ch_norm(q, lp["attn"]["q_norm"]["weight"])
+        k = ch_norm(k, lp["attn"]["k_norm"]["weight"])
 
     if cfg.pos == "rope":
         cos, sin = rope
-        q = apply_rope(q, cos, sin)
-        k = apply_rope(k, cos, sin)
+        q = apply_rope(q, cos, sin, cfg.rope_interleaved)
+        k = apply_rope(k, cos, sin, cfg.rope_interleaved)
 
     # Static prefill detection: call sites pass a python-int 0 for prefill
     # and a traced position for decode. Prefilling from position 0 attends
@@ -333,25 +482,45 @@ def layer_forward(cfg: ModelConfig, lp: Dict[str, Any], x: jax.Array,
     if cfg.pos == "alibi":
         T = (new_cache["k"].shape[1] if (new_cache is not None and not is_prefill)
              else k.shape[1])
-        alibi = (alibi_slopes(cfg.num_attention_heads)[:, None]
+        alibi = (alibi_slopes(cfg.num_attention_heads, cfg.alibi_kind)[:, None]
                  * jnp.arange(T, dtype=jnp.float32)[None, :])  # [hq, T]
 
-    if is_prefill and alibi is None:
+    def _window_overlay(T: int) -> jax.Array:
+        # key j visible to query at absolute position p iff j > p - window
+        qpos = jnp.arange(s) + (cache_pos if cache_pos is not None else 0)
+        return (jnp.arange(T)[None, :] > qpos[:, None] - window)[None, None]
+
+    # flash prefill stays valid under a *static* window >= s (mask identical
+    # to plain causal); softcap and traced windows need the masked path
+    flash_ok = (alibi is None and cfg.attn_softcap is None
+                and (window is None or (isinstance(window, int)
+                                        and s <= window)))
+    if is_prefill and flash_ok:
         from ..ops.attention import flash_attention
         attn_out = flash_attention(q, k.astype(q.dtype), v.astype(q.dtype),
                                    scale, causal=True)
     elif is_prefill:
         pre_mask = causal_mask(s, k.shape[1])
+        if window is not None:
+            pre_mask = pre_mask & _window_overlay(k.shape[1])
         attn_out = attention(q, k.astype(q.dtype), v.astype(q.dtype),
-                             pre_mask, scale, bias=alibi)
+                             pre_mask, scale, bias=alibi,
+                             softcap=cfg.attn_softcap)
     else:
         k_all = new_cache["k"].astype(q.dtype)
         v_all = new_cache["v"].astype(q.dtype)
-        attn_out = attention(q, k_all, v_all, mask, scale, bias=alibi)
+        if window is not None:
+            mask = mask & _window_overlay(k_all.shape[1])
+        attn_out = attention(q, k_all, v_all, mask, scale, bias=alibi,
+                             softcap=cfg.attn_softcap)
     attn_out = attn_out.reshape(b, s, cfg.q_dim)
     if want_taps:
         taps["attn.o"] = attn_out
     attn_out = qlinear.apply(lp["attn"]["o"], attn_out, backend)
+    if cfg.sandwich_norm:
+        # gemma2: the attn output is normed before the residual add
+        attn_out = apply_norm(lp["post_attn_norm"], attn_out, cfg.norm,
+                              cfg.norm_eps, cfg.rms_offset)
     if cfg.norm_after_sublayer:
         # olmo2: x += post_attention_layernorm(attn_out)
         x = residual + apply_norm(lp["input_norm"], attn_out, cfg.norm,
@@ -363,6 +532,8 @@ def layer_forward(cfg: ModelConfig, lp: Dict[str, Any], x: jax.Array,
         h = apply_norm(lp["post_norm"], x, cfg.norm, cfg.norm_eps, cfg.rms_offset)
         residual = residual + attn_out
     else:
+        if cfg.residual_multiplier is not None:  # granite
+            attn_out = attn_out * cfg.residual_multiplier
         x = residual + attn_out
         if not cfg.do_layer_norm_before:
             x = apply_norm(lp["input_norm"], x, cfg.norm, cfg.norm_eps, cfg.rms_offset)
@@ -378,6 +549,8 @@ def layer_forward(cfg: ModelConfig, lp: Dict[str, Any], x: jax.Array,
                 and lp["mlp"]["gateup"].kind == "w8"
                 and lp["mlp"]["down"].kind == "w8"
                 and not cfg.norm_after_sublayer  # kernel norms input, not output
+                and not cfg.sandwich_norm        # ...and has no output norm
+                and cfg.residual_multiplier is None  # kernel adds unscaled
                 and b * s <= 64):  # decode-shaped; prefill uses w8a8 matmuls
             # whole-MLP megakernel: norm + gate/up + act + down + residual
             # in one op instead of ~eight (ops/fused_mlp.py)
@@ -422,6 +595,12 @@ def layer_forward(cfg: ModelConfig, lp: Dict[str, Any], x: jax.Array,
         x = residual + apply_norm(lp["post_norm"], mlp_out, cfg.norm,
                                   cfg.norm_eps, cfg.rms_offset)
         return x, new_cache, taps
+    if cfg.sandwich_norm:
+        # gemma2: the mlp output is normed before the residual add
+        mlp_out = apply_norm(lp["post_mlp_norm"], mlp_out, cfg.norm,
+                             cfg.norm_eps, cfg.rms_offset)
+    if cfg.residual_multiplier is not None:  # granite
+        mlp_out = mlp_out * cfg.residual_multiplier
     x = residual + mlp_out
     if not cfg.do_layer_norm_before:
         x = apply_norm(lp["post_norm"], x, cfg.norm, cfg.norm_eps, cfg.rms_offset)
@@ -452,8 +631,15 @@ def unembed(cfg: ModelConfig, params: Dict[str, Any], x: jax.Array) -> jax.Array
     lm = params.get("lm_head")
     if lm is None:
         w = params["embed_tokens"]["weight"]
-        return jnp.dot(x, w.T.astype(x.dtype))
-    return qlinear.apply(lm, x)
+        logits = jnp.dot(x, w.T.astype(x.dtype))
+    else:
+        logits = qlinear.apply(lm, x)
+    if cfg.logit_scale is not None:  # cohere multiplier / granite 1/scaling
+        logits = logits * jnp.asarray(cfg.logit_scale, logits.dtype)
+    if cfg.logit_softcap is not None:
+        cap = cfg.logit_softcap
+        logits = (cap * jnp.tanh(logits.astype(jnp.float32) / cap)).astype(logits.dtype)
+    return logits
 
 
 def forward(cfg: ModelConfig, params: Dict[str, Any], input_ids: jax.Array,
@@ -463,9 +649,11 @@ def forward(cfg: ModelConfig, params: Dict[str, Any], input_ids: jax.Array,
     positions = jnp.broadcast_to(jnp.arange(s), (b, s))
     x = embed(cfg, params, input_ids, positions)
     mask = causal_mask(s, s)
-    rope = rope_tables(cfg, positions) if cfg.pos == "rope" else None
-    for lp in params["layers"]:
-        x, _, _ = layer_forward(cfg, lp, x, mask, rope, backend=backend)
+    rope = rope_tables_all(cfg, positions) if cfg.pos == "rope" else None
+    for i, lp in enumerate(params["layers"]):
+        x, _, _ = layer_forward(cfg, lp, x, mask,
+                                rope_for_layer(cfg, rope, i), backend=backend,
+                                window=cfg.layer_window(i))
     return unembed(cfg, params, x)
 
 

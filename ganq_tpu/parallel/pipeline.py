@@ -36,7 +36,7 @@ except ImportError:  # pragma: no cover
     from jax.experimental.shard_map import shard_map
 
 from ..models.transformer import (ModelConfig, causal_mask, embed,
-                                  layer_forward, rope_tables, unembed)
+                                  layer_forward, rope_tables_all, unembed)
 
 
 def make_pipe_mesh(stages: int, devices=None) -> Mesh:
@@ -78,6 +78,15 @@ class PipelineRunner:
     def build(cls, cfg: ModelConfig, params: Dict[str, Any], mesh: Mesh,
               backend: str = "reference") -> "PipelineRunner":
         S = mesh.shape["pipe"]
+        if cfg.sliding_window is not None or cfg.rope_local_theta is not None:
+            # per-layer sliding windows ride the staged pytree as data so the
+            # scanned stage body stays homogeneous (full layers get a no-op
+            # window larger than any sequence)
+            params = dict(params)
+            params["layers"] = [
+                dict(lp, window=jnp.int32(cfg.layer_window(i) or 2**30),
+                     rope_local=jnp.bool_(cfg.layer_window(i) is not None))
+                for i, lp in enumerate(params["layers"])]
         staged = stage_stack(params, S)
         staged = jax.tree_util.tree_map(
             lambda a: jax.device_put(a, NamedSharding(mesh, P("pipe"))),
@@ -99,7 +108,7 @@ class PipelineRunner:
 
         positions = jnp.broadcast_to(jnp.arange(s), (mb, s))
         mask = causal_mask(s, s)
-        rope = rope_tables(cfg, positions) if cfg.pos == "rope" else None
+        rope = rope_tables_all(cfg, positions) if cfg.pos == "rope" else None
         backend = self.backend
 
         def stage_fn(staged_local, x_mb):
@@ -109,8 +118,16 @@ class PipelineRunner:
 
             def run_stage(x):
                 def body(x, lp):
-                    y, _, _ = layer_forward(cfg, lp, x, mask, rope,
-                                            backend=backend)
+                    lp = dict(lp)
+                    win = lp.pop("window", None)
+                    sl = lp.pop("rope_local", None)
+                    r = rope
+                    if isinstance(rope, dict):  # gemma3 dual rope
+                        r = jax.tree_util.tree_map(
+                            lambda a, b: jnp.where(sl, a, b),
+                            rope["local"], rope["global"])
+                    y, _, _ = layer_forward(cfg, lp, x, mask, r,
+                                            backend=backend, window=win)
                     return y, None
                 y, _ = jax.lax.scan(body, x, lp_stack)
                 return y

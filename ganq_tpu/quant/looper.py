@@ -35,7 +35,8 @@ from ..core.config import QUANT_METHOD, QuantizeConfig
 from ..models import hf_import
 from ..models.registry import ArchSpec
 from ..models.transformer import (ModelConfig, causal_mask, embed,
-                                  layer_forward, rope_tables, apply_norm)
+                                  layer_forward, rope_for_layer,
+                                  rope_tables_all, apply_norm)
 from ..ops import qlinear
 from ..utils.logger import get_logger
 from .ganq import ganq_quantize
@@ -82,9 +83,11 @@ class QuantizeOutput:
     log: List[ModuleQuantLog]
 
 
-@partial(jax.jit, static_argnames=("cfg", "want_taps"))
-def _layer_fwd(cfg: ModelConfig, lp, x, mask, rope, want_taps: bool):
-    return layer_forward(cfg, lp, x, mask, rope, want_taps=want_taps)
+@partial(jax.jit, static_argnames=("cfg", "want_taps", "window"))
+def _layer_fwd(cfg: ModelConfig, lp, x, mask, rope, want_taps: bool,
+               window: Optional[int] = None):
+    return layer_forward(cfg, lp, x, mask, rope, want_taps=want_taps,
+                         window=window)
 
 
 @partial(jax.jit, static_argnames=("cfg",))
@@ -202,7 +205,8 @@ def quantize_model(
         b, s = ids.shape
         positions = jnp.broadcast_to(jnp.arange(s), (b, s))
         acts.append(_embed_fwd(cfg, params, ids, positions))
-        ropes.append(rope_tables(cfg, positions) if cfg.pos == "rope" else None)
+        ropes.append(rope_tables_all(cfg, positions)
+                     if cfg.pos == "rope" else None)
         masks.append(causal_mask(s, s))
     nsamples = sum(int(a.shape[0]) for a in acts)
 
@@ -220,7 +224,9 @@ def quantize_model(
                     lin = hf_import.get_module(params, li, slot)
                     lin["weight"] = jnp.asarray(w, lin["weight"].dtype)
                 acts = [
-                    _layer_fwd(cfg, lp, x, mask, rope, False)[0]
+                    _layer_fwd(cfg, lp, x, mask,
+                               rope_for_layer(cfg, rope, li), False,
+                               window=cfg.layer_window(li))[0]
                     for x, mask, rope in zip(acts, masks, ropes)
                 ]
                 log.info(f"layer {li}: restored from {resume_dir}")
@@ -247,7 +253,9 @@ def quantize_model(
             slots_needed = {slot for _, slot, _ in todo}
             accs: Dict[str, HessianAccumulator] = {}
             for x, mask, rope in zip(acts, masks, ropes):
-                _, _, taps = _layer_fwd(cfg, lp, x, mask, rope, True)
+                _, _, taps = _layer_fwd(cfg, lp, x, mask,
+                                        rope_for_layer(cfg, rope, li),
+                                        True, window=cfg.layer_window(li))
                 for slot in slots_needed:
                     tap = taps[slot]
                     if slot not in accs:
@@ -296,7 +304,9 @@ def quantize_model(
         # re-forward to produce next layer's inputs (quantized outputs)
         new_acts = []
         for x, mask, rope in zip(acts, masks, ropes):
-            y, _, _ = _layer_fwd(cfg, lp, x, mask, rope, False)
+            y, _, _ = _layer_fwd(cfg, lp, x, mask,
+                                 rope_for_layer(cfg, rope, li), False,
+                                 window=cfg.layer_window(li))
             new_acts.append(y)
         acts = new_acts
         log.info(f"layer {li} done in {time.perf_counter() - t_layer:.1f}s")

@@ -23,7 +23,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..models.transformer import (ModelConfig, embed, layer_forward,
-                                  rope_tables, unembed)
+                                  rope_for_layer, rope_tables_all,
+                                  unembed)
 from ..utils.logger import get_logger
 from .engine import init_cache
 
@@ -40,14 +41,17 @@ def prefill_into_slot(cfg: ModelConfig, params, cache, ids, slot,
     b1, s = ids.shape
     positions = jnp.broadcast_to(jnp.arange(s), (b1, s))
     x = embed(cfg, params, ids, positions)
-    rope = rope_tables(cfg, positions) if cfg.pos == "rope" else None
+    rope = rope_tables_all(cfg, positions) if cfg.pos == "rope" else None
     new_cache = []
-    for lp, lc in zip(params["layers"], cache):
+    for i, (lp, lc) in enumerate(zip(params["layers"], cache)):
         T = lc["k"].shape[1]
         slot_cache = {"k": jnp.zeros((1, T, *lc["k"].shape[2:]), lc["k"].dtype),
                       "v": jnp.zeros((1, T, *lc["v"].shape[2:]), lc["v"].dtype)}
-        x, sc, _ = layer_forward(cfg, lp, x, None, rope, cache=slot_cache,
-                                 cache_pos=0, backend=backend)
+        x, sc, _ = layer_forward(cfg, lp, x, None,
+                                 rope_for_layer(cfg, rope, i),
+                                 cache=slot_cache,
+                                 cache_pos=0, backend=backend,
+                                 window=cfg.layer_window(i))
         new_cache.append({
             "k": jax.lax.dynamic_update_slice(lc["k"], sc["k"], (slot, 0, 0, 0)),
             "v": jax.lax.dynamic_update_slice(lc["v"], sc["v"], (slot, 0, 0, 0)),
@@ -59,7 +63,7 @@ def prefill_into_slot(cfg: ModelConfig, params, cache, ids, slot,
 # The per-slot decode needs scatter-at-position cache writes; rather than
 # special-casing layer_forward further, decode_slots uses a dedicated layer
 # pass below.
-def _decode_layer(cfg, lp, x, mask, rope, lc, pos, backend):
+def _decode_layer(cfg, lp, x, mask, rope, lc, pos, backend, window=None):
     from ..models.transformer import apply_norm, attention, _activation
     import math as _math
     from ..ops import qlinear as ql
@@ -81,12 +85,15 @@ def _decode_layer(cfg, lp, x, mask, rope, lc, pos, backend):
         q = ql.apply(lp["attn"]["q"], h, backend)
         k = ql.apply(lp["attn"]["k"], h, backend)
         v = ql.apply(lp["attn"]["v"], h, backend)
+    if cfg.clip_qkv is not None:  # mpt
+        q, k, v = (jnp.clip(t, -cfg.clip_qkv, cfg.clip_qkv)
+                   for t in (q, k, v))
 
     def _rms(t, w):
         tf = t.astype(jnp.float32)
         var = jnp.mean(tf * tf, axis=-1, keepdims=True)
         return (tf * jax.lax.rsqrt(var + cfg.norm_eps)
-                * w.astype(jnp.float32)).astype(t.dtype)
+                * (w.astype(jnp.float32) + cfg.rms_offset)).astype(t.dtype)
 
     if cfg.qk_norm == "flat":  # olmo2: norm over full proj dim, pre-reshape
         q = _rms(q, lp["attn"]["q_norm"]["weight"])
@@ -97,11 +104,20 @@ def _decode_layer(cfg, lp, x, mask, rope, lc, pos, backend):
     if cfg.qk_norm in (True, "head"):  # qwen3: per-head norm over head_dim
         q = _rms(q, lp["attn"]["q_norm"]["weight"])
         k = _rms(k, lp["attn"]["k_norm"]["weight"])
+    elif cfg.qk_norm == "cohere":  # bias-free LayerNorm, per-head weights
+        def _ln(t, w):
+            tf = t.astype(jnp.float32)
+            mean = jnp.mean(tf, axis=-1, keepdims=True)
+            var = jnp.var(tf, axis=-1, keepdims=True)
+            return ((tf - mean) * jax.lax.rsqrt(var + cfg.norm_eps)
+                    * w.astype(jnp.float32)[None, None]).astype(t.dtype)
+        q = _ln(q, lp["attn"]["q_norm"]["weight"])
+        k = _ln(k, lp["attn"]["k_norm"]["weight"])
     if cfg.pos == "rope":
         from ..models.transformer import apply_rope
         cos, sin = rope
-        q = apply_rope(q, cos, sin)
-        k = apply_rope(k, cos, sin)
+        q = apply_rope(q, cos, sin, cfg.rope_interleaved)
+        k = apply_rope(k, cos, sin, cfg.rope_interleaved)
 
     max_seq = lc["k"].shape[1]
     t_ids = jnp.arange(max_seq)[None, :, None, None]
@@ -110,13 +126,25 @@ def _decode_layer(cfg, lp, x, mask, rope, lc, pos, backend):
     cv = jnp.where(sel, v.astype(lc["v"].dtype), lc["v"])
     lc["k"], lc["v"] = ck, cv
 
-    attn = attention(q, ck.astype(q.dtype), cv.astype(q.dtype), mask, scale)
+    if window is not None:
+        # per-slot positions: key t visible to slot b iff t > pos_b - window
+        mask = mask & (jnp.arange(max_seq)[None, :]
+                       > (pos - window)[:, None])[:, None, None, :]
+    attn = attention(q, ck.astype(q.dtype), cv.astype(q.dtype), mask, scale,
+                     softcap=cfg.attn_softcap)
     attn = attn.reshape(b, 1, cfg.q_dim)
     attn = ql.apply(lp["attn"]["o"], attn, backend)
-    if cfg.norm_after_sublayer:  # olmo2: x += norm(attn_out)
+    if cfg.sandwich_norm:  # gemma2: norm the attn output pre-residual
+        attn = apply_norm(lp["post_attn_norm"], attn, cfg.norm, cfg.norm_eps,
+                          cfg.rms_offset)
+    if cfg.parallel_residual:
+        x = residual  # attn joins the residual at the final add
+    elif cfg.norm_after_sublayer:  # olmo2: x += norm(attn_out)
         x = residual + apply_norm(lp["input_norm"], attn, cfg.norm,
                                   cfg.norm_eps, cfg.rms_offset)
     else:
+        if cfg.residual_multiplier is not None:  # granite
+            attn = attn * cfg.residual_multiplier
         x = residual + attn
         if not cfg.do_layer_norm_before:
             x = apply_norm(lp["input_norm"], x, cfg.norm, cfg.norm_eps)
@@ -142,6 +170,13 @@ def _decode_layer(cfg, lp, x, mask, rope, lc, pos, backend):
         x = residual + apply_norm(lp["post_norm"], out, cfg.norm,
                                   cfg.norm_eps, cfg.rms_offset)
         return x, lc
+    if cfg.sandwich_norm:  # gemma2: norm the mlp output pre-residual
+        out = apply_norm(lp["post_mlp_norm"], out, cfg.norm, cfg.norm_eps,
+                         cfg.rms_offset)
+    if cfg.residual_multiplier is not None:  # granite
+        out = out * cfg.residual_multiplier
+    if cfg.parallel_residual:  # x + attn(ln x) + mlp(ln' x)
+        out = out + attn
     x = residual + out
     if not cfg.do_layer_norm_before:
         x = apply_norm(lp["post_norm"], x, cfg.norm, cfg.norm_eps)
@@ -156,11 +191,13 @@ def _decode_slots_impl(cfg: ModelConfig, params, cache, tokens, pos, backend):
     positions = pos[:, None]
     x = embed(cfg, params, tokens[:, None], positions)
     mask = (jnp.arange(max_seq)[None, :] <= pos[:, None])[:, None, None, :]
-    rope = rope_tables(cfg, positions) if cfg.pos == "rope" else None
+    rope = rope_tables_all(cfg, positions) if cfg.pos == "rope" else None
     new_cache = []
-    for lp, lc in zip(params["layers"], cache):
+    for i, (lp, lc) in enumerate(zip(params["layers"], cache)):
         lc = dict(lc)
-        x, lc = _decode_layer(cfg, lp, x, mask, rope, lc, pos, backend)
+        x, lc = _decode_layer(cfg, lp, x, mask,
+                              rope_for_layer(cfg, rope, i), lc, pos,
+                              backend, window=cfg.layer_window(i))
         new_cache.append(lc)
     logits = unembed(cfg, params, x)[:, 0, :]
     return logits, new_cache

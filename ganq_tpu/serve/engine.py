@@ -23,7 +23,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..models.transformer import (ModelConfig, causal_mask, embed,
-                                  layer_forward, rope_tables, unembed)
+                                  layer_forward, rope_for_layer,
+                                  rope_tables_all, unembed)
 
 
 def init_cache(cfg: ModelConfig, batch: int, max_seq: int,
@@ -48,11 +49,13 @@ def prefill(cfg: ModelConfig, params: Dict[str, Any], cache: list,
     positions = jnp.broadcast_to(jnp.arange(s), (b, s))
     x = embed(cfg, params, input_ids, positions)
     mask = causal_mask(s, max_seq)
-    rope = rope_tables(cfg, positions) if cfg.pos == "rope" else None
+    rope = rope_tables_all(cfg, positions) if cfg.pos == "rope" else None
     new_cache = []
-    for lp, lc in zip(params["layers"], cache):
-        x, lc, _ = layer_forward(cfg, lp, x, mask, rope, cache=lc,
-                                 cache_pos=0, backend=backend)
+    for i, (lp, lc) in enumerate(zip(params["layers"], cache)):
+        x, lc, _ = layer_forward(cfg, lp, x, mask,
+                                 rope_for_layer(cfg, rope, i), cache=lc,
+                                 cache_pos=0, backend=backend,
+                                 window=cfg.layer_window(i))
         new_cache.append(lc)
     logits = unembed(cfg, params, x[:, -1:, :])
     return logits[:, 0, :], new_cache
@@ -66,11 +69,13 @@ def _decode_one(cfg: ModelConfig, params, cache, token: jax.Array,
     positions = jnp.broadcast_to(pos, (b, 1))
     x = embed(cfg, params, token[:, None], positions)
     mask = (jnp.arange(max_seq) <= pos)[None, None, None, :]
-    rope = rope_tables(cfg, positions) if cfg.pos == "rope" else None
+    rope = rope_tables_all(cfg, positions) if cfg.pos == "rope" else None
     new_cache = []
-    for lp, lc in zip(params["layers"], cache):
-        x, lc, _ = layer_forward(cfg, lp, x, mask, rope, cache=lc,
-                                 cache_pos=pos, backend=backend)
+    for i, (lp, lc) in enumerate(zip(params["layers"], cache)):
+        x, lc, _ = layer_forward(cfg, lp, x, mask,
+                                 rope_for_layer(cfg, rope, i), cache=lc,
+                                 cache_pos=pos, backend=backend,
+                                 window=cfg.layer_window(i))
         new_cache.append(lc)
     logits = unembed(cfg, params, x)[:, 0, :]
     return logits, new_cache

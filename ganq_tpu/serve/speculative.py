@@ -26,7 +26,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..models.transformer import ModelConfig, embed, layer_forward, rope_tables, unembed
+from ..models.transformer import (ModelConfig, embed, layer_forward,
+                                  rope_for_layer, rope_tables_all, unembed)
 from .engine import decode_step, init_cache, prefill
 
 
@@ -42,11 +43,13 @@ def extend(cfg: ModelConfig, params, cache, tokens: jax.Array, pos: jax.Array,
     # query i (absolute position pos+i) attends keys <= pos+i
     mask = (jnp.arange(max_seq)[None, :]
             <= (pos + jnp.arange(s))[:, None])[None, None]       # [1,1,s,T]
-    rope = rope_tables(cfg, positions) if cfg.pos == "rope" else None
+    rope = rope_tables_all(cfg, positions) if cfg.pos == "rope" else None
     new_cache = []
-    for lp, lc in zip(params["layers"], cache):
-        x, lc, _ = layer_forward(cfg, lp, x, mask, rope, cache=lc,
-                                 cache_pos=pos, backend=backend)
+    for i, (lp, lc) in enumerate(zip(params["layers"], cache)):
+        x, lc, _ = layer_forward(cfg, lp, x, mask,
+                                 rope_for_layer(cfg, rope, i), cache=lc,
+                                 cache_pos=pos, backend=backend,
+                                 window=cfg.layer_window(i))
         new_cache.append(lc)
     return unembed(cfg, params, x), new_cache
 

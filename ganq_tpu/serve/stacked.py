@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 
 from ..models.transformer import (ModelConfig, causal_mask, embed,
-                                  layer_forward, rope_tables, unembed)
+                                  layer_forward, rope_tables_all, unembed)
 
 
 def fuse_layer(lp: Dict[str, Any]) -> Dict[str, Any]:
@@ -29,8 +29,11 @@ def fuse_layer(lp: Dict[str, Any]) -> Dict[str, Any]:
     out = dict(lp)
     a = lp["attn"]
     if all(k in a for k in ("q", "k", "v")) and a.get("q") is not None:
-        out["attn"] = {"qkv": concat_rows([a["q"], a["k"], a["v"]]),
-                       "o": a["o"]}
+        fused = {"qkv": concat_rows([a["q"], a["k"], a["v"]]), "o": a["o"]}
+        for extra in ("q_norm", "k_norm"):  # qwen3/gemma3 norms ride along
+            if extra in a:
+                fused[extra] = a[extra]
+        out["attn"] = fused
     m = lp["mlp"]
     if "gate" in m and "up" in m:
         out["mlp"] = {"gateup": concat_rows([m["gate"], m["up"]]),
@@ -69,6 +72,37 @@ def stack_layers(params: Dict[str, Any], fuse: bool = True,
     return out
 
 
+def _layer_windows(cfg: ModelConfig, max_seq: int):
+    """Per-layer window sizes as scan data (None if no layer slides).
+    Full-attention layers get window=max_seq — a no-op overlay — so the
+    scanned layer body stays homogeneous across sliding/full layers."""
+    if cfg.sliding_window is None:
+        return None
+    return jnp.asarray([cfg.layer_window(i) or max_seq
+                        for i in range(cfg.num_hidden_layers)], jnp.int32)
+
+
+def _rope_with_select(cfg: ModelConfig, positions):
+    """(rope, per-layer selector). Dual-rope models (gemma3) return both
+    tables plus a bool[L] riding the scan; the body where-selects — two
+    tables total instead of L stacked ones."""
+    if cfg.pos != "rope":
+        return None, None
+    rope = rope_tables_all(cfg, positions)
+    if isinstance(rope, dict):
+        sel = jnp.asarray([cfg.layer_window(i) is not None
+                           for i in range(cfg.num_hidden_layers)])
+        return rope, sel
+    return rope, None
+
+
+def _pick_rope(rope, sel):
+    if not isinstance(rope, dict):
+        return rope
+    return jax.tree_util.tree_map(lambda a, b: jnp.where(sel, a, b),
+                                  rope["local"], rope["global"])
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "backend"))
 def prefill(cfg: ModelConfig, sp: Dict[str, Any], cache_k, cache_v,
             input_ids: jax.Array, backend: str = "reference"):
@@ -78,17 +112,19 @@ def prefill(cfg: ModelConfig, sp: Dict[str, Any], cache_k, cache_v,
     positions = jnp.broadcast_to(jnp.arange(s), (b, s))
     x = embed(cfg, sp, input_ids, positions)
     mask = causal_mask(s, max_seq)
-    rope = rope_tables(cfg, positions) if cfg.pos == "rope" else None
+    rope, rsel = _rope_with_select(cfg, positions)
+
+    windows = _layer_windows(cfg, max_seq)
 
     def body(x, layer):
-        lp, ck, cv = layer
-        y, new_cache, _ = layer_forward(cfg, lp, x, mask, rope,
+        lp, ck, cv, win, sl = layer
+        y, new_cache, _ = layer_forward(cfg, lp, x, mask, _pick_rope(rope, sl),
                                         cache={"k": ck, "v": cv}, cache_pos=0,
-                                        backend=backend)
+                                        backend=backend, window=win)
         return y, (new_cache["k"], new_cache["v"])
 
     x, (cache_k, cache_v) = jax.lax.scan(
-        body, x, (sp["layers_stacked"], cache_k, cache_v))
+        body, x, (sp["layers_stacked"], cache_k, cache_v, windows, rsel))
     logits = unembed(cfg, sp, x[:, -1:, :])
     return logits[:, 0, :], cache_k, cache_v
 
@@ -99,17 +135,20 @@ def _decode_one(cfg, sp, cache_k, cache_v, token, pos, backend):
     positions = jnp.broadcast_to(pos, (b, 1))
     x = embed(cfg, sp, token[:, None], positions)
     mask = (jnp.arange(max_seq) <= pos)[None, None, None, :]
-    rope = rope_tables(cfg, positions) if cfg.pos == "rope" else None
+    rope, rsel = _rope_with_select(cfg, positions)
+
+    windows = _layer_windows(cfg, max_seq)
 
     def body(x, layer):
-        lp, ck, cv = layer
-        y, new_cache, _ = layer_forward(cfg, lp, x, mask, rope,
+        lp, ck, cv, win, sl = layer
+        y, new_cache, _ = layer_forward(cfg, lp, x, mask, _pick_rope(rope, sl),
                                         cache={"k": ck, "v": cv},
-                                        cache_pos=pos, backend=backend)
+                                        cache_pos=pos, backend=backend,
+                                        window=win)
         return y, (new_cache["k"], new_cache["v"])
 
     x, (cache_k, cache_v) = jax.lax.scan(
-        body, x, (sp["layers_stacked"], cache_k, cache_v))
+        body, x, (sp["layers_stacked"], cache_k, cache_v, windows, rsel))
     logits = unembed(cfg, sp, x)[:, 0, :]
     return logits, cache_k, cache_v
 

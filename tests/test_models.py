@@ -197,7 +197,7 @@ def test_unsupported_arch_fails_loudly():
     from ganq_tpu.models.registry import get_spec
     import pytest as _pt
     with _pt.raises(KeyError, match="Unsupported architecture"):
-        get_spec("granite")  # residual/logit multipliers not modeled; must not alias
+        get_spec("chatglm")  # remote-code arch, no local oracle; must not alias
 
 
 def test_qwen3_forward_parity(rng):
@@ -311,3 +311,263 @@ def test_stablelm_unsupported_variants_raise():
         spec.make_config({**base, "qk_layernorm": True})
     with pytest.raises(NotImplementedError):
         spec.make_config({**base, "use_parallel_residual": True})
+
+
+def test_gemma2_forward_parity(rng):
+    """Sandwich norms, attn/logit softcaps, query_pre_attn_scalar, and a
+    sliding window SMALLER than the sequence so the alternate-layer window
+    mask actually changes the output."""
+    hf_cfg = transformers.Gemma2Config(
+        vocab_size=256, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=4, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=16, max_position_embeddings=128, query_pre_attn_scalar=16,
+        sliding_window=8, attn_logit_softcapping=50.0,
+        final_logit_softcapping=30.0,
+    )
+    torch.manual_seed(40)
+    model = transformers.Gemma2ForCausalLM(hf_cfg)
+    ids = rng.integers(0, 256, size=(2, 24))  # 24 > window=8
+    cfg, params = _compare(model, ids)
+    assert cfg.sandwich_norm and cfg.attn_softcap == 50.0
+    assert cfg.layer_window(0) == 8 and cfg.layer_window(1) is None
+
+
+def test_gemma2_engine_matches_forward(rng):
+    """Cached decode must reproduce the no-cache forward argmax path —
+    exercises the sliding-window mask against a padded KV cache."""
+    from ganq_tpu.serve.engine import Engine
+
+    hf_cfg = transformers.Gemma2Config(
+        vocab_size=128, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=2, num_attention_heads=2, num_key_value_heads=1,
+        head_dim=16, max_position_embeddings=64, query_pre_attn_scalar=16,
+        sliding_window=8,
+    )
+    torch.manual_seed(41)
+    cfg, params = hf_import.params_from_torch_model(
+        transformers.Gemma2ForCausalLM(hf_cfg))
+    prompt = rng.integers(0, 128, size=(1, 12)).astype(np.int32)
+    out = Engine(cfg, params, max_seq=48).generate(prompt, max_new_tokens=8)
+
+    # oracle: greedy re-decode via the full no-cache forward
+    ids = prompt.copy()
+    for _ in range(8):
+        logits = np.asarray(transformer.forward(cfg, params, jnp.asarray(ids)))
+        nxt = int(np.argmax(logits[0, -1]))
+        ids = np.concatenate([ids, [[nxt]]], axis=1)
+    np.testing.assert_array_equal(out[0], ids[0, 12:])
+
+
+def test_gptj_forward_parity(rng):
+    """Parallel residual off one shared ln_1 + interleaved partial rotary."""
+    hf_cfg = transformers.GPTJConfig(
+        vocab_size=256, n_embd=64, n_layer=2, n_head=4, n_positions=128,
+        rotary_dim=8, n_inner=None, activation_function="gelu_new",
+    )
+    torch.manual_seed(42)
+    model = transformers.GPTJForCausalLM(hf_cfg)
+    ids = rng.integers(0, 256, size=(2, 20))
+    cfg, _ = _compare(model, ids)
+    assert cfg.rope_interleaved and cfg.parallel_residual
+
+
+def test_phi_forward_parity(rng):
+    """Phi-2 style: parallel residual, half-split partial rotary, biases."""
+    hf_cfg = transformers.PhiConfig(
+        vocab_size=256, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=4,
+        partial_rotary_factor=0.5, max_position_embeddings=128,
+    )
+    torch.manual_seed(43)
+    model = transformers.PhiForCausalLM(hf_cfg)
+    ids = rng.integers(0, 256, size=(2, 20))
+    cfg, params = _compare(model, ids)
+    assert cfg.parallel_residual and not cfg.rope_interleaved
+    assert params["lm_head"].arrays.get("bias") is not None
+
+
+def test_codegen_forward_parity(rng):
+    """Fused qkv with mp_num=4 (query, value, key) block layout."""
+    hf_cfg = transformers.CodeGenConfig(
+        vocab_size=256, n_embd=64, n_layer=2, n_head=4, n_positions=128,
+        rotary_dim=8,
+    )
+    torch.manual_seed(44)
+    model = transformers.CodeGenForCausalLM(hf_cfg)
+    ids = rng.integers(0, 256, size=(1, 20))
+    _compare(model, ids)
+
+
+def test_cohere_forward_parity(rng):
+    """Shared-norm parallel residual, bias-free LayerNorm, interleaved
+    full-dim rope, logit_scale, per-head q/k norms (command-r-plus style)."""
+    hf_cfg = transformers.CohereConfig(
+        vocab_size=256, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=128, logit_scale=0.25, use_qk_norm=True,
+    )
+    torch.manual_seed(45)
+    model = transformers.CohereForCausalLM(hf_cfg)
+    ids = rng.integers(0, 256, size=(2, 16))
+    cfg, _ = _compare(model, ids)
+    assert cfg.logit_scale == 0.25 and cfg.qk_norm == "cohere"
+
+
+def test_granite_forward_parity(rng):
+    """The four granite multipliers must all bite."""
+    hf_cfg = transformers.GraniteConfig(
+        vocab_size=256, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=128, embedding_multiplier=2.0,
+        residual_multiplier=0.5, attention_multiplier=0.2,
+        logits_scaling=3.0, tie_word_embeddings=False,
+    )
+    torch.manual_seed(46)
+    model = transformers.GraniteForCausalLM(hf_cfg)
+    ids = rng.integers(0, 256, size=(2, 16))
+    cfg, _ = _compare(model, ids)
+    assert cfg.residual_multiplier == 0.5 and cfg.attn_scale == 0.2
+
+
+def test_glm_forward_parity(rng):
+    """Interleaved partial rotary + fused gate_up split."""
+    hf_cfg = transformers.GlmConfig(
+        vocab_size=256, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=16, partial_rotary_factor=0.5, max_position_embeddings=128,
+        pad_token_id=0,
+    )
+    torch.manual_seed(47)
+    model = transformers.GlmForCausalLM(hf_cfg)
+    ids = rng.integers(0, 256, size=(2, 16))
+    cfg, _ = _compare(model, ids)
+    assert cfg.rope_interleaved and cfg.rotary_dim == 8
+
+
+def test_mpt_forward_parity(rng):
+    """Mosaic-grid ALiBi (6 heads exercises the odd/even interleave) +
+    clip_qkv + bias-free linears."""
+    hf_cfg = transformers.MptConfig(
+        vocab_size=256, d_model=48, n_heads=6, n_layers=2, max_seq_len=128,
+        expansion_ratio=4,
+        attn_config={"alibi": True, "clip_qkv": 3.0},
+    )
+    torch.manual_seed(48)
+    model = transformers.MptForCausalLM(hf_cfg)
+    ids = rng.integers(0, 256, size=(2, 16))
+    cfg, _ = _compare(model, ids)
+    assert cfg.alibi_kind == "mpt" and cfg.clip_qkv == 3.0
+
+
+def test_gpt_bigcode_forward_parity(rng):
+    """MQA fused c_attn split + learned positions."""
+    hf_cfg = transformers.GPTBigCodeConfig(
+        vocab_size=256, n_embd=64, n_layer=2, n_head=4, n_positions=128,
+        multi_query=True,
+    )
+    torch.manual_seed(49)
+    model = transformers.GPTBigCodeForCausalLM(hf_cfg)
+    ids = rng.integers(0, 256, size=(2, 16))
+    cfg, _ = _compare(model, ids)
+    assert cfg.num_key_value_heads == 1
+
+
+def test_gpt_bigcode_mha_variant_parity(rng):
+    hf_cfg = transformers.GPTBigCodeConfig(
+        vocab_size=256, n_embd=64, n_layer=2, n_head=4, n_positions=128,
+        multi_query=False,
+    )
+    torch.manual_seed(50)
+    model = transformers.GPTBigCodeForCausalLM(hf_cfg)
+    ids = rng.integers(0, 256, size=(1, 12))
+    cfg, _ = _compare(model, ids)
+    assert cfg.num_key_value_heads == 4
+
+
+def test_qwen2_moe_forward_parity(rng):
+    """Shared expert + sigmoid gate + NO top-k renorm (norm_topk_prob off)."""
+    hf_cfg = transformers.Qwen2MoeConfig(
+        vocab_size=256, hidden_size=64, intermediate_size=128,
+        moe_intermediate_size=48, shared_expert_intermediate_size=96,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        num_experts=4, num_experts_per_tok=2, norm_topk_prob=False,
+        max_position_embeddings=128,
+    )
+    torch.manual_seed(51)
+    model = transformers.Qwen2MoeForCausalLM(hf_cfg)
+    ids = rng.integers(0, 256, size=(2, 16))
+    cfg, params = _compare(model, ids)
+    assert not cfg.moe_norm_topk
+    assert "shared" in params["layers"][0]["moe"]
+
+
+def test_qwen3_moe_forward_parity(rng):
+    hf_cfg = transformers.Qwen3MoeConfig(
+        vocab_size=256, hidden_size=64, intermediate_size=128,
+        moe_intermediate_size=48, num_hidden_layers=2,
+        num_attention_heads=4, num_key_value_heads=2, head_dim=16,
+        num_experts=4, num_experts_per_tok=2, norm_topk_prob=True,
+        max_position_embeddings=128,
+    )
+    torch.manual_seed(52)
+    model = transformers.Qwen3MoeForCausalLM(hf_cfg)
+    ids = rng.integers(0, 256, size=(2, 16))
+    cfg, _ = _compare(model, ids)
+    assert cfg.qk_norm is True and cfg.moe_norm_topk
+
+
+def test_olmoe_forward_parity(rng):
+    hf_cfg = transformers.OlmoeConfig(
+        vocab_size=256, hidden_size=64, intermediate_size=96,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        num_experts=4, num_experts_per_tok=2, norm_topk_prob=False,
+        max_position_embeddings=128,
+    )
+    torch.manual_seed(53)
+    model = transformers.OlmoeForCausalLM(hf_cfg)
+    ids = rng.integers(0, 256, size=(2, 16))
+    cfg, _ = _compare(model, ids)
+    assert cfg.qk_norm == "flat"
+
+
+def test_gemma3_forward_parity(rng):
+    """Dual rope (local theta on sliding layers), per-head (1+w) q/k norms,
+    sandwich norms; 7 layers exercise the 5:1 sliding pattern boundary and a
+    window smaller than the sequence."""
+    hf_cfg = transformers.Gemma3TextConfig(
+        vocab_size=256, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=7, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=16, max_position_embeddings=128, query_pre_attn_scalar=16,
+        sliding_window=8, rope_theta=1_000_000.0, rope_local_base_freq=10_000.0,
+        rope_scaling={"rope_type": "linear", "factor": 2.0},
+    )
+    torch.manual_seed(54)
+    model = transformers.Gemma3ForCausalLM(hf_cfg)
+    ids = rng.integers(0, 256, size=(2, 24))
+    cfg, _ = _compare(model, ids)
+    assert cfg.rope_local_theta == 10_000.0
+    assert cfg.layer_window(0) == 8 and cfg.layer_window(5) is None
+
+
+def test_gemma3_stacked_greedy_matches_unrolled(rng):
+    """The dual-rope where-select in the stacked layer scan must match the
+    unrolled engine's static per-layer table choice."""
+    from ganq_tpu.serve import engine, stacked
+
+    hf_cfg = transformers.Gemma3TextConfig(
+        vocab_size=128, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=6, num_attention_heads=2, num_key_value_heads=1,
+        head_dim=16, max_position_embeddings=64, query_pre_attn_scalar=16,
+        sliding_window=8,
+    )
+    torch.manual_seed(55)
+    cfg, params = hf_import.params_from_torch_model(
+        transformers.Gemma3ForCausalLM(hf_cfg))
+    prompt = rng.integers(0, 128, size=(1, 12)).astype(np.int32)
+    ref = engine.Engine(cfg, params, max_seq=32).generate(prompt,
+                                                          max_new_tokens=8)
+    sp = stacked.stack_layers(params)
+    ck, cv = stacked.init_cache(cfg, cfg.num_hidden_layers, 1, 32)
+    out = np.asarray(stacked.greedy_decode(cfg, sp, ck, cv,
+                                           jnp.asarray(prompt), 8))
+    np.testing.assert_array_equal(out, ref)
