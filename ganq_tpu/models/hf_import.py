@@ -117,7 +117,11 @@ def params_from_state_dict(state: Dict[str, np.ndarray], hf_config: Dict[str, An
             "attn": {k: to_linear(rl.get("attn", {}).get(k))
                      for k in ("q", "k", "v", "o")},
         }
-        for nk in ("q_norm", "k_norm"):  # qwen3-family per-head norms
+        for lk in ("q_a", "q_b", "kv_a", "kv_b"):  # deepseek MLA projections
+            if lk in rl.get("attn", {}):
+                lp["attn"][lk] = to_linear(rl["attn"][lk])
+        for nk in ("q_norm", "k_norm",             # qwen3-family head norms
+                   "q_a_norm", "kv_a_norm"):       # MLA bottleneck norms
             if nk in rl.get("attn", {}):
                 lp["attn"][nk] = rl["attn"][nk]
         for nk in ("post_attn_norm", "post_mlp_norm"):  # gemma2 sandwich
@@ -137,6 +141,8 @@ def params_from_state_dict(state: Dict[str, np.ndarray], hf_config: Dict[str, An
                                        for k in ("gate", "up", "down")}
             if "shared_gate" in rl["moe"]:
                 lp["moe"]["shared_gate"] = to_linear(rl["moe"]["shared_gate"])
+            if "router_bias" in rl["moe"]:  # deepseek v3 e_score_correction
+                lp["moe"]["router_bias"] = rl["moe"]["router_bias"]
             lp["mlp"] = {}
         else:
             mlp = {}

@@ -1785,3 +1785,162 @@ for _mt in ("gemma3_text", "gemma3"):
         layer_modules=LLAMA_LAYER_MODULES,
         module_slots=LLAMA_SLOTS,
     ))
+
+
+# ------------------------------------------------------------ deepseek v2/v3
+def _deepseek_common(hf: Dict[str, Any], model_type: str) -> ModelConfig:
+    heads = hf["num_attention_heads"]
+    nope = hf.get("qk_nope_head_dim", 128)
+    rd = hf.get("qk_rope_head_dim", 64)
+    return ModelConfig(
+        model_type=model_type,
+        vocab_size=hf["vocab_size"],
+        hidden_size=hf["hidden_size"],
+        intermediate_size=hf["intermediate_size"],
+        num_hidden_layers=hf["num_hidden_layers"],
+        num_attention_heads=heads,
+        num_key_value_heads=heads,
+        head_dim=nope + rd,
+        max_position_embeddings=hf.get("max_position_embeddings", 4096),
+        norm="rmsnorm",
+        norm_eps=hf.get("rms_norm_eps", 1e-6),
+        act=hf.get("hidden_act", "silu"),
+        gated_mlp=True,
+        pos="rope",
+        rope_theta=hf.get("rope_theta", 10000.0),
+        rotary_dim=rd,
+        rope_interleaved=True,
+        attn_scale=(nope + rd) ** -0.5,
+        attn_bias=hf.get("attention_bias", False),
+        tie_word_embeddings=hf.get("tie_word_embeddings", False),
+        mla=True,
+        q_lora_rank=hf.get("q_lora_rank"),
+        kv_lora_rank=hf.get("kv_lora_rank", 512),
+        qk_nope_head_dim=nope,
+        qk_rope_head_dim=rd,
+        v_head_dim=hf.get("v_head_dim", 128),
+        num_experts=hf.get("n_routed_experts") or 0,
+        num_experts_per_tok=hf.get("num_experts_per_tok") or 6,
+        moe_norm_topk=hf.get("norm_topk_prob", False),
+        moe_n_group=hf.get("n_group") or 1,
+        moe_topk_group=hf.get("topk_group") or 1,
+        moe_routed_scale=hf.get("routed_scaling_factor", 1.0),
+    )
+
+
+def _deepseek_v2_config(hf: Dict[str, Any]) -> ModelConfig:
+    """DeepSeek-V2: MLA attention (low-rank q/kv bottlenecks, rope/nope head
+    split, complex-multiply rope = interleaved pairs) + fine-grained MoE
+    with softmax scores, optional group-limited greedy top-k, ungated shared
+    experts, and dense layers below first_k_dense_replace."""
+    base = _deepseek_common(hf, "deepseek_v2")
+    import dataclasses as _dc
+    return _dc.replace(
+        base,
+        moe_scoring="softmax",
+        moe_topk_method=hf.get("topk_method", "greedy"),
+    )
+
+
+def _deepseek_v3_config(hf: Dict[str, Any]) -> ModelConfig:
+    """DeepSeek-V3/R1: v2's MLA plus sigmoid routing with the
+    e_score_correction_bias used for selection only (noaux_tc group top-k =
+    sum of each group's top-2) and renormalized top-k weights."""
+    base = _deepseek_common(hf, "deepseek_v3")
+    import dataclasses as _dc
+    return _dc.replace(
+        base,
+        moe_scoring="sigmoid",
+        moe_topk_method="noaux_tc",
+        moe_norm_topk=hf.get("norm_topk_prob", True),
+    )
+
+
+DEEPSEEK_NAME_MAP = {
+    "embed_tokens.weight": "model.embed_tokens.weight",
+    "final_norm.weight": "model.norm.weight",
+    "lm_head.weight": "lm_head.weight",
+    "layers.{i}.input_norm.weight": "model.layers.{i}.input_layernorm.weight",
+    "layers.{i}.post_norm.weight":
+        "model.layers.{i}.post_attention_layernorm.weight",
+    "layers.{i}.attn.q.weight": "model.layers.{i}.self_attn.q_proj.weight",
+    "layers.{i}.attn.q_a.weight": "model.layers.{i}.self_attn.q_a_proj.weight",
+    "layers.{i}.attn.q_a.bias": "model.layers.{i}.self_attn.q_a_proj.bias",
+    "layers.{i}.attn.q_a_norm.weight":
+        "model.layers.{i}.self_attn.q_a_layernorm.weight",
+    "layers.{i}.attn.q_b.weight": "model.layers.{i}.self_attn.q_b_proj.weight",
+    "layers.{i}.attn.kv_a.weight":
+        "model.layers.{i}.self_attn.kv_a_proj_with_mqa.weight",
+    "layers.{i}.attn.kv_a.bias":
+        "model.layers.{i}.self_attn.kv_a_proj_with_mqa.bias",
+    "layers.{i}.attn.kv_a_norm.weight":
+        "model.layers.{i}.self_attn.kv_a_layernorm.weight",
+    "layers.{i}.attn.kv_b.weight":
+        "model.layers.{i}.self_attn.kv_b_proj.weight",
+    "layers.{i}.attn.o.weight": "model.layers.{i}.self_attn.o_proj.weight",
+    # dense layers (below first_k_dense_replace)
+    "layers.{i}.mlp.gate.weight": "model.layers.{i}.mlp.gate_proj.weight",
+    "layers.{i}.mlp.up.weight": "model.layers.{i}.mlp.up_proj.weight",
+    "layers.{i}.mlp.down.weight": "model.layers.{i}.mlp.down_proj.weight",
+    # MoE layers
+    "layers.{i}.moe.router.weight": "model.layers.{i}.mlp.gate.weight",
+    "layers.{i}.moe.router_bias.weight":
+        "model.layers.{i}.mlp.gate.e_score_correction_bias",
+    "layers.{i}.moe.experts.{e}.gate.weight":
+        "model.layers.{i}.mlp.experts.{e}.gate_proj.weight",
+    "layers.{i}.moe.experts.{e}.up.weight":
+        "model.layers.{i}.mlp.experts.{e}.up_proj.weight",
+    "layers.{i}.moe.experts.{e}.down.weight":
+        "model.layers.{i}.mlp.experts.{e}.down_proj.weight",
+    "layers.{i}.moe.shared.gate.weight":
+        "model.layers.{i}.mlp.shared_experts.gate_proj.weight",
+    "layers.{i}.moe.shared.up.weight":
+        "model.layers.{i}.mlp.shared_experts.up_proj.weight",
+    "layers.{i}.moe.shared.down.weight":
+        "model.layers.{i}.mlp.shared_experts.down_proj.weight",
+}
+
+DEEPSEEK_LAYER_MODULES = [
+    ["self_attn.q_proj", "self_attn.q_a_proj",
+     "self_attn.kv_a_proj_with_mqa"],
+    ["self_attn.q_b_proj", "self_attn.kv_b_proj"],
+    ["self_attn.o_proj"],
+    ["mlp.gate_proj", "mlp.up_proj",
+     "mlp.shared_experts.gate_proj", "mlp.shared_experts.up_proj",
+     "mlp.experts.{e}.gate_proj", "mlp.experts.{e}.up_proj"],
+    ["mlp.down_proj", "mlp.shared_experts.down_proj",
+     "mlp.experts.{e}.down_proj"],
+]
+
+DEEPSEEK_SLOTS = {
+    "self_attn.q_proj": "attn.q",
+    "self_attn.q_a_proj": "attn.q_a",
+    "self_attn.q_b_proj": "attn.q_b",
+    "self_attn.kv_a_proj_with_mqa": "attn.kv_a",
+    "self_attn.kv_b_proj": "attn.kv_b",
+    "self_attn.o_proj": "attn.o",
+    "mlp.gate_proj": "mlp.gate", "mlp.up_proj": "mlp.up",
+    "mlp.down_proj": "mlp.down",
+    "mlp.experts.{e}.gate_proj": "moe.experts.{e}.gate",
+    "mlp.experts.{e}.up_proj": "moe.experts.{e}.up",
+    "mlp.experts.{e}.down_proj": "moe.experts.{e}.down",
+    "mlp.shared_experts.gate_proj": "moe.shared.gate",
+    "mlp.shared_experts.up_proj": "moe.shared.up",
+    "mlp.shared_experts.down_proj": "moe.shared.down",
+}
+
+register(ArchSpec(
+    model_type="deepseek_v2",
+    make_config=_deepseek_v2_config,
+    name_map=DEEPSEEK_NAME_MAP,
+    layer_modules=DEEPSEEK_LAYER_MODULES,
+    module_slots=DEEPSEEK_SLOTS,
+))
+
+register(ArchSpec(
+    model_type="deepseek_v3",
+    make_config=_deepseek_v3_config,
+    name_map=DEEPSEEK_NAME_MAP,
+    layer_modules=DEEPSEEK_LAYER_MODULES,
+    module_slots=DEEPSEEK_SLOTS,
+))

@@ -80,6 +80,24 @@ class ModelConfig:
     # qwen2_moe/olmoe norm_topk_prob: renormalize the selected top-k routing
     # weights to sum 1 (mixtral always does; qwen2moe/olmoe default off)
     moe_norm_topk: bool = True
+    # deepseek MoE routing (v2/v3): score function ("softmax" | "sigmoid",
+    # sigmoid adds the v3 e_score_correction_bias for SELECTION only),
+    # group-limited top-k (n_group expert groups, best topk_group kept;
+    # group score = max for v2, top-2 sum for v3 "noaux_tc"), and a fixed
+    # multiplier on the routed combine
+    moe_scoring: str = "softmax"
+    moe_topk_method: str = "greedy"   # greedy | group_limited_greedy | noaux_tc
+    moe_n_group: int = 1
+    moe_topk_group: int = 1
+    moe_routed_scale: float = 1.0
+    # MLA (deepseek v2/v3): low-rank compressed q/kv projections with a
+    # rope/nope head-dim split (modeling_deepseek_v2.py DeepseekV2Attention)
+    mla: bool = False
+    q_lora_rank: Optional[int] = None   # None = direct q_proj (v2-lite)
+    kv_lora_rank: int = 512
+    qk_nope_head_dim: int = 128
+    qk_rope_head_dim: int = 64
+    v_head_dim: int = 128
     # q/k normalization before rope: False | True/"head" (qwen3: per-head
     # RMSNorm over head_dim) | "flat" (olmo2: RMSNorm over the whole q/kv
     # projection dim, applied before the head reshape)
@@ -144,6 +162,21 @@ class ModelConfig:
     def kv_dim(self) -> int:
         return self.num_key_value_heads * self.head_dim
 
+    # KV-cache head dims (MLA caches full per-head k at nope+rope width and
+    # v at its own width; everything else is symmetric at head_dim)
+    @property
+    def k_cache_dim(self) -> int:
+        return (self.qk_nope_head_dim + self.qk_rope_head_dim if self.mla
+                else self.head_dim)
+
+    @property
+    def v_cache_dim(self) -> int:
+        return self.v_head_dim if self.mla else self.head_dim
+
+    @property
+    def kv_cache_heads(self) -> int:
+        return self.num_attention_heads if self.mla else self.num_key_value_heads
+
 
 # --------------------------------------------------------------------- norms
 def apply_norm(np_: Dict[str, Any], x: jax.Array, kind: str, eps: float,
@@ -164,13 +197,48 @@ def apply_norm(np_: Dict[str, Any], x: jax.Array, kind: str, eps: float,
 
 
 # ---------------------------------------------------------------------- rope
-def _rope_inv_freq(cfg: ModelConfig) -> jax.Array:
+def _rope_inv_freq(cfg: ModelConfig) -> Tuple[jax.Array, float]:
+    """(inverse frequencies [rd/2], cos/sin post-scale). The scale is 1.0
+    except for yarn, whose attention_factor (deepseek mscale variants)
+    multiplies the tables — q and k both carry it, so attention logits gain
+    the paper's mscale^2 without touching the softmax scale."""
     rd = cfg.rotary_dim or cfg.head_dim
     inv_freq = 1.0 / (cfg.rope_theta ** (jnp.arange(0, rd, 2, dtype=jnp.float32) / rd))
     rs = cfg.rope_scaling
     if rs and rs.get("rope_type", rs.get("type")) == "linear":
         inv_freq = inv_freq / rs["factor"]
         rs = None
+    if rs and rs.get("rope_type", rs.get("type")) == "yarn":
+        # HF modeling_rope_utils._compute_yarn_parameters
+        factor = rs["factor"]
+        att = rs.get("attention_factor")
+        mscale, mscale_all = rs.get("mscale"), rs.get("mscale_all_dim")
+
+        def get_mscale(scale, m=1.0):
+            return 1.0 if scale <= 1 else 0.1 * m * math.log(scale) + 1.0
+
+        if att is None:
+            att = (float(get_mscale(factor, mscale) / get_mscale(factor, mscale_all))
+                   if mscale and mscale_all else get_mscale(factor))
+        beta_fast = rs.get("beta_fast") or 32
+        beta_slow = rs.get("beta_slow") or 1
+        orig = (rs.get("original_max_position_embeddings")
+                or cfg.max_position_embeddings)
+
+        def corr_dim(rot):
+            return (rd * math.log(orig / (rot * 2 * math.pi))) / (2 * math.log(cfg.rope_theta))
+
+        low, high = corr_dim(beta_fast), corr_dim(beta_slow)
+        if rs.get("truncate", True):
+            low, high = math.floor(low), math.ceil(high)
+        low, high = max(low, 0), min(high, rd - 1)
+        if low == high:
+            high += 0.001
+        ramp = jnp.clip(
+            (jnp.arange(rd // 2, dtype=jnp.float32) - low) / (high - low), 0, 1)
+        extrap = 1.0 - ramp          # 1 = keep original freq, 0 = interpolate
+        inv_freq = (inv_freq / factor) * (1 - extrap) + inv_freq * extrap
+        return inv_freq, att
     if rs and rs.get("rope_type", rs.get("type")) == "llama3":
         # HF llama3 frequency-dependent scaling (Llama-3.x checkpoints)
         factor = rs["factor"]
@@ -185,7 +253,7 @@ def _rope_inv_freq(cfg: ModelConfig) -> jax.Array:
         mid = (1 - smooth) * scaled + smooth * inv_freq
         inv_freq = jnp.where(wavelen > low_wl, scaled,
                              jnp.where(wavelen < high_wl, inv_freq, mid))
-    return inv_freq
+    return inv_freq, 1.0
 
 
 def rope_tables(cfg: ModelConfig, positions: jax.Array) -> Tuple[jax.Array, jax.Array]:
@@ -193,13 +261,13 @@ def rope_tables(cfg: ModelConfig, positions: jax.Array) -> Tuple[jax.Array, jax.
     ([f0..fn, f0..fn], HF rotate_half) by default; interleaved
     ([f0, f0, f1, f1, ...], gptj duplicate_interleave) when
     ``cfg.rope_interleaved``."""
-    inv_freq = _rope_inv_freq(cfg)
+    inv_freq, att_scale = _rope_inv_freq(cfg)
     freqs = positions[..., None].astype(jnp.float32) * inv_freq  # [..., rd/2]
     if cfg.rope_interleaved:
         emb = jnp.repeat(freqs, 2, axis=-1)
     else:
         emb = jnp.concatenate([freqs, freqs], axis=-1)
-    return jnp.cos(emb), jnp.sin(emb)
+    return jnp.cos(emb) * att_scale, jnp.sin(emb) * att_scale
 
 
 def rope_tables_all(cfg: ModelConfig, positions: jax.Array):
@@ -265,7 +333,7 @@ def attention(q: jax.Array, k: jax.Array, v: jax.Array, mask: Optional[jax.Array
         logits = jnp.where(mask[:, :, None], logits, jnp.finfo(jnp.float32).min)
     probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
     out = jnp.einsum("bhgst,bthd->bshgd", probs, v)
-    return out.reshape(b, s, hq, d)
+    return out.reshape(b, s, hq, v.shape[-1])  # MLA: v dim != qk dim
 
 
 def alibi_slopes(n_heads: int, kind: str = "bloom") -> jax.Array:
@@ -325,17 +393,43 @@ def _moe_forward(cfg: ModelConfig, moe: Dict[str, Any], h: jax.Array,
     router_logits = qlinear.apply(moe["router"], h, backend)     # [b, s, E]
     E = cfg.num_experts
     k = cfg.num_experts_per_tok
-    probs = jax.nn.softmax(router_logits.astype(jnp.float32), axis=-1)
-    topv, _ = jax.lax.top_k(probs, k)
+    if cfg.moe_scoring == "sigmoid":   # deepseek v3
+        probs = jax.nn.sigmoid(router_logits.astype(jnp.float32))
+    else:
+        probs = jax.nn.softmax(router_logits.astype(jnp.float32), axis=-1)
+    # selection scores: v3 adds the e_score_correction_bias for CHOOSING
+    # experts only — combine weights still come from the raw scores
+    choice = probs
+    if "router_bias" in moe:
+        choice = choice + moe["router_bias"]["weight"].astype(jnp.float32)
+    if cfg.moe_topk_method in ("group_limited_greedy", "noaux_tc") \
+            and cfg.moe_n_group > 1:
+        # deepseek group-limited routing: keep only experts inside the best
+        # topk_group of the n_group expert groups (group score = max member
+        # for v2, sum of top-2 members for v3's noaux_tc)
+        g = cfg.moe_n_group
+        cg = choice.reshape(*choice.shape[:-1], g, E // g)
+        if cfg.moe_topk_method == "noaux_tc":
+            gscore = jnp.sum(jax.lax.top_k(cg, 2)[0], axis=-1)
+        else:
+            gscore = jnp.max(cg, axis=-1)
+        gth = jax.lax.top_k(gscore, cfg.moe_topk_group)[0][..., -1:]
+        gmask = gscore >= gth                                    # [b,s,g]
+        choice = jnp.where(
+            jnp.repeat(gmask, E // g, axis=-1), choice, 0.0)
+    topv, _ = jax.lax.top_k(choice, k)
     thresh = topv[..., -1:]
-    sel = probs >= thresh                                        # [b, s, E]
+    sel = choice >= thresh                                       # [b, s, E]
     gated = jnp.where(sel, probs, 0.0)
     if cfg.moe_norm_topk:  # mixtral always; qwen2moe/olmoe norm_topk_prob
         gated = gated / jnp.maximum(jnp.sum(gated, axis=-1, keepdims=True),
                                     1e-9)
+    if cfg.moe_routed_scale != 1.0:    # deepseek routed_scaling_factor
+        gated = gated * cfg.moe_routed_scale
 
     def shared_expert_out():
-        # qwen2_moe: an always-on expert added through a sigmoid scalar gate
+        # qwen2_moe: an always-on expert behind a sigmoid scalar gate;
+        # deepseek: the same always-on expert added ungated
         sh = moe["shared"]
         if taps is not None:
             taps["moe.shared.gate"] = taps["moe.shared.up"] = h
@@ -344,6 +438,8 @@ def _moe_forward(cfg: ModelConfig, moe: Dict[str, Any], h: jax.Array,
         if taps is not None:
             taps["moe.shared.down"] = a
         y = qlinear.apply(sh["down"], a, backend)
+        if "shared_gate" not in moe:
+            return y
         g = jax.nn.sigmoid(
             qlinear.apply(moe["shared_gate"], h, backend).astype(jnp.float32))
         return y * g.astype(y.dtype)
@@ -383,6 +479,113 @@ def _moe_forward(cfg: ModelConfig, moe: Dict[str, Any], h: jax.Array,
     return out
 
 
+def _rms_vec(x: jax.Array, w: jax.Array, eps: float,
+             offset: float = 0.0) -> jax.Array:
+    xf = x.astype(jnp.float32)
+    var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+    return (xf * jax.lax.rsqrt(var + eps)
+            * (w.astype(jnp.float32) + offset)).astype(x.dtype)
+
+
+def _std_qkv(cfg: ModelConfig, lp: Dict[str, Any], h: jax.Array, rope,
+             backend: str, taps: Optional[Dict[str, jax.Array]]):
+    """Standard q/k/v projections: optional fused qkv, clip, flat/per-head/
+    cohere qk norms, rope. Returns q [b,s,Hq,d], k/v [b,s,Hkv,d]."""
+    b, s, _ = h.shape
+    if taps is not None:
+        taps["attn.q"] = taps["attn.k"] = taps["attn.v"] = h
+    if "qkv" in lp["attn"]:  # serving-time fusion (one kernel, split after)
+        qkv = qlinear.apply(lp["attn"]["qkv"], h, backend)
+        q = qkv[..., :cfg.q_dim]
+        k = qkv[..., cfg.q_dim:cfg.q_dim + cfg.kv_dim]
+        v = qkv[..., cfg.q_dim + cfg.kv_dim:]
+    else:
+        q = qlinear.apply(lp["attn"]["q"], h, backend)
+        k = qlinear.apply(lp["attn"]["k"], h, backend)
+        v = qlinear.apply(lp["attn"]["v"], h, backend)
+    if cfg.clip_qkv is not None:  # mpt
+        c = cfg.clip_qkv
+        q, k, v = (jnp.clip(t, -c, c) for t in (q, k, v))
+    if cfg.qk_norm == "flat":
+        # olmo2/olmoe: RMSNorm over the full projection dim, pre-reshape
+        q = _rms_vec(q, lp["attn"]["q_norm"]["weight"], cfg.norm_eps)
+        k = _rms_vec(k, lp["attn"]["k_norm"]["weight"], cfg.norm_eps)
+    q = q.reshape(b, s, cfg.num_attention_heads, cfg.head_dim)
+    k = k.reshape(b, s, cfg.num_key_value_heads, cfg.head_dim)
+    v = v.reshape(b, s, cfg.num_key_value_heads, cfg.head_dim)
+
+    if cfg.qk_norm in (True, "head"):
+        # per-head RMSNorm over head_dim (qwen3; gemma3 adds its (1+w)
+        # zero-centered weight via rms_offset): weights [head_dim]
+        q = _rms_vec(q, lp["attn"]["q_norm"]["weight"], cfg.norm_eps,
+                     cfg.rms_offset)
+        k = _rms_vec(k, lp["attn"]["k_norm"]["weight"], cfg.norm_eps,
+                     cfg.rms_offset)
+    elif cfg.qk_norm == "cohere":
+        # cohere use_qk_norm: bias-free LayerNorm over head_dim with a
+        # DISTINCT weight per head ([heads, head_dim]), applied pre-rope
+        def ch_norm(t, w):
+            tf = t.astype(jnp.float32)
+            mean = jnp.mean(tf, axis=-1, keepdims=True)
+            var = jnp.var(tf, axis=-1, keepdims=True)
+            return ((tf - mean) * jax.lax.rsqrt(var + cfg.norm_eps)
+                    * w.astype(jnp.float32)[None, None]).astype(t.dtype)
+        q = ch_norm(q, lp["attn"]["q_norm"]["weight"])
+        k = ch_norm(k, lp["attn"]["k_norm"]["weight"])
+
+    if cfg.pos == "rope":
+        cos, sin = rope
+        q = apply_rope(q, cos, sin, cfg.rope_interleaved)
+        k = apply_rope(k, cos, sin, cfg.rope_interleaved)
+    return q, k, v
+
+
+def _mla_qkv(cfg: ModelConfig, ap: Dict[str, Any], h: jax.Array, rope,
+             backend: str, taps: Optional[Dict[str, jax.Array]]):
+    """DeepSeek MLA projections (modeling_deepseek_v2.py:352-375): q through
+    an optional low-rank bottleneck (q_a -> rmsnorm -> q_b), kv through the
+    compressed kv_a (whose tail [qk_rope_head_dim] is the SHARED rope key)
+    -> rmsnorm -> kv_b giving per-head k_nope and v. Rope (complex-multiply
+    in HF = interleaved pairs) touches only the pe slices. Cache stores the
+    assembled per-head k (nope+rope width) and v — correctness-first; the
+    compressed-kv absorbed-matmul cache is a later TPU optimization."""
+    b, s, _ = h.shape
+    H = cfg.num_attention_heads
+    nope, rd = cfg.qk_nope_head_dim, cfg.qk_rope_head_dim
+    if taps is not None:
+        taps["attn.kv_a"] = h
+    if ap.get("q") is not None:  # v2-lite: no q bottleneck
+        if taps is not None:
+            taps["attn.q"] = h
+        q = qlinear.apply(ap["q"], h, backend)
+    else:
+        if taps is not None:
+            taps["attn.q_a"] = h
+        qa = qlinear.apply(ap["q_a"], h, backend)
+        qa = _rms_vec(qa, ap["q_a_norm"]["weight"], cfg.norm_eps)
+        if taps is not None:
+            taps["attn.q_b"] = qa
+        q = qlinear.apply(ap["q_b"], qa, backend)
+    q = q.reshape(b, s, H, nope + rd)
+    q_nope, q_pe = q[..., :nope], q[..., nope:]
+
+    ckv = qlinear.apply(ap["kv_a"], h, backend)     # [b,s, kv_lora + rd]
+    c, k_pe = ckv[..., :cfg.kv_lora_rank], ckv[..., cfg.kv_lora_rank:]
+    cn = _rms_vec(c, ap["kv_a_norm"]["weight"], cfg.norm_eps)
+    if taps is not None:
+        taps["attn.kv_b"] = cn
+    kv = qlinear.apply(ap["kv_b"], cn, backend)
+    kv = kv.reshape(b, s, H, nope + cfg.v_head_dim)
+    k_nope, v = kv[..., :nope], kv[..., nope:]
+
+    cos, sin = rope
+    q_pe = apply_rope(q_pe, cos, sin, interleaved=True)
+    k_pe = apply_rope(k_pe[:, :, None, :], cos, sin, interleaved=True)
+    k = jnp.concatenate(
+        [k_nope, jnp.broadcast_to(k_pe, (b, s, H, rd))], axis=-1)
+    return jnp.concatenate([q_nope, q_pe], axis=-1), k, v
+
+
 def layer_forward(cfg: ModelConfig, lp: Dict[str, Any], x: jax.Array,
                   mask: Optional[jax.Array],
                   rope: Optional[Tuple[jax.Array, jax.Array]] = None,
@@ -410,61 +613,12 @@ def layer_forward(cfg: ModelConfig, lp: Dict[str, Any], x: jax.Array,
         h = x
     else:
         h = apply_norm(lp["input_norm"], x, cfg.norm, cfg.norm_eps, cfg.rms_offset)
-    if want_taps:
-        taps["attn.q"] = taps["attn.k"] = taps["attn.v"] = h
-
-    if "qkv" in lp["attn"]:  # serving-time fusion (one kernel, split after)
-        qkv = qlinear.apply(lp["attn"]["qkv"], h, backend)
-        q = qkv[..., :cfg.q_dim]
-        k = qkv[..., cfg.q_dim:cfg.q_dim + cfg.kv_dim]
-        v = qkv[..., cfg.q_dim + cfg.kv_dim:]
+    if cfg.mla:
+        q, k, v = _mla_qkv(cfg, lp["attn"], h, rope, backend,
+                           taps if want_taps else None)
     else:
-        q = qlinear.apply(lp["attn"]["q"], h, backend)
-        k = qlinear.apply(lp["attn"]["k"], h, backend)
-        v = qlinear.apply(lp["attn"]["v"], h, backend)
-    if cfg.clip_qkv is not None:  # mpt
-        c = cfg.clip_qkv
-        q, k, v = (jnp.clip(t, -c, c) for t in (q, k, v))
-    if cfg.qk_norm == "flat":
-        # olmo2: RMSNorm over the full projection dim, pre-reshape
-        def flat_norm(t, w):
-            tf = t.astype(jnp.float32)
-            var = jnp.mean(tf * tf, axis=-1, keepdims=True)
-            return (tf * jax.lax.rsqrt(var + cfg.norm_eps)
-                    * w.astype(jnp.float32)).astype(t.dtype)
-        q = flat_norm(q, lp["attn"]["q_norm"]["weight"])
-        k = flat_norm(k, lp["attn"]["k_norm"]["weight"])
-    q = q.reshape(b, s, cfg.num_attention_heads, cfg.head_dim)
-    k = k.reshape(b, s, cfg.num_key_value_heads, cfg.head_dim)
-    v = v.reshape(b, s, cfg.num_key_value_heads, cfg.head_dim)
-
-    if cfg.qk_norm in (True, "head"):
-        # per-head RMSNorm over head_dim (qwen3; gemma3 adds its (1+w)
-        # zero-centered weight via rms_offset): weights [head_dim]
-        def hd_norm(t, w):
-            tf = t.astype(jnp.float32)
-            var = jnp.mean(tf * tf, axis=-1, keepdims=True)
-            return (tf * jax.lax.rsqrt(var + cfg.norm_eps)
-                    * (w.astype(jnp.float32) + cfg.rms_offset)).astype(t.dtype)
-        q = hd_norm(q, lp["attn"]["q_norm"]["weight"])
-        k = hd_norm(k, lp["attn"]["k_norm"]["weight"])
-    elif cfg.qk_norm == "cohere":
-        # cohere use_qk_norm: bias-free LayerNorm over head_dim with a
-        # DISTINCT weight per head ([heads, head_dim]), applied pre-rope
-        def ch_norm(t, w):
-            tf = t.astype(jnp.float32)
-            mean = jnp.mean(tf, axis=-1, keepdims=True)
-            var = jnp.var(tf, axis=-1, keepdims=True)
-            return ((tf - mean) * jax.lax.rsqrt(var + cfg.norm_eps)
-                    * w.astype(jnp.float32)[None, None]).astype(t.dtype)
-        q = ch_norm(q, lp["attn"]["q_norm"]["weight"])
-        k = ch_norm(k, lp["attn"]["k_norm"]["weight"])
-
-    if cfg.pos == "rope":
-        cos, sin = rope
-        q = apply_rope(q, cos, sin, cfg.rope_interleaved)
-        k = apply_rope(k, cos, sin, cfg.rope_interleaved)
-
+        q, k, v = _std_qkv(cfg, lp, h, rope, backend,
+                           taps if want_taps else None)
     # Static prefill detection: call sites pass a python-int 0 for prefill
     # and a traced position for decode. Prefilling from position 0 attends
     # only over the freshly computed k/v (mathematically identical to the
@@ -491,8 +645,9 @@ def layer_forward(cfg: ModelConfig, lp: Dict[str, Any], x: jax.Array,
         return (jnp.arange(T)[None, :] > qpos[:, None] - window)[None, None]
 
     # flash prefill stays valid under a *static* window >= s (mask identical
-    # to plain causal); softcap and traced windows need the masked path
-    flash_ok = (alibi is None and cfg.attn_softcap is None
+    # to plain causal); softcap, traced windows, and MLA's asymmetric k/v
+    # head dims need the masked path
+    flash_ok = (alibi is None and cfg.attn_softcap is None and not cfg.mla
                 and (window is None or (isinstance(window, int)
                                         and s <= window)))
     if is_prefill and flash_ok:
@@ -513,7 +668,7 @@ def layer_forward(cfg: ModelConfig, lp: Dict[str, Any], x: jax.Array,
             mask = mask & _window_overlay(k_all.shape[1])
         attn_out = attention(q, k_all, v_all, mask, scale, bias=alibi,
                              softcap=cfg.attn_softcap)
-    attn_out = attn_out.reshape(b, s, cfg.q_dim)
+    attn_out = attn_out.reshape(b, s, -1)   # heads * v dim (MLA: v_head_dim)
     if want_taps:
         taps["attn.o"] = attn_out
     attn_out = qlinear.apply(lp["attn"]["o"], attn_out, backend)

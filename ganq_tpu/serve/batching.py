@@ -221,6 +221,10 @@ class BatchingEngine:
                  backend: str = "reference", slots: int = 4,
                  max_seq: int = 512, eos_id: int = -1,
                  prompt_buckets=(32, 64, 128, 256, 512)):
+        if cfg.mla:
+            raise NotImplementedError(
+                "MLA models are served by serve.engine / serve.stacked; the "
+                "continuous-batching decode layer does not model MLA yet")
         self.cfg = cfg
         self.params = params
         self.backend = backend

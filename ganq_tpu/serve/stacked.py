@@ -28,7 +28,7 @@ def fuse_layer(lp: Dict[str, Any]) -> Dict[str, Any]:
 
     out = dict(lp)
     a = lp["attn"]
-    if all(k in a for k in ("q", "k", "v")) and a.get("q") is not None:
+    if all(a.get(k) is not None for k in ("q", "k", "v")):
         fused = {"qkv": concat_rows([a["q"], a["k"], a["v"]]), "o": a["o"]}
         for extra in ("q_norm", "k_norm"):  # qwen3/gemma3 norms ride along
             if extra in a:
@@ -176,8 +176,9 @@ def greedy_decode(cfg: ModelConfig, sp, cache_k, cache_v, input_ids,
 
 def init_cache(cfg: ModelConfig, n_layers: int, batch: int, max_seq: int,
                dtype=jnp.bfloat16) -> Tuple[jax.Array, jax.Array]:
-    shape = (n_layers, batch, max_seq, cfg.num_key_value_heads, cfg.head_dim)
-    return jnp.zeros(shape, dtype), jnp.zeros(shape, dtype)
+    base = (n_layers, batch, max_seq, cfg.kv_cache_heads)
+    return (jnp.zeros((*base, cfg.k_cache_dim), dtype),
+            jnp.zeros((*base, cfg.v_cache_dim), dtype))
 
 
 __all__ = ["stack_layers", "prefill", "greedy_decode", "init_cache"]

@@ -571,3 +571,175 @@ def test_gemma3_stacked_greedy_matches_unrolled(rng):
     out = np.asarray(stacked.greedy_decode(cfg, sp, ck, cv,
                                            jnp.asarray(prompt), 8))
     np.testing.assert_array_equal(out, ref)
+
+
+def test_deepseek_v2_forward_parity(rng):
+    """MLA (q bottleneck + compressed kv + rope/nope split) with
+    group-limited greedy MoE routing, shared experts, one leading dense
+    layer."""
+    hf_cfg = transformers.DeepseekV2Config(
+        vocab_size=256, hidden_size=64, intermediate_size=128,
+        moe_intermediate_size=48, num_hidden_layers=3,
+        num_attention_heads=4, num_key_value_heads=4,
+        q_lora_rank=32, kv_lora_rank=24, qk_nope_head_dim=16,
+        qk_rope_head_dim=8, v_head_dim=16, head_dim=8,
+        n_routed_experts=4, n_shared_experts=1, num_experts_per_tok=2,
+        n_group=2, topk_group=1, topk_method="group_limited_greedy",
+        norm_topk_prob=False, routed_scaling_factor=1.5,
+        first_k_dense_replace=1, max_position_embeddings=128,
+    )
+    torch.manual_seed(56)
+    model = transformers.DeepseekV2ForCausalLM(hf_cfg)
+    ids = rng.integers(0, 256, size=(2, 16))
+    cfg, params = _compare(model, ids)
+    assert cfg.mla and cfg.moe_routed_scale == 1.5
+    assert "moe" not in params["layers"][0]          # dense first layer
+    assert "shared" in params["layers"][1]["moe"]
+    assert "shared_gate" not in params["layers"][1]["moe"]  # ungated
+
+
+def test_deepseek_v2_lite_style_parity(rng):
+    """q_lora_rank=None: direct q_proj, greedy routing."""
+    hf_cfg = transformers.DeepseekV2Config(
+        vocab_size=256, hidden_size=64, intermediate_size=128,
+        moe_intermediate_size=48, num_hidden_layers=2,
+        num_attention_heads=4, num_key_value_heads=4,
+        q_lora_rank=None, kv_lora_rank=24, qk_nope_head_dim=16,
+        qk_rope_head_dim=8, v_head_dim=16, head_dim=8,
+        n_routed_experts=4, n_shared_experts=2, num_experts_per_tok=2,
+        topk_method="greedy", first_k_dense_replace=0,
+        max_position_embeddings=128,
+    )
+    torch.manual_seed(57)
+    model = transformers.DeepseekV2ForCausalLM(hf_cfg)
+    ids = rng.integers(0, 256, size=(1, 12))
+    cfg, params = _compare(model, ids)
+    assert cfg.q_lora_rank is None
+    assert params["layers"][0]["attn"]["q"] is not None
+
+
+def test_deepseek_v3_forward_parity(rng):
+    """Sigmoid scores + e_score_correction_bias selection (noaux_tc top-2
+    group sum) + renormalized weights + routed scaling."""
+    hf_cfg = transformers.DeepseekV3Config(
+        vocab_size=256, hidden_size=64, intermediate_size=128,
+        moe_intermediate_size=48, num_hidden_layers=2,
+        num_attention_heads=4, num_key_value_heads=4,
+        q_lora_rank=32, kv_lora_rank=24, qk_nope_head_dim=16,
+        qk_rope_head_dim=8, v_head_dim=16, head_dim=8,
+        n_routed_experts=8, n_shared_experts=1, num_experts_per_tok=2,
+        n_group=4, topk_group=2, norm_topk_prob=True,
+        routed_scaling_factor=2.5, first_k_dense_replace=1,
+        max_position_embeddings=128,
+    )
+    torch.manual_seed(58)
+    model = transformers.DeepseekV3ForCausalLM(hf_cfg)
+    # give the correction bias real (nonzero) values so the test covers the
+    # biased-choice/unbiased-weight split
+    with torch.no_grad():
+        for layer in model.model.layers[1:]:
+            layer.mlp.gate.e_score_correction_bias.normal_(0, 0.5)
+    ids = rng.integers(0, 256, size=(2, 16))
+    cfg, _ = _compare(model, ids)
+    assert cfg.moe_scoring == "sigmoid" and cfg.moe_topk_method == "noaux_tc"
+
+
+def test_deepseek_v2_engine_matches_forward(rng):
+    """Cached MLA decode (asymmetric k/v cache dims) vs the no-cache oracle."""
+    from ganq_tpu.serve.engine import Engine
+
+    hf_cfg = transformers.DeepseekV2Config(
+        vocab_size=128, hidden_size=32, intermediate_size=64,
+        moe_intermediate_size=32, num_hidden_layers=2,
+        num_attention_heads=2, num_key_value_heads=2,
+        q_lora_rank=16, kv_lora_rank=16, qk_nope_head_dim=16,
+        qk_rope_head_dim=8, v_head_dim=12, head_dim=8,
+        n_routed_experts=4, n_shared_experts=1, num_experts_per_tok=2,
+        topk_method="greedy", first_k_dense_replace=0,
+        max_position_embeddings=64,
+    )
+    torch.manual_seed(59)
+    cfg, params = hf_import.params_from_torch_model(
+        transformers.DeepseekV2ForCausalLM(hf_cfg))
+    prompt = rng.integers(0, 128, size=(1, 10)).astype(np.int32)
+    out = Engine(cfg, params, max_seq=32).generate(prompt, max_new_tokens=6)
+    ids = prompt.copy()
+    for _ in range(6):
+        logits = np.asarray(transformer.forward(cfg, params, jnp.asarray(ids)))
+        ids = np.concatenate([ids, [[int(np.argmax(logits[0, -1]))]]], axis=1)
+    np.testing.assert_array_equal(out[0], ids[0, 10:])
+
+
+def test_deepseek_v2_quantize_end_to_end(rng):
+    """The looper must tap and quantize the MLA bottleneck projections
+    (q_a/q_b/kv_a/kv_b) plus routed/shared experts."""
+    from ganq_tpu.core.config import QuantizeConfig
+    from ganq_tpu.models.registry import get_spec
+    from ganq_tpu.quant.looper import quantize_model
+
+    hf_cfg = transformers.DeepseekV2Config(
+        vocab_size=256, hidden_size=64, intermediate_size=128,
+        moe_intermediate_size=48, num_hidden_layers=1,
+        num_attention_heads=4, num_key_value_heads=4,
+        q_lora_rank=32, kv_lora_rank=24, qk_nope_head_dim=16,
+        qk_rope_head_dim=8, v_head_dim=16, head_dim=8,
+        n_routed_experts=4, n_shared_experts=1, num_experts_per_tok=2,
+        topk_method="greedy", first_k_dense_replace=0,
+        max_position_embeddings=128,
+    )
+    torch.manual_seed(60)
+    model = transformers.DeepseekV2ForCausalLM(hf_cfg)
+    cfg, params = hf_import.params_from_torch_model(model)
+    _, p_ref = hf_import.params_from_torch_model(model)
+    spec = get_spec("deepseek_v2").expand(cfg.num_experts)
+
+    batches = [rng.integers(0, 256, size=(2, 32)).astype(np.int32)
+               for _ in range(3)]
+    out = quantize_model(cfg, params, spec, QuantizeConfig(
+        bits=4, quant_method="gptq", group_size=8), batches)
+    names = set(out.artifacts)
+    for m in ("self_attn.q_a_proj", "self_attn.q_b_proj",
+              "self_attn.kv_a_proj_with_mqa", "self_attn.kv_b_proj",
+              "self_attn.o_proj", "mlp.shared_experts.down_proj"):
+        assert f"model.layers.0.{m}" in names, m
+    ids = jnp.asarray(rng.integers(0, 256, size=(1, 16)))
+    a = np.asarray(transformer.forward(cfg, p_ref, ids), np.float32)
+    b = np.asarray(transformer.forward(cfg, out.params, ids), np.float32)
+    assert np.mean((a - b) ** 2) < np.var(a) * 0.5
+
+
+def test_deepseek_v2_yarn_parity(rng):
+    """Yarn rope scaling with deepseek's mscale/mscale_all_dim attention
+    factor (the real v2/v3 checkpoint configuration)."""
+    hf_cfg = transformers.DeepseekV2Config(
+        vocab_size=256, hidden_size=64, intermediate_size=128,
+        moe_intermediate_size=48, num_hidden_layers=2,
+        num_attention_heads=4, num_key_value_heads=4,
+        q_lora_rank=32, kv_lora_rank=24, qk_nope_head_dim=16,
+        qk_rope_head_dim=8, v_head_dim=16, head_dim=8,
+        n_routed_experts=4, n_shared_experts=1, num_experts_per_tok=2,
+        topk_method="greedy", first_k_dense_replace=0,
+        max_position_embeddings=256,
+        rope_scaling={"rope_type": "yarn", "factor": 4.0, "beta_fast": 32,
+                      "beta_slow": 1, "mscale": 0.707, "mscale_all_dim": 0.707,
+                      "original_max_position_embeddings": 32},
+    )
+    torch.manual_seed(61)
+    model = transformers.DeepseekV2ForCausalLM(hf_cfg)
+    ids = rng.integers(0, 256, size=(1, 64))  # beyond original_max
+    _compare(model, ids)
+
+
+def test_llama_yarn_parity(rng):
+    """Plain yarn (no mscale keys) through the llama family."""
+    hf_cfg = transformers.LlamaConfig(
+        vocab_size=256, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=256,
+        rope_scaling={"rope_type": "yarn", "factor": 8.0,
+                      "original_max_position_embeddings": 32},
+    )
+    torch.manual_seed(62)
+    model = transformers.LlamaForCausalLM(hf_cfg)
+    ids = rng.integers(0, 256, size=(1, 64))
+    _compare(model, ids)
