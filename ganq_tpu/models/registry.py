@@ -1944,3 +1944,228 @@ register(ArchSpec(
     layer_modules=DEEPSEEK_LAYER_MODULES,
     module_slots=DEEPSEEK_SLOTS,
 ))
+
+
+# ----------------------------------------------------------------------- dbrx
+def _dbrx_config(hf: Dict[str, Any]) -> ModelConfig:
+    """DBRX: fused clipped Wqkv with GQA, bias-free LayerNorms, and a 16-way
+    MoE whose experts live in three fused [E*ffn, h] tensors (w1=gate,
+    v1=up, w2=down-transposed) — split to per-expert linears at import.
+    Router: softmax -> top-k -> p-norm renormalize (p=1 == sum renorm)."""
+    attn = hf.get("attn_config") or {}
+    ffn = hf.get("ffn_config") or {}
+    p = ffn.get("moe_normalize_expert_weights", 1.0)
+    if p not in (None, 1, 1.0):
+        raise NotImplementedError(f"dbrx moe_normalize_expert_weights={p}")
+    h = hf["d_model"]
+    heads = hf["n_heads"]
+    return ModelConfig(
+        model_type="dbrx",
+        vocab_size=hf["vocab_size"],
+        hidden_size=h,
+        intermediate_size=ffn.get("ffn_hidden_size", 4 * h),
+        num_hidden_layers=hf["n_layers"],
+        num_attention_heads=heads,
+        num_key_value_heads=attn.get("kv_n_heads", 1),
+        head_dim=h // heads,
+        max_position_embeddings=hf.get("max_seq_len", 2048),
+        norm="layernorm",
+        norm_eps=1e-5,
+        act=(ffn.get("ffn_act_fn") or {}).get("name", "silu"),
+        gated_mlp=True,
+        pos="rope",
+        rope_theta=attn.get("rope_theta", 10000.0),
+        clip_qkv=attn.get("clip_qkv"),
+        attn_bias=False,
+        mlp_bias=False,
+        tie_word_embeddings=hf.get("tie_word_embeddings", False),
+        num_experts=ffn.get("moe_num_experts", 16),
+        num_experts_per_tok=ffn.get("moe_top_k", 4),
+        moe_norm_topk=p is not None,
+    )
+
+
+def _dbrx_convert_state(state: Dict[str, Any], hf: Dict[str, Any]) -> Dict[str, Any]:
+    """Split Wqkv ([q; k; v] rows) and the fused expert tensors, flatten the
+    norm_attn_norm nesting."""
+    import numpy as _np
+    attn = hf.get("attn_config") or {}
+    ffn = hf.get("ffn_config") or {}
+    h = hf["d_model"]
+    heads = hf["n_heads"]
+    hd = h // heads
+    kvd = attn.get("kv_n_heads", 1) * hd
+    E = ffn.get("moe_num_experts", 16)
+    inter = ffn.get("ffn_hidden_size", 4 * h)
+    out: Dict[str, Any] = {}
+    for k, v in state.items():
+        v = _np.asarray(v)
+        if ".attn.Wqkv." in k:
+            base = k.replace("norm_attn_norm.attn.Wqkv", "attn.{}")
+            out[base.format("q_proj")] = _np.ascontiguousarray(v[:h])
+            out[base.format("k_proj")] = _np.ascontiguousarray(v[h:h + kvd])
+            out[base.format("v_proj")] = _np.ascontiguousarray(v[h + kvd:])
+        elif ".norm_attn_norm." in k:
+            out[k.replace("norm_attn_norm.", "")] = v
+        elif k.endswith(".ffn.experts.mlp.w1") or k.endswith(".ffn.experts.mlp.v1"):
+            name = "w1" if k.endswith("w1") else "v1"
+            w = v.reshape(E, inter, h)
+            for e in range(E):
+                out[k.replace(f"experts.mlp.{name}",
+                              f"experts.{e}.{name}.weight")] = \
+                    _np.ascontiguousarray(w[e])
+        elif k.endswith(".ffn.experts.mlp.w2"):
+            # used untransposed in HF forward: down weight is w2_e^T
+            w = v.reshape(E, inter, h)
+            for e in range(E):
+                out[k.replace("experts.mlp.w2",
+                              f"experts.{e}.w2.weight")] = \
+                    _np.ascontiguousarray(w[e].T)
+        else:
+            out[k] = v
+    return out
+
+
+DBRX_NAME_MAP = {
+    "embed_tokens.weight": "transformer.wte.weight",
+    "final_norm.weight": "transformer.norm_f.weight",
+    "lm_head.weight": "lm_head.weight",
+    "layers.{i}.input_norm.weight": "transformer.blocks.{i}.norm_1.weight",
+    "layers.{i}.post_norm.weight": "transformer.blocks.{i}.norm_2.weight",
+    "layers.{i}.attn.q.weight": "transformer.blocks.{i}.attn.q_proj.weight",
+    "layers.{i}.attn.k.weight": "transformer.blocks.{i}.attn.k_proj.weight",
+    "layers.{i}.attn.v.weight": "transformer.blocks.{i}.attn.v_proj.weight",
+    "layers.{i}.attn.o.weight": "transformer.blocks.{i}.attn.out_proj.weight",
+    "layers.{i}.moe.router.weight": "transformer.blocks.{i}.ffn.router.layer.weight",
+    "layers.{i}.moe.experts.{e}.gate.weight":
+        "transformer.blocks.{i}.ffn.experts.{e}.w1.weight",
+    "layers.{i}.moe.experts.{e}.up.weight":
+        "transformer.blocks.{i}.ffn.experts.{e}.v1.weight",
+    "layers.{i}.moe.experts.{e}.down.weight":
+        "transformer.blocks.{i}.ffn.experts.{e}.w2.weight",
+}
+
+register(ArchSpec(
+    model_type="dbrx",
+    make_config=_dbrx_config,
+    convert_state=_dbrx_convert_state,
+    name_map=DBRX_NAME_MAP,
+    layer_modules=[
+        ["attn.q_proj", "attn.k_proj", "attn.v_proj"],
+        ["attn.out_proj"],
+        ["ffn.experts.{e}.w1", "ffn.experts.{e}.v1"],
+        ["ffn.experts.{e}.w2"],
+    ],
+    module_slots={
+        "attn.q_proj": "attn.q", "attn.k_proj": "attn.k",
+        "attn.v_proj": "attn.v", "attn.out_proj": "attn.o",
+        "ffn.experts.{e}.w1": "moe.experts.{e}.gate",
+        "ffn.experts.{e}.v1": "moe.experts.{e}.up",
+        "ffn.experts.{e}.w2": "moe.experts.{e}.down",
+    },
+    layers_prefix="transformer.blocks",
+))
+
+
+# -------------------------------------------------------------------- nemotron
+def _nemotron_config(hf: Dict[str, Any]) -> ModelConfig:
+    """Nemotron: LayerNorm1P (weight stored as w-1, like gemma's rmsnorm
+    offset but for LayerNorm with bias), squared-ReLU ungated MLP, partial
+    half-split rotary."""
+    heads = hf["num_attention_heads"]
+    hd = hf.get("head_dim") or hf["hidden_size"] // heads
+    return ModelConfig(
+        model_type="nemotron",
+        vocab_size=hf["vocab_size"],
+        hidden_size=hf["hidden_size"],
+        intermediate_size=hf["intermediate_size"],
+        num_hidden_layers=hf["num_hidden_layers"],
+        num_attention_heads=heads,
+        num_key_value_heads=hf.get("num_key_value_heads") or heads,
+        head_dim=hd,
+        max_position_embeddings=hf.get("max_position_embeddings", 4096),
+        norm="layernorm",
+        norm_eps=hf.get("norm_eps", 1e-5),
+        rms_offset=1.0,
+        act=hf.get("hidden_act", "relu2"),
+        gated_mlp=False,
+        pos="rope",
+        rope_theta=hf.get("rope_theta", 10000.0),
+        rotary_dim=int(hd * hf.get("partial_rotary_factor", 0.5)),
+        attn_bias=hf.get("attention_bias", False),
+        mlp_bias=hf.get("mlp_bias", False),
+        tie_word_embeddings=hf.get("tie_word_embeddings", False),
+    )
+
+
+NEMOTRON_NAME_MAP = {
+    "embed_tokens.weight": "model.embed_tokens.weight",
+    "final_norm.weight": "model.norm.weight",
+    "final_norm.bias": "model.norm.bias",
+    "lm_head.weight": "lm_head.weight",
+    "layers.{i}.input_norm.weight": "model.layers.{i}.input_layernorm.weight",
+    "layers.{i}.input_norm.bias": "model.layers.{i}.input_layernorm.bias",
+    "layers.{i}.post_norm.weight":
+        "model.layers.{i}.post_attention_layernorm.weight",
+    "layers.{i}.post_norm.bias":
+        "model.layers.{i}.post_attention_layernorm.bias",
+    "layers.{i}.attn.q.weight": "model.layers.{i}.self_attn.q_proj.weight",
+    "layers.{i}.attn.k.weight": "model.layers.{i}.self_attn.k_proj.weight",
+    "layers.{i}.attn.v.weight": "model.layers.{i}.self_attn.v_proj.weight",
+    "layers.{i}.attn.o.weight": "model.layers.{i}.self_attn.o_proj.weight",
+    "layers.{i}.mlp.up.weight": "model.layers.{i}.mlp.up_proj.weight",
+    "layers.{i}.mlp.down.weight": "model.layers.{i}.mlp.down_proj.weight",
+}
+
+register(ArchSpec(
+    model_type="nemotron",
+    make_config=_nemotron_config,
+    name_map=NEMOTRON_NAME_MAP,
+    layer_modules=[
+        ["self_attn.q_proj", "self_attn.k_proj", "self_attn.v_proj"],
+        ["self_attn.o_proj"],
+        ["mlp.up_proj"],
+        ["mlp.down_proj"],
+    ],
+    module_slots={
+        "self_attn.q_proj": "attn.q", "self_attn.k_proj": "attn.k",
+        "self_attn.v_proj": "attn.v", "self_attn.o_proj": "attn.o",
+        "mlp.up_proj": "mlp.up", "mlp.down_proj": "mlp.down",
+    },
+))
+
+
+# -------------------------------------------------------------------- exaone4
+def _exaone4_config(hf: Dict[str, Any]) -> ModelConfig:
+    """EXAONE-4.0: olmo2-style post-sublayer norms, per-head q/k RMSNorms,
+    hybrid attention — 3:1 sliding:full layers where FULL layers use global
+    NoPE (no rotation; modeling_exaone4.py:226-227) and sliding layers
+    rotate normally."""
+    base = _llama_config(hf)
+    import dataclasses as _dc
+    sw = hf.get("sliding_window")
+    layer_types = hf.get("layer_types")
+    if sw and not layer_types:
+        pat = hf.get("sliding_window_pattern", 4)
+        layer_types = tuple(
+            "sliding_attention" if (i + 1) % pat else "full_attention"
+            for i in range(hf["num_hidden_layers"]))
+    return _dc.replace(
+        base, model_type="exaone4",
+        qk_norm=True,
+        norm_after_sublayer=True,
+        sliding_window=sw,
+        layer_types=tuple(layer_types) if layer_types else None,
+        rope_nope_full=sw is not None,
+    )
+
+
+EXAONE4_NAME_MAP = dict(OLMO2_NAME_MAP)
+
+register(ArchSpec(
+    model_type="exaone4",
+    make_config=_exaone4_config,
+    name_map=EXAONE4_NAME_MAP,
+    layer_modules=LLAMA_LAYER_MODULES,
+    module_slots=LLAMA_SLOTS,
+))

@@ -61,6 +61,10 @@ class ModelConfig:
     # gemma3: sliding layers use a separate unscaled rope at this theta
     # (rope_local_base_freq); full layers use rope_theta + rope_scaling
     rope_local_theta: Optional[float] = None
+    # exaone4 hybrid attention: full-attention layers use NO positional
+    # rotation at all (global NoPE) — expressed as identity rope tables so
+    # every serving path (incl. the stacked scan's where-select) just works
+    rope_nope_full: bool = False
 
     attn_bias: bool = False
     mlp_bias: bool = False
@@ -190,7 +194,8 @@ def apply_norm(np_: Dict[str, Any], x: jax.Array, kind: str, eps: float,
         mean = jnp.mean(xf, axis=-1, keepdims=True)
         var = jnp.var(xf, axis=-1, keepdims=True)
         y = (xf - mean) * jax.lax.rsqrt(var + eps)
-        y = y * np_["weight"].astype(jnp.float32)
+        # offset: nemotron's LayerNorm1P stores weight as (w - 1)
+        y = y * (np_["weight"].astype(jnp.float32) + offset)
         if "bias" in np_:  # cohere's LayerNorm has no bias
             y = y + np_["bias"].astype(jnp.float32)
     return y.astype(x.dtype)
@@ -275,6 +280,11 @@ def rope_tables_all(cfg: ModelConfig, positions: jax.Array):
     (cos, sin) tuple; dual-rope models (gemma3) return {"global", "local"} —
     select per layer with :func:`rope_for_layer`."""
     glob = rope_tables(cfg, positions)
+    if cfg.rope_nope_full and cfg.layer_types is not None:
+        # exaone4: sliding layers rotate normally; full layers are NoPE
+        # (identity tables: cos=1, sin=0)
+        return {"global": (jnp.ones_like(glob[0]), jnp.zeros_like(glob[1])),
+                "local": glob}
     if cfg.rope_local_theta is None:
         return glob
     lcfg = dataclasses.replace(cfg, rope_theta=cfg.rope_local_theta,
@@ -377,6 +387,9 @@ def _activation(x: jax.Array, act: str) -> jax.Array:
         return jax.nn.gelu(x, approximate=True)
     if act == "silu":
         return jax.nn.silu(x)
+    if act == "relu2":  # nemotron: squared ReLU
+        r = jax.nn.relu(x)
+        return r * r
     raise ValueError(f"unknown activation {act}")
 
 

@@ -743,3 +743,77 @@ def test_llama_yarn_parity(rng):
     model = transformers.LlamaForCausalLM(hf_cfg)
     ids = rng.integers(0, 256, size=(1, 64))
     _compare(model, ids)
+
+
+def test_dbrx_forward_parity(rng):
+    """Fused Wqkv + clip, fused [E*ffn, h] expert tensors split at import,
+    top-k sum-renormalized router."""
+    hf_cfg = transformers.DbrxConfig(
+        d_model=64, n_heads=4, n_layers=2, max_seq_len=128, vocab_size=256,
+        attn_config={"kv_n_heads": 2, "clip_qkv": 4.0},
+        ffn_config={"ffn_hidden_size": 48, "moe_num_experts": 4,
+                    "moe_top_k": 2},
+    )
+    torch.manual_seed(63)
+    model = transformers.DbrxForCausalLM(hf_cfg)
+    ids = rng.integers(0, 256, size=(2, 16))
+    cfg, params = _compare(model, ids)
+    assert cfg.clip_qkv == 4.0 and cfg.num_experts == 4
+    assert len(params["layers"][0]["moe"]["experts"]) == 4
+
+
+def test_nemotron_forward_parity(rng):
+    """LayerNorm1P (w-1 storage, bias untouched) + squared ReLU + partial
+    rotary."""
+    hf_cfg = transformers.NemotronConfig(
+        vocab_size=256, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        partial_rotary_factor=0.5, hidden_act="relu2",
+        max_position_embeddings=128,
+    )
+    torch.manual_seed(64)
+    model = transformers.NemotronForCausalLM(hf_cfg)
+    ids = rng.integers(0, 256, size=(2, 16))
+    cfg, _ = _compare(model, ids)
+    assert cfg.act == "relu2" and cfg.rms_offset == 1.0
+
+
+def test_exaone4_forward_parity(rng):
+    """Hybrid sliding/NoPE: sliding layers rotate, full layers don't (the
+    identity-table path), post-sublayer norms, per-head qk norms; 4 layers
+    cover the 3:1 boundary with window < seq."""
+    hf_cfg = transformers.Exaone4Config(
+        vocab_size=256, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=4, num_attention_heads=4, num_key_value_heads=2,
+        sliding_window=8, sliding_window_pattern=4,
+        max_position_embeddings=128,
+    )
+    torch.manual_seed(65)
+    model = transformers.Exaone4ForCausalLM(hf_cfg)
+    ids = rng.integers(0, 256, size=(2, 24))  # seq > window
+    cfg, _ = _compare(model, ids)
+    assert cfg.rope_nope_full and cfg.norm_after_sublayer
+    assert cfg.layer_window(3) is None and cfg.layer_window(0) == 8
+
+
+def test_exaone4_stacked_matches_unrolled(rng):
+    """NoPE-as-identity-table must survive the stacked scan's where-select."""
+    from ganq_tpu.serve import engine, stacked
+
+    hf_cfg = transformers.Exaone4Config(
+        vocab_size=128, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=4, num_attention_heads=2, num_key_value_heads=1,
+        sliding_window=8, sliding_window_pattern=4,
+        max_position_embeddings=64,
+    )
+    torch.manual_seed(66)
+    cfg, params = hf_import.params_from_torch_model(
+        transformers.Exaone4ForCausalLM(hf_cfg))
+    prompt = rng.integers(0, 128, size=(1, 12)).astype(np.int32)
+    ref = engine.Engine(cfg, params, max_seq=32).generate(prompt,
+                                                          max_new_tokens=8)
+    sp = stacked.stack_layers(params)
+    ck, cv = stacked.init_cache(cfg, cfg.num_hidden_layers, 1, 32)
+    out = np.asarray(stacked.greedy_decode(cfg, sp, ck, cv,
+                                           jnp.asarray(prompt), 8))
+    np.testing.assert_array_equal(out, ref)

@@ -64,3 +64,56 @@ def test_eos_stops_speculative(rng):
     n = out.shape[1]
     np.testing.assert_array_equal(out[0], ref[0, :n])
     assert eos in out[0]
+
+
+def test_rejection_kernel_preserves_target_distribution(rng):
+    """The accept/reject math must reproduce the target distribution exactly
+    regardless of the draft — checked empirically against analytic p_t."""
+    from ganq_tpu.serve.speculative import verify_rejection
+
+    nprng = np.random.default_rng(0)
+    V = 6
+    p_t = np.array([0.4, 0.25, 0.15, 0.1, 0.07, 0.03])
+    p_d = np.array([0.05, 0.05, 0.2, 0.3, 0.2, 0.2])  # badly mismatched
+    counts = np.zeros(V)
+    trials = 40000
+    for _ in range(trials):
+        x = int(nprng.choice(V, p=p_d))
+        toks, _ = verify_rejection(p_t[None, :].repeat(2, 0), p_d[None, :],
+                                   [x], nprng)
+        counts[toks[0]] += 1
+    emp = counts / trials
+    # ~3 sigma of a multinomial at 40k trials
+    np.testing.assert_allclose(emp, p_t, atol=0.012)
+
+
+def test_rejection_perfect_draft_accepts_all(rng):
+    from ganq_tpu.serve.speculative import verify_rejection
+
+    nprng = np.random.default_rng(1)
+    p = np.array([0.5, 0.3, 0.2])
+    toks, a = verify_rejection(np.stack([p, p, p]), np.stack([p, p]),
+                               [0, 1], nprng)
+    assert a == 2 and len(toks) == 3  # both accepted + bonus
+
+
+def test_sampled_speculative_runs_and_matches_vocab(rng):
+    """End-to-end sampled speculative decode: valid tokens, sane stats, and
+    a self-draft accepts (p_t == p_d => accept prob 1)."""
+    cfg, params = _model(34)
+    prompt = rng.integers(0, 256, size=(1, 8)).astype(np.int32)
+    spec = SpeculativeEngine(cfg, params, cfg, params, gamma=3, max_seq=64)
+    out, stats = spec.generate(prompt, max_new_tokens=12, temperature=0.8,
+                               return_stats=True, seed=3)
+    assert out.shape == (1, 12)
+    assert np.all((out >= 0) & (out < 256))
+    # identical draft/target distributions accept every proposal
+    assert stats["acceptance_rate"] == 1.0
+
+    # weak independent draft still produces valid output
+    dcfg, dparams = _model(35, layers=1)
+    spec2 = SpeculativeEngine(cfg, params, dcfg, dparams, gamma=3, max_seq=64)
+    out2, stats2 = spec2.generate(prompt, max_new_tokens=12, temperature=0.8,
+                                  return_stats=True, seed=4)
+    assert out2.shape == (1, 12)
+    assert 0.0 <= stats2["acceptance_rate"] <= 1.0
