@@ -2169,3 +2169,112 @@ register(ArchSpec(
     layer_modules=LLAMA_LAYER_MODULES,
     module_slots=LLAMA_SLOTS,
 ))
+
+
+# --------------------------------------------------------------------- phimoe
+def _phimoe_config(hf: Dict[str, Any]) -> ModelConfig:
+    """Phi-3.5-MoE: mixtral-shaped 16-expert MoE but with LayerNorm (bias)
+    norms, optional attention/lm_head biases, and SPARSEMIXER routing —
+    per-expert masked softmaxes with a relative jitter threshold instead of
+    one softmax + renormalized top-k (modeling_phimoe.py:605-730, inference
+    branch). router_jitter_noise doubles as the inference threshold eps."""
+    if hf.get("rope_scaling"):
+        raise NotImplementedError("phimoe longrope scaling not modeled")
+    heads = hf["num_attention_heads"]
+    return ModelConfig(
+        model_type="phimoe",
+        vocab_size=hf["vocab_size"],
+        hidden_size=hf["hidden_size"],
+        intermediate_size=hf["intermediate_size"],
+        num_hidden_layers=hf["num_hidden_layers"],
+        num_attention_heads=heads,
+        num_key_value_heads=hf.get("num_key_value_heads") or heads,
+        head_dim=hf.get("head_dim") or hf["hidden_size"] // heads,
+        max_position_embeddings=hf.get("max_position_embeddings", 4096),
+        norm="layernorm",
+        norm_eps=hf.get("rms_norm_eps", 1e-5),
+        act=hf.get("hidden_act", "silu"),
+        gated_mlp=True,
+        pos="rope",
+        rope_theta=hf.get("rope_theta", 1e6),
+        attn_bias=hf.get("attention_bias", False),
+        mlp_bias=False,
+        tie_word_embeddings=hf.get("tie_word_embeddings", False),
+        sliding_window=hf.get("sliding_window"),
+        num_experts=hf.get("num_local_experts", 16),
+        num_experts_per_tok=hf.get("num_experts_per_tok", 2),
+        moe_router_mode="sparsemixer",
+        router_jitter_eps=hf.get("router_jitter_noise", 0.01),
+    )
+
+
+PHIMOE_NAME_MAP = {
+    "embed_tokens.weight": "model.embed_tokens.weight",
+    "final_norm.weight": "model.norm.weight",
+    "final_norm.bias": "model.norm.bias",
+    "lm_head.weight": "lm_head.weight",
+    "lm_head.bias": "lm_head.bias",
+    "layers.{i}.input_norm.weight": "model.layers.{i}.input_layernorm.weight",
+    "layers.{i}.input_norm.bias": "model.layers.{i}.input_layernorm.bias",
+    "layers.{i}.post_norm.weight":
+        "model.layers.{i}.post_attention_layernorm.weight",
+    "layers.{i}.post_norm.bias":
+        "model.layers.{i}.post_attention_layernorm.bias",
+    "layers.{i}.attn.q.weight": "model.layers.{i}.self_attn.q_proj.weight",
+    "layers.{i}.attn.k.weight": "model.layers.{i}.self_attn.k_proj.weight",
+    "layers.{i}.attn.v.weight": "model.layers.{i}.self_attn.v_proj.weight",
+    "layers.{i}.attn.o.weight": "model.layers.{i}.self_attn.o_proj.weight",
+    "layers.{i}.attn.q.bias": "model.layers.{i}.self_attn.q_proj.bias",
+    "layers.{i}.attn.k.bias": "model.layers.{i}.self_attn.k_proj.bias",
+    "layers.{i}.attn.v.bias": "model.layers.{i}.self_attn.v_proj.bias",
+    "layers.{i}.attn.o.bias": "model.layers.{i}.self_attn.o_proj.bias",
+    "layers.{i}.moe.router.weight":
+        "model.layers.{i}.block_sparse_moe.gate.weight",
+    "layers.{i}.moe.experts.{e}.gate.weight":
+        "model.layers.{i}.block_sparse_moe.experts.{e}.w1.weight",
+    "layers.{i}.moe.experts.{e}.down.weight":
+        "model.layers.{i}.block_sparse_moe.experts.{e}.w2.weight",
+    "layers.{i}.moe.experts.{e}.up.weight":
+        "model.layers.{i}.block_sparse_moe.experts.{e}.w3.weight",
+}
+
+register(ArchSpec(
+    model_type="phimoe",
+    make_config=_phimoe_config,
+    name_map=PHIMOE_NAME_MAP,
+    layer_modules=MIXTRAL_LAYER_MODULES,
+    module_slots=MIXTRAL_SLOTS,
+))
+
+
+# -------------------------------------------------------------------- cohere2
+def _cohere2_config(hf: Dict[str, Any]) -> ModelConfig:
+    """Cohere command-r7b: cohere v1 parallel-residual structure (shared
+    input norm, interleaved rotary, logit_scale, tied embeddings) plus
+    hybrid attention — sliding layers rotate, full layers are global NoPE
+    (modeling_cohere2.py:217-218 applies rope only when sliding)."""
+    import dataclasses as _dc
+    base = _cohere_config(hf)
+    sw = hf.get("sliding_window")
+    lt = hf.get("layer_types")
+    if sw and not lt:
+        pat = hf.get("sliding_window_pattern", 4)
+        lt = tuple("sliding_attention" if (i + 1) % pat else "full_attention"
+                   for i in range(hf["num_hidden_layers"]))
+    return _dc.replace(
+        base, model_type="cohere2",
+        sliding_window=sw,
+        layer_types=tuple(lt) if lt else None,
+        rope_nope_full=sw is not None,
+    )
+
+
+register(ArchSpec(
+    model_type="cohere2",
+    make_config=_cohere2_config,
+    convert_state=lambda s, hf: _dup_shared_norm(
+        s, "input_layernorm", "ln_parallel"),
+    name_map=COHERE_NAME_MAP,
+    layer_modules=LLAMA_LAYER_MODULES,
+    module_slots=LLAMA_SLOTS,
+))

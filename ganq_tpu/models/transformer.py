@@ -94,6 +94,10 @@ class ModelConfig:
     moe_n_group: int = 1
     moe_topk_group: int = 1
     moe_routed_scale: float = 1.0
+    # phimoe: "sparsemixer" routing — per-expert masked softmaxes instead of
+    # one softmax + top-k (modeling_phimoe.py sparsemixer, inference branch)
+    moe_router_mode: str = "topk"     # topk | sparsemixer
+    router_jitter_eps: float = 0.01   # sparsemixer threshold half-width
     # MLA (deepseek v2/v3): low-rank compressed q/kv projections with a
     # rope/nope head-dim split (modeling_deepseek_v2.py DeepseekV2Attention)
     mla: bool = False
@@ -393,6 +397,30 @@ def _activation(x: jax.Array, act: str) -> jax.Array:
     raise ValueError(f"unknown activation {act}")
 
 
+def _sparsemixer_gate(s: jax.Array, jitter_eps: float):
+    """PhiMoE sparsemixer routing, inference branch (modeling_phimoe.py
+    sparsemixer, training-only Gumbel/Heun machinery dropped). Top-2 by
+    iterated argmax; each winner's combine weight is a softmax over only the
+    experts within a relative threshold of that round's max:
+    keep_j <=> (max - s_j) / max(|s_j|, max) <= 2*eps. Weights are NOT
+    renormalized to sum 1. Returns (sel [.., E] bool, gated [.., E] f32)."""
+    E = s.shape[-1]
+    m1 = jnp.max(s, axis=-1, keepdims=True)
+    oh1 = jax.nn.one_hot(jnp.argmax(s, axis=-1), E, dtype=s.dtype)
+    keep1 = (m1 - s) / jnp.maximum(jnp.abs(s), m1) <= 2 * jitter_eps
+    g1 = jax.nn.softmax(jnp.where(keep1, s, -jnp.inf), axis=-1)
+    w1 = jnp.sum(g1 * oh1, axis=-1, keepdims=True)
+    ms = jnp.where(oh1 > 0, -jnp.inf, s)         # mask out the first winner
+    m2 = jnp.max(ms, axis=-1, keepdims=True)
+    oh2 = jax.nn.one_hot(jnp.argmax(ms, axis=-1), E, dtype=s.dtype)
+    # note: the threshold numerator uses the ORIGINAL scores (reference
+    # modeling_phimoe.py:681-683) while the softmax base is the masked ones
+    keep2 = (m2 - s) / jnp.maximum(jnp.abs(s), m2) <= 2 * jitter_eps
+    g2 = jax.nn.softmax(jnp.where(keep2, ms, -jnp.inf), axis=-1)
+    w2 = jnp.sum(g2 * oh2, axis=-1, keepdims=True)
+    return (oh1 + oh2) > 0, oh1 * w1 + oh2 * w2
+
+
 def _moe_forward(cfg: ModelConfig, moe: Dict[str, Any], h: jax.Array,
                  taps: Optional[Dict[str, jax.Array]], backend: str) -> jax.Array:
     """Mixtral-style sparse MoE, dense formulation: every expert runs on all
@@ -406,6 +434,12 @@ def _moe_forward(cfg: ModelConfig, moe: Dict[str, Any], h: jax.Array,
     router_logits = qlinear.apply(moe["router"], h, backend)     # [b, s, E]
     E = cfg.num_experts
     k = cfg.num_experts_per_tok
+    if cfg.moe_router_mode == "sparsemixer":
+        if k != 2:
+            raise ValueError("sparsemixer routing requires top-2")
+        sel, gated = _sparsemixer_gate(router_logits.astype(jnp.float32),
+                                       cfg.router_jitter_eps)
+        return _moe_combine(cfg, moe, h, sel, gated, taps, backend)
     if cfg.moe_scoring == "sigmoid":   # deepseek v3
         probs = jax.nn.sigmoid(router_logits.astype(jnp.float32))
     else:
@@ -439,6 +473,15 @@ def _moe_forward(cfg: ModelConfig, moe: Dict[str, Any], h: jax.Array,
                                     1e-9)
     if cfg.moe_routed_scale != 1.0:    # deepseek routed_scaling_factor
         gated = gated * cfg.moe_routed_scale
+    return _moe_combine(cfg, moe, h, sel, gated, taps, backend)
+
+
+def _moe_combine(cfg: ModelConfig, moe: Dict[str, Any], h: jax.Array,
+                 sel: jax.Array, gated: jax.Array,
+                 taps: Optional[Dict[str, jax.Array]], backend: str) -> jax.Array:
+    """Combine expert outputs under routing weights ``gated`` [b,s,E]
+    (``sel`` the boolean selection mask) — per-expert masked loop or the
+    stacked expert-parallel einsum form, plus the always-on shared expert."""
 
     def shared_expert_out():
         # qwen2_moe: an always-on expert behind a sigmoid scalar gate;

@@ -817,3 +817,42 @@ def test_exaone4_stacked_matches_unrolled(rng):
     out = np.asarray(stacked.greedy_decode(cfg, sp, ck, cv,
                                            jnp.asarray(prompt), 8))
     np.testing.assert_array_equal(out, ref)
+
+
+def test_phimoe_forward_parity(rng):
+    """Sparsemixer routing (unnormalized per-winner masked softmaxes),
+    LayerNorm-with-bias norms, attention + lm_head biases."""
+    hf_cfg = transformers.PhimoeConfig(
+        vocab_size=256, hidden_size=64, intermediate_size=48,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        num_local_experts=8, num_experts_per_tok=2,
+        router_jitter_noise=0.01, input_jitter_noise=0.0,
+        attention_bias=True, lm_head_bias=True,
+        max_position_embeddings=128, rope_theta=10000.0,
+    )
+    torch.manual_seed(67)
+    model = transformers.PhimoeForCausalLM(hf_cfg)
+    ids = rng.integers(0, 256, size=(2, 16))
+    cfg, params = _compare(model, ids)
+    assert cfg.moe_router_mode == "sparsemixer" and cfg.num_experts == 8
+    assert "bias" in params["lm_head"].arrays
+
+
+def test_cohere2_forward_parity(rng):
+    """Parallel residual off one shared norm + interleaved rope on sliding
+    layers only (full layers NoPE); logit_scale; tied embeddings. 4 layers
+    cover a full-attention layer, seq > window."""
+    hf_cfg = transformers.Cohere2Config(
+        vocab_size=256, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=4, num_attention_heads=4, num_key_value_heads=2,
+        sliding_window=8, logit_scale=0.25, tie_word_embeddings=True,
+        layer_types=["sliding_attention", "sliding_attention",
+                     "sliding_attention", "full_attention"],
+        max_position_embeddings=128,
+    )
+    torch.manual_seed(68)
+    model = transformers.Cohere2ForCausalLM(hf_cfg)
+    ids = rng.integers(0, 256, size=(2, 24))  # seq > window
+    cfg, _ = _compare(model, ids)
+    assert cfg.rope_nope_full and cfg.parallel_residual
+    assert cfg.layer_window(0) == 8 and cfg.layer_window(3) is None
