@@ -2278,3 +2278,736 @@ register(ArchSpec(
     layer_modules=LLAMA_LAYER_MODULES,
     module_slots=LLAMA_SLOTS,
 ))
+
+
+# ---------------------------------------------------- remote-code llama family
+# Architectures whose HF repos ship custom modeling code (no transformers
+# class in this environment). Their module structure maps exactly onto
+# already-oracle-tested ModelConfig knobs; what each spec contributes is the
+# config translation + tensor-layout conversion (fused splits), which the
+# tests validate by fusing a local oracle model's weights into the foreign
+# layout and checking logits parity through our importer.
+
+def _baichuan_config(hf: Dict[str, Any]) -> ModelConfig:
+    """Baichuan 1/2 (modeling_baichuan.py, remote code): llama decoder with a
+    fused W_pack qkv. 7B (hidden 4096) uses rope; 13B (hidden 5120) uses
+    ALiBi with bloom-style slopes and no rotary (the two releases ship
+    different modeling files; config carries no flag, so we key on the only
+    structural difference, hidden_size). Baichuan2's NormHead (row-normalized
+    lm_head at inference) is applied at import time (see convert_state)."""
+    import dataclasses as _dc
+    base = _llama_config(hf)
+    alibi = hf["hidden_size"] >= 5120 and hf.get("position_embedding", "") != "rope"
+    return _dc.replace(
+        base, model_type="baichuan",
+        pos="alibi" if alibi else "rope",
+        norm_eps=hf.get("rms_norm_eps", 1e-6),
+    )
+
+
+def _baichuan_convert_state(state: Dict[str, Any], hf: Dict[str, Any]) -> Dict[str, Any]:
+    """Split W_pack rows [q; k; v] and, for Baichuan2 (vocab >= 125696 —
+    v1 is 64000), L2-normalize lm_head rows (NormHead inference semantics:
+    F.normalize(weight) in the v2 modeling code)."""
+    import numpy as _np
+
+    h = hf["hidden_size"]
+    out: Dict[str, Any] = {}
+    for k, v in state.items():
+        v = _np.asarray(v)
+        if ".self_attn.W_pack." in k:
+            base = k.replace("W_pack", "{}")
+            out[base.format("q_proj")] = _np.ascontiguousarray(v[:h])
+            out[base.format("k_proj")] = _np.ascontiguousarray(v[h:2 * h])
+            out[base.format("v_proj")] = _np.ascontiguousarray(v[2 * h:])
+        elif k == "lm_head.weight" and hf["vocab_size"] >= 125696:
+            nrm = _np.linalg.norm(v.astype(_np.float32), axis=1, keepdims=True)
+            out[k] = (v / _np.maximum(nrm, 1e-12)).astype(v.dtype)
+        else:
+            out[k] = v
+    return out
+
+
+register(ArchSpec(
+    model_type="baichuan",
+    make_config=_baichuan_config,
+    convert_state=_baichuan_convert_state,
+    name_map=LLAMA_NAME_MAP,
+    layer_modules=LLAMA_LAYER_MODULES,
+    module_slots=LLAMA_SLOTS,
+))
+
+
+def _internlm_config(hf: Dict[str, Any]) -> ModelConfig:
+    """InternLM v1 (modeling_internlm.py): llama with optional q/k/v/o biases
+    (config.bias); tensor names are llama's."""
+    import dataclasses as _dc
+    return _dc.replace(_llama_config(hf), model_type="internlm",
+                       attn_bias=hf.get("bias", True))
+
+
+INTERNLM_NAME_MAP = dict(LLAMA_NAME_MAP)
+INTERNLM_NAME_MAP["layers.{i}.attn.o.bias"] = \
+    "model.layers.{i}.self_attn.o_proj.bias"
+
+register(ArchSpec(
+    model_type="internlm",
+    make_config=_internlm_config,
+    name_map=INTERNLM_NAME_MAP,
+    layer_modules=LLAMA_LAYER_MODULES,
+    module_slots=LLAMA_SLOTS,
+))
+
+
+def _internlm2_config(hf: Dict[str, Any]) -> ModelConfig:
+    import dataclasses as _dc
+    return _dc.replace(_llama_config(hf), model_type="internlm2",
+                       attn_bias=hf.get("bias", False))
+
+
+def _internlm2_convert_state(state: Dict[str, Any], hf: Dict[str, Any]) -> Dict[str, Any]:
+    """Split internlm2's grouped wqkv (modeling_internlm2.py: reshape to
+    [kv_heads, q_per_group + 2, head_dim, hidden]; the first q_per_group
+    blocks of each group are that group's q heads, then its k, then its v)
+    into plain q/k/v projections."""
+    import numpy as _np
+
+    heads = hf["num_attention_heads"]
+    kv = hf.get("num_key_value_heads", heads)
+    hd = hf.get("head_dim") or hf["hidden_size"] // heads
+    qpg = heads // kv
+    out: Dict[str, Any] = {}
+    for k, v in state.items():
+        v = _np.asarray(v)
+        if ".attention.wqkv." in k:
+            base = k.replace("wqkv", "{}")
+            w = v.reshape(kv, qpg + 2, hd, -1)
+            out[base.format("wq")] = _np.ascontiguousarray(
+                w[:, :qpg].reshape(heads * hd, -1))
+            out[base.format("wk")] = _np.ascontiguousarray(
+                w[:, qpg].reshape(kv * hd, -1))
+            out[base.format("wv")] = _np.ascontiguousarray(
+                w[:, qpg + 1].reshape(kv * hd, -1))
+        else:
+            out[k] = v
+    return out
+
+
+INTERNLM2_NAME_MAP = {
+    "embed_tokens.weight": "model.tok_embeddings.weight",
+    "final_norm.weight": "model.norm.weight",
+    "lm_head.weight": "output.weight",
+    "layers.{i}.input_norm.weight": "model.layers.{i}.attention_norm.weight",
+    "layers.{i}.post_norm.weight": "model.layers.{i}.ffn_norm.weight",
+    "layers.{i}.attn.q.weight": "model.layers.{i}.attention.wq.weight",
+    "layers.{i}.attn.k.weight": "model.layers.{i}.attention.wk.weight",
+    "layers.{i}.attn.v.weight": "model.layers.{i}.attention.wv.weight",
+    "layers.{i}.attn.o.weight": "model.layers.{i}.attention.wo.weight",
+    "layers.{i}.mlp.gate.weight": "model.layers.{i}.feed_forward.w1.weight",
+    "layers.{i}.mlp.up.weight": "model.layers.{i}.feed_forward.w3.weight",
+    "layers.{i}.mlp.down.weight": "model.layers.{i}.feed_forward.w2.weight",
+}
+
+register(ArchSpec(
+    model_type="internlm2",
+    make_config=_internlm2_config,
+    convert_state=_internlm2_convert_state,
+    name_map=INTERNLM2_NAME_MAP,
+    layer_modules=[
+        ["attention.wq", "attention.wk", "attention.wv"],
+        ["attention.wo"],
+        ["feed_forward.w1", "feed_forward.w3"],
+        ["feed_forward.w2"],
+    ],
+    module_slots={
+        "attention.wq": "attn.q", "attention.wk": "attn.k",
+        "attention.wv": "attn.v", "attention.wo": "attn.o",
+        "feed_forward.w1": "mlp.gate", "feed_forward.w3": "mlp.up",
+        "feed_forward.w2": "mlp.down",
+    },
+))
+
+
+def _xverse_config(hf: Dict[str, Any]) -> ModelConfig:
+    import dataclasses as _dc
+    return _dc.replace(_llama_config(hf), model_type="xverse")
+
+
+register(ArchSpec(  # llama-identical naming and forward (modeling_xverse.py)
+    model_type="xverse",
+    make_config=_xverse_config,
+    name_map=LLAMA_NAME_MAP,
+    layer_modules=LLAMA_LAYER_MODULES,
+    module_slots=LLAMA_SLOTS,
+))
+
+
+def _longllama_config(hf: Dict[str, Any]) -> ModelConfig:
+    """LongLLaMA: llama forward within the local context window; the FoT
+    memory-layer retrieval machinery (mem_layers, beyond last_context_length)
+    is not modeled — quantization and in-context serving use the plain llama
+    path, matching the reference which quantizes only the llama projections
+    (definitions/longllama.py)."""
+    import dataclasses as _dc
+    return _dc.replace(_llama_config(hf), model_type="longllama")
+
+
+register(ArchSpec(
+    model_type="longllama",
+    make_config=_longllama_config,
+    name_map=LLAMA_NAME_MAP,
+    layer_modules=LLAMA_LAYER_MODULES,
+    module_slots=LLAMA_SLOTS,
+))
+
+
+def _qwen_config(hf: Dict[str, Any]) -> ModelConfig:
+    """Qwen v1 (modeling_qwen.py, remote code): RMSNorm, neox-style rope at
+    config.rotary_emb_base, fused c_attn with bias (other Linears follow
+    no_bias=True), and a halved MLP: w1/w2 each project to
+    intermediate_size // 2 with out = c_proj(w1(x) * silu(w2(x))) — so
+    gate = w2, up = w1 at half the declared intermediate width. The
+    beyond-training-length machinery (dynamic NTK, logn attention scaling)
+    is inactive inside seq_length and is not modeled."""
+    heads = hf["num_attention_heads"]
+    return ModelConfig(
+        model_type="qwen",
+        vocab_size=hf["vocab_size"],
+        hidden_size=hf["hidden_size"],
+        intermediate_size=hf["intermediate_size"] // 2,
+        num_hidden_layers=hf["num_hidden_layers"],
+        num_attention_heads=heads,
+        num_key_value_heads=heads,
+        head_dim=hf.get("kv_channels") or hf["hidden_size"] // heads,
+        max_position_embeddings=hf.get("max_position_embeddings",
+                                       hf.get("seq_length", 8192)),
+        norm="rmsnorm",
+        norm_eps=hf.get("layer_norm_epsilon", 1e-6),
+        act="silu",
+        gated_mlp=True,
+        pos="rope",
+        rope_theta=hf.get("rotary_emb_base", 10000.0),
+        tie_word_embeddings=hf.get("tie_word_embeddings", False),
+    )
+
+
+def _qwen_convert_state(state: Dict[str, Any], hf: Dict[str, Any]) -> Dict[str, Any]:
+    """Split the fused c_attn ([q; k; v] rows, bias included)."""
+    import numpy as _np
+
+    h = hf["hidden_size"]
+    out: Dict[str, Any] = {}
+    for k, v in state.items():
+        v = _np.asarray(v)
+        if ".attn.c_attn." in k:
+            base = k.replace("c_attn", "{}")
+            out[base.format("q_attn")] = _np.ascontiguousarray(v[:h])
+            out[base.format("k_attn")] = _np.ascontiguousarray(v[h:2 * h])
+            out[base.format("v_attn")] = _np.ascontiguousarray(v[2 * h:])
+        else:
+            out[k] = v
+    return out
+
+
+QWEN_NAME_MAP = {
+    "embed_tokens.weight": "transformer.wte.weight",
+    "final_norm.weight": "transformer.ln_f.weight",
+    "lm_head.weight": "lm_head.weight",
+    "layers.{i}.input_norm.weight": "transformer.h.{i}.ln_1.weight",
+    "layers.{i}.post_norm.weight": "transformer.h.{i}.ln_2.weight",
+    "layers.{i}.attn.q.weight": "transformer.h.{i}.attn.q_attn.weight",
+    "layers.{i}.attn.k.weight": "transformer.h.{i}.attn.k_attn.weight",
+    "layers.{i}.attn.v.weight": "transformer.h.{i}.attn.v_attn.weight",
+    "layers.{i}.attn.q.bias": "transformer.h.{i}.attn.q_attn.bias",
+    "layers.{i}.attn.k.bias": "transformer.h.{i}.attn.k_attn.bias",
+    "layers.{i}.attn.v.bias": "transformer.h.{i}.attn.v_attn.bias",
+    "layers.{i}.attn.o.weight": "transformer.h.{i}.attn.c_proj.weight",
+    "layers.{i}.mlp.up.weight": "transformer.h.{i}.mlp.w1.weight",
+    "layers.{i}.mlp.gate.weight": "transformer.h.{i}.mlp.w2.weight",
+    "layers.{i}.mlp.down.weight": "transformer.h.{i}.mlp.c_proj.weight",
+}
+
+register(ArchSpec(
+    model_type="qwen",
+    make_config=_qwen_config,
+    convert_state=_qwen_convert_state,
+    name_map=QWEN_NAME_MAP,
+    layer_modules=[
+        ["attn.q_attn", "attn.k_attn", "attn.v_attn"],
+        ["attn.c_proj"],
+        ["mlp.w1", "mlp.w2"],
+        ["mlp.c_proj"],
+    ],
+    module_slots={
+        "attn.q_attn": "attn.q", "attn.k_attn": "attn.k",
+        "attn.v_attn": "attn.v", "attn.c_proj": "attn.o",
+        "mlp.w1": "mlp.up", "mlp.w2": "mlp.gate",
+        "mlp.c_proj": "mlp.down",
+    },
+    layers_prefix="transformer.h",
+))
+
+
+def _exaone_config(hf: Dict[str, Any]) -> ModelConfig:
+    """EXAONE 3.x (modeling_exaone.py, remote code): llama forward under
+    gpt-style names — transformer.h.{i}.ln_1/ln_2 RMSNorms,
+    attn.attention.{q,k,v,out}_proj, mlp c_fc_0 (gate) / c_fc_1 (up) /
+    c_proj (down); config uses num_layers + activation_function."""
+    heads = hf["num_attention_heads"]
+    return ModelConfig(
+        model_type="exaone",
+        vocab_size=hf["vocab_size"],
+        hidden_size=hf["hidden_size"],
+        intermediate_size=hf["intermediate_size"],
+        num_hidden_layers=hf["num_layers"],
+        num_attention_heads=heads,
+        num_key_value_heads=hf.get("num_key_value_heads") or heads,
+        head_dim=hf.get("head_dim") or hf["hidden_size"] // heads,
+        max_position_embeddings=hf.get("max_position_embeddings", 4096),
+        norm="rmsnorm",
+        norm_eps=hf.get("layer_norm_epsilon", 1e-5),
+        act=hf.get("activation_function", "silu"),
+        gated_mlp=True,
+        pos="rope",
+        rope_theta=hf.get("rope_theta", 10000.0),
+        rope_scaling=hf.get("rope_scaling"),
+        tie_word_embeddings=hf.get("tie_word_embeddings", False),
+    )
+
+
+EXAONE_NAME_MAP = {
+    "embed_tokens.weight": "transformer.wte.weight",
+    "final_norm.weight": "transformer.ln_f.weight",
+    "lm_head.weight": "lm_head.weight",
+    "layers.{i}.input_norm.weight": "transformer.h.{i}.ln_1.weight",
+    "layers.{i}.post_norm.weight": "transformer.h.{i}.ln_2.weight",
+    "layers.{i}.attn.q.weight": "transformer.h.{i}.attn.attention.q_proj.weight",
+    "layers.{i}.attn.k.weight": "transformer.h.{i}.attn.attention.k_proj.weight",
+    "layers.{i}.attn.v.weight": "transformer.h.{i}.attn.attention.v_proj.weight",
+    "layers.{i}.attn.o.weight": "transformer.h.{i}.attn.attention.out_proj.weight",
+    "layers.{i}.mlp.gate.weight": "transformer.h.{i}.mlp.c_fc_0.weight",
+    "layers.{i}.mlp.up.weight": "transformer.h.{i}.mlp.c_fc_1.weight",
+    "layers.{i}.mlp.down.weight": "transformer.h.{i}.mlp.c_proj.weight",
+}
+
+register(ArchSpec(
+    model_type="exaone",
+    make_config=_exaone_config,
+    name_map=EXAONE_NAME_MAP,
+    layer_modules=[
+        ["attn.attention.q_proj", "attn.attention.k_proj",
+         "attn.attention.v_proj"],
+        ["attn.attention.out_proj"],
+        ["mlp.c_fc_0", "mlp.c_fc_1"],
+        ["mlp.c_proj"],
+    ],
+    module_slots={
+        "attn.attention.q_proj": "attn.q", "attn.attention.k_proj": "attn.k",
+        "attn.attention.v_proj": "attn.v", "attn.attention.out_proj": "attn.o",
+        "mlp.c_fc_0": "mlp.gate", "mlp.c_fc_1": "mlp.up",
+        "mlp.c_proj": "mlp.down",
+    },
+    layers_prefix="transformer.h",
+))
+
+
+def _stablelm_epoch_config(hf: Dict[str, Any]) -> ModelConfig:
+    """StableLM-epoch (modeling_stablelm_epoch.py, remote code): the
+    pre-transformers StableLM — LayerNorm(+bias) norms, partial rotary at
+    rope_pct of head_dim, llama-style names; config keys norm_eps/rope_pct
+    instead of layer_norm_eps/partial_rotary_factor."""
+    import dataclasses as _dc
+    heads = hf["num_attention_heads"]
+    hd = hf["hidden_size"] // heads
+    return _dc.replace(
+        _llama_config(hf), model_type="stablelm_epoch",
+        norm="layernorm",
+        norm_eps=hf.get("norm_eps", 1e-5),
+        head_dim=hd,
+        rotary_dim=int(hd * hf.get("rope_pct", 0.25)),
+    )
+
+
+register(ArchSpec(
+    model_type="stablelm_epoch",
+    make_config=_stablelm_epoch_config,
+    name_map=STABLELM_NAME_MAP,
+    layer_modules=LLAMA_LAYER_MODULES,
+    module_slots=LLAMA_SLOTS,
+))
+
+
+def _decilm_config(hf: Dict[str, Any]) -> ModelConfig:
+    """DeciLM (modeling_decilm.py, remote code): llama with VARIABLE
+    per-layer GQA — config.num_key_value_heads_per_layer. The forward infers
+    each layer's kv width from its tensors; num_key_value_heads records the
+    max for uniform-cache callers. Nemotron-NAS-style block_configs (ffn/
+    attention elimination) are a different model type and not modeled."""
+    import dataclasses as _dc
+    if hf.get("block_configs"):
+        raise NotImplementedError("decilm/nemotron-nas block_configs")
+    per_layer = hf.get("num_key_value_heads_per_layer")
+    base = _llama_config(hf)
+    if per_layer:
+        base = _dc.replace(base, num_key_value_heads=max(per_layer),
+                           kv_heads_per_layer=tuple(per_layer))
+    return _dc.replace(base, model_type="decilm")
+
+
+for _mt in ("deci", "decilm"):
+    register(ArchSpec(
+        model_type=_mt,
+        make_config=_decilm_config,
+        name_map=LLAMA_NAME_MAP,
+        layer_modules=LLAMA_LAYER_MODULES,
+        module_slots=LLAMA_SLOTS,
+    ))
+
+
+def _moss_config(hf: Dict[str, Any]) -> ModelConfig:
+    """MOSS (modeling_moss.py, remote code): the CodeGen architecture —
+    shared-norm parallel residual, interleaved partial rotary, fused
+    qkv_proj in mp_num=4 blocks — under identical tensor names."""
+    import dataclasses as _dc
+    return _dc.replace(_codegen_config(hf), model_type="moss")
+
+
+register(ArchSpec(
+    model_type="moss",
+    make_config=_moss_config,
+    convert_state=_codegen_convert_state,
+    name_map=CODEGEN_NAME_MAP,
+    layer_modules=[
+        ["attn.q_proj", "attn.k_proj", "attn.v_proj"],
+        ["attn.out_proj"],
+        ["mlp.fc_in"],
+        ["mlp.fc_out"],
+    ],
+    module_slots={
+        "attn.q_proj": "attn.q", "attn.k_proj": "attn.k",
+        "attn.v_proj": "attn.v", "attn.out_proj": "attn.o",
+        "mlp.fc_in": "mlp.up", "mlp.fc_out": "mlp.down",
+    },
+    layers_prefix="transformer.h",
+))
+
+
+def _telechat2_config(hf: Dict[str, Any]) -> ModelConfig:
+    """TeleChat2 (modeling_telechat2.py, remote code): llama-style RMSNorm
+    decoder under bloom-lineage names — transformer.word_embeddings, per
+    layer self_attention.query (no bias) + fused key_value + dense, mlp
+    gate/up (no bias) and down_proj WITH bias. Rope at the default base."""
+    heads = hf["num_attention_heads"]
+    kv = hf.get("num_key_value_heads") or heads
+    return ModelConfig(
+        model_type="telechat2",
+        vocab_size=hf["vocab_size"],
+        hidden_size=hf["hidden_size"],
+        intermediate_size=hf.get("ffn_hidden_size",
+                                 hf.get("intermediate_size")),
+        num_hidden_layers=hf.get("n_layer", hf.get("num_hidden_layers")),
+        num_attention_heads=heads,
+        num_key_value_heads=kv,
+        head_dim=hf["hidden_size"] // heads,
+        max_position_embeddings=hf.get("seq_length", 8192),
+        norm="rmsnorm",
+        norm_eps=hf.get("layer_norm_epsilon", 1e-5),
+        act="silu",
+        gated_mlp=True,
+        pos="rope",
+        rope_theta=hf.get("rotary_emb_base", 10000.0),
+        tie_word_embeddings=False,
+    )
+
+
+def _telechat2_convert_state(state: Dict[str, Any], hf: Dict[str, Any]) -> Dict[str, Any]:
+    """Split the fused key_value: modeling_telechat2.py views the projection
+    as [.., kv_heads, 2*head_dim] and chunks the last dim, so the row layout
+    is per-head [k_head; v_head] blocks."""
+    import numpy as _np
+
+    heads = hf["num_attention_heads"]
+    kv = hf.get("num_key_value_heads") or heads
+    hd = hf["hidden_size"] // heads
+    out: Dict[str, Any] = {}
+    for k, v in state.items():
+        v = _np.asarray(v)
+        if ".self_attention.key_value." in k:
+            base = k.replace("key_value", "{}")
+            w = v.reshape(kv, 2, hd, *v.shape[1:])
+            out[base.format("key")] = _np.ascontiguousarray(
+                w[:, 0].reshape(kv * hd, *v.shape[1:]))
+            out[base.format("value")] = _np.ascontiguousarray(
+                w[:, 1].reshape(kv * hd, *v.shape[1:]))
+        else:
+            out[k] = v
+    return out
+
+
+TELECHAT2_NAME_MAP = {
+    "embed_tokens.weight": "transformer.word_embeddings.weight",
+    "final_norm.weight": "transformer.ln_f.weight",
+    "lm_head.weight": "lm_head.weight",
+    "layers.{i}.input_norm.weight": "transformer.h.{i}.input_layernorm.weight",
+    "layers.{i}.post_norm.weight":
+        "transformer.h.{i}.post_attention_layernorm.weight",
+    "layers.{i}.attn.q.weight": "transformer.h.{i}.self_attention.query.weight",
+    "layers.{i}.attn.k.weight": "transformer.h.{i}.self_attention.key.weight",
+    "layers.{i}.attn.v.weight": "transformer.h.{i}.self_attention.value.weight",
+    "layers.{i}.attn.o.weight": "transformer.h.{i}.self_attention.dense.weight",
+    "layers.{i}.attn.o.bias": "transformer.h.{i}.self_attention.dense.bias",
+    "layers.{i}.mlp.gate.weight": "transformer.h.{i}.mlp.gate_proj.weight",
+    "layers.{i}.mlp.up.weight": "transformer.h.{i}.mlp.up_proj.weight",
+    "layers.{i}.mlp.down.weight": "transformer.h.{i}.mlp.down_proj.weight",
+    "layers.{i}.mlp.down.bias": "transformer.h.{i}.mlp.down_proj.bias",
+}
+
+register(ArchSpec(
+    model_type="telechat2",
+    make_config=_telechat2_config,
+    convert_state=_telechat2_convert_state,
+    name_map=TELECHAT2_NAME_MAP,
+    layer_modules=[
+        ["self_attention.query", "self_attention.key", "self_attention.value"],
+        ["self_attention.dense"],
+        ["mlp.gate_proj", "mlp.up_proj"],
+        ["mlp.down_proj"],
+    ],
+    module_slots={
+        "self_attention.query": "attn.q", "self_attention.key": "attn.k",
+        "self_attention.value": "attn.v", "self_attention.dense": "attn.o",
+        "mlp.gate_proj": "mlp.gate", "mlp.up_proj": "mlp.up",
+        "mlp.down_proj": "mlp.down",
+    },
+    layers_prefix="transformer.h",
+))
+
+
+def _grinmoe_config(hf: Dict[str, Any]) -> ModelConfig:
+    """GRIN-MoE (modeling_grinmoe.py, remote code): the PhiMoE architecture —
+    LayerNorm(+bias) norms, optional attention/lm_head biases, 16-expert
+    block_sparse_moe with SPARSEMIXER top-2 routing (GRIN's contribution is
+    the *training-time* gradient estimator; the inference graph matches
+    phimoe, whose forward is oracle-tested here)."""
+    import dataclasses as _dc
+    return _dc.replace(_phimoe_config(hf), model_type="grinmoe")
+
+
+register(ArchSpec(
+    model_type="grinmoe",
+    make_config=_grinmoe_config,
+    name_map=PHIMOE_NAME_MAP,
+    layer_modules=MIXTRAL_LAYER_MODULES,
+    module_slots=MIXTRAL_SLOTS,
+))
+
+
+# -------------------------------------------------------------------- minicpm
+def _minicpm_scales(hf: Dict[str, Any]):
+    """MiniCPM's three muP-style multipliers (modeling_minicpm.py): embeds
+    scaled by scale_emb, each sublayer output by scale_depth/sqrt(L), and
+    logits by dim_model_base/hidden (the lm_head input is divided by
+    hidden/dim_model_base)."""
+    import math as _math
+    L = hf["num_hidden_layers"]
+    return (hf.get("scale_emb", 1.0),
+            hf.get("scale_depth", _math.sqrt(L)) / _math.sqrt(L),
+            hf.get("dim_model_base", hf["hidden_size"]) / hf["hidden_size"])
+
+
+def _minicpm_config(hf: Dict[str, Any]) -> ModelConfig:
+    """MiniCPM 1/2 (remote code): llama structure + the muP multipliers —
+    the same knob set granite exposes (granite is the test oracle)."""
+    import dataclasses as _dc
+    emb, res, logit = _minicpm_scales(hf)
+    return _dc.replace(
+        _llama_config(hf), model_type="minicpm",
+        embed_scale=emb, residual_multiplier=res, logit_scale=logit)
+
+
+register(ArchSpec(
+    model_type="minicpm",
+    make_config=_minicpm_config,
+    name_map=LLAMA_NAME_MAP,
+    layer_modules=LLAMA_LAYER_MODULES,
+    module_slots=LLAMA_SLOTS,
+))
+
+
+def _minicpm3_config(hf: Dict[str, Any]) -> ModelConfig:
+    """MiniCPM3 (remote code): deepseek-v2-style MLA attention (always with
+    a q bottleneck) over dense MLP layers, plus MiniCPM's muP multipliers.
+    Longrope scaling is not modeled — raise instead of importing wrong."""
+    import dataclasses as _dc
+    if hf.get("rope_scaling"):
+        raise NotImplementedError("minicpm3 longrope scaling not modeled")
+    heads = hf["num_attention_heads"]
+    nope = hf.get("qk_nope_head_dim", 64)
+    rd = hf.get("qk_rope_head_dim", 32)
+    emb, res, logit = _minicpm_scales(hf)
+    return ModelConfig(
+        model_type="minicpm3",
+        vocab_size=hf["vocab_size"],
+        hidden_size=hf["hidden_size"],
+        intermediate_size=hf["intermediate_size"],
+        num_hidden_layers=hf["num_hidden_layers"],
+        num_attention_heads=heads,
+        num_key_value_heads=heads,
+        head_dim=nope + rd,
+        max_position_embeddings=hf.get("max_position_embeddings", 32768),
+        norm="rmsnorm",
+        norm_eps=hf.get("rms_norm_eps", 1e-6),
+        act=hf.get("hidden_act", "silu"),
+        gated_mlp=True,
+        pos="rope",
+        rope_theta=hf.get("rope_theta", 10000.0),
+        rotary_dim=rd,
+        rope_interleaved=True,
+        attn_scale=(nope + rd) ** -0.5,
+        tie_word_embeddings=hf.get("tie_word_embeddings", False),
+        mla=True,
+        q_lora_rank=hf.get("q_lora_rank", 768),
+        kv_lora_rank=hf.get("kv_lora_rank", 256),
+        qk_nope_head_dim=nope,
+        qk_rope_head_dim=rd,
+        v_head_dim=hf.get("v_head_dim") or hf["hidden_size"] // heads,
+        embed_scale=emb, residual_multiplier=res, logit_scale=logit,
+    )
+
+
+MINICPM3_NAME_MAP = {k: v for k, v in DEEPSEEK_NAME_MAP.items()
+                     if ".moe." not in k}
+
+register(ArchSpec(
+    model_type="minicpm3",
+    make_config=_minicpm3_config,
+    name_map=MINICPM3_NAME_MAP,
+    layer_modules=[
+        ["self_attn.q_a_proj", "self_attn.kv_a_proj_with_mqa"],
+        ["self_attn.q_b_proj", "self_attn.kv_b_proj"],
+        ["self_attn.o_proj"],
+        ["mlp.gate_proj", "mlp.up_proj"],
+        ["mlp.down_proj"],
+    ],
+    module_slots=DEEPSEEK_SLOTS,
+))
+
+
+# -------------------------------------------------------------------- chatglm
+def _chatglm_config(hf: Dict[str, Any]) -> ModelConfig:
+    """ChatGLM-2/3 and legacy GLM-4 repos (modeling_chatglm.py, remote
+    code): the GLM block transformers models as `Glm` — half-dim interleaved
+    rotary, fused qkv with bias (add_qkv_bias), swiglu with fused
+    dense_h_to_4h = [gate; up] — under encoder-style names. ChatGLM-1's
+    prefix-LM GLMBlock (2D rope, post-norm residual alpha) is a different
+    architecture and raises."""
+    if not hf.get("rmsnorm", True):
+        raise NotImplementedError("chatglm-1 layernorm variant")
+    if hf.get("apply_residual_connection_post_layernorm", False):
+        raise NotImplementedError("chatglm post-layernorm residual variant")
+    heads = hf["num_attention_heads"]
+    hd = hf.get("kv_channels") or hf["hidden_size"] // heads
+    kv = (hf.get("multi_query_group_num", heads)
+          if hf.get("multi_query_attention", False) else heads)
+    return ModelConfig(
+        model_type="chatglm",
+        vocab_size=hf.get("padded_vocab_size", hf.get("vocab_size")),
+        hidden_size=hf["hidden_size"],
+        intermediate_size=hf["ffn_hidden_size"],
+        num_hidden_layers=hf["num_layers"],
+        num_attention_heads=heads,
+        num_key_value_heads=kv,
+        head_dim=hd,
+        max_position_embeddings=hf.get("seq_length", 8192),
+        norm="rmsnorm",
+        norm_eps=hf.get("layernorm_epsilon", 1e-5),
+        act="silu",
+        gated_mlp=True,
+        pos="rope",
+        rope_theta=10000.0 * hf.get("rope_ratio", 1.0),
+        rotary_dim=hd // 2,
+        rope_interleaved=True,
+        attn_bias=hf.get("add_qkv_bias", False),
+        tie_word_embeddings=False,
+        final_layer_norm=hf.get("post_layer_norm", True),
+    )
+
+
+def _chatglm_convert_state(state: Dict[str, Any], hf: Dict[str, Any]) -> Dict[str, Any]:
+    """Split query_key_value rows [q; k; v] (kv at multi-query width) and
+    dense_h_to_4h rows [gate; up] (modeling_chatglm.py swiglu chunk)."""
+    import numpy as _np
+
+    heads = hf["num_attention_heads"]
+    hd = hf.get("kv_channels") or hf["hidden_size"] // heads
+    kv = (hf.get("multi_query_group_num", heads)
+          if hf.get("multi_query_attention", False) else heads)
+    qd, kvd = heads * hd, kv * hd
+    ffn = hf["ffn_hidden_size"]
+    out: Dict[str, Any] = {}
+    for k, v in state.items():
+        v = _np.asarray(v)
+        if "rotary_pos_emb" in k:
+            continue
+        if ".self_attention.query_key_value." in k:
+            base = k.replace("query_key_value", "{}")
+            out[base.format("query")] = _np.ascontiguousarray(v[:qd])
+            out[base.format("key")] = _np.ascontiguousarray(v[qd:qd + kvd])
+            out[base.format("value")] = _np.ascontiguousarray(v[qd + kvd:])
+        elif ".mlp.dense_h_to_4h." in k:
+            base = k.replace("dense_h_to_4h", "{}")
+            out[base.format("gate")] = _np.ascontiguousarray(v[:ffn])
+            out[base.format("up")] = _np.ascontiguousarray(v[ffn:])
+        else:
+            out[k] = v
+    return out
+
+
+CHATGLM_NAME_MAP = {
+    "embed_tokens.weight": "transformer.embedding.word_embeddings.weight",
+    "final_norm.weight": "transformer.encoder.final_layernorm.weight",
+    "lm_head.weight": "transformer.output_layer.weight",
+    "layers.{i}.input_norm.weight":
+        "transformer.encoder.layers.{i}.input_layernorm.weight",
+    "layers.{i}.post_norm.weight":
+        "transformer.encoder.layers.{i}.post_attention_layernorm.weight",
+    "layers.{i}.attn.q.weight":
+        "transformer.encoder.layers.{i}.self_attention.query.weight",
+    "layers.{i}.attn.k.weight":
+        "transformer.encoder.layers.{i}.self_attention.key.weight",
+    "layers.{i}.attn.v.weight":
+        "transformer.encoder.layers.{i}.self_attention.value.weight",
+    "layers.{i}.attn.q.bias":
+        "transformer.encoder.layers.{i}.self_attention.query.bias",
+    "layers.{i}.attn.k.bias":
+        "transformer.encoder.layers.{i}.self_attention.key.bias",
+    "layers.{i}.attn.v.bias":
+        "transformer.encoder.layers.{i}.self_attention.value.bias",
+    "layers.{i}.attn.o.weight":
+        "transformer.encoder.layers.{i}.self_attention.dense.weight",
+    "layers.{i}.mlp.gate.weight":
+        "transformer.encoder.layers.{i}.mlp.gate.weight",
+    "layers.{i}.mlp.up.weight": "transformer.encoder.layers.{i}.mlp.up.weight",
+    "layers.{i}.mlp.down.weight":
+        "transformer.encoder.layers.{i}.mlp.dense_4h_to_h.weight",
+}
+
+register(ArchSpec(
+    model_type="chatglm",
+    make_config=_chatglm_config,
+    convert_state=_chatglm_convert_state,
+    name_map=CHATGLM_NAME_MAP,
+    layer_modules=[
+        ["self_attention.query", "self_attention.key", "self_attention.value"],
+        ["self_attention.dense"],
+        ["mlp.gate", "mlp.up"],
+        ["mlp.dense_4h_to_h"],
+    ],
+    module_slots={
+        "self_attention.query": "attn.q", "self_attention.key": "attn.k",
+        "self_attention.value": "attn.v", "self_attention.dense": "attn.o",
+        "mlp.gate": "mlp.gate", "mlp.up": "mlp.up",
+        "mlp.dense_4h_to_h": "mlp.down",
+    },
+    layers_prefix="transformer.encoder.layers",
+))

@@ -145,6 +145,12 @@ class ModelConfig:
     alibi_kind: str = "bloom"
     # mpt attn_config.clip_qkv: clamp q/k/v projections to [-c, c]
     clip_qkv: Optional[float] = None
+    # decilm: variable GQA — per-layer kv-head counts
+    # (config.num_key_value_heads_per_layer); num_key_value_heads then holds
+    # the max, used only for uniform-cache callers. The forward infers each
+    # layer's kv width from its projection tensors, so per-layer caches and
+    # attention need no layer index plumbing.
+    kv_heads_per_layer: Optional[Tuple[int, ...]] = None
 
     def __post_init__(self):
         if isinstance(self.rope_scaling, dict):
@@ -152,6 +158,12 @@ class ModelConfig:
                                _HashableDict(self.rope_scaling))
         if isinstance(self.layer_types, list):
             object.__setattr__(self, "layer_types", tuple(self.layer_types))
+
+    def layer_kv_heads(self, i: int) -> int:
+        """KV-cache head count for layer i (decilm variable GQA)."""
+        if self.kv_heads_per_layer is not None and not self.mla:
+            return self.kv_heads_per_layer[i]
+        return self.kv_cache_heads
 
     def layer_window(self, i: int) -> Optional[int]:
         """Static per-layer sliding window (None = full attention)."""
@@ -552,9 +564,12 @@ def _std_qkv(cfg: ModelConfig, lp: Dict[str, Any], h: jax.Array, rope,
         taps["attn.q"] = taps["attn.k"] = taps["attn.v"] = h
     if "qkv" in lp["attn"]:  # serving-time fusion (one kernel, split after)
         qkv = qlinear.apply(lp["attn"]["qkv"], h, backend)
+        # kv width inferred from the fused tensor, not cfg.kv_dim — layers
+        # may differ (decilm variable GQA); shapes stay static under jit
+        kvd = (qkv.shape[-1] - cfg.q_dim) // 2
         q = qkv[..., :cfg.q_dim]
-        k = qkv[..., cfg.q_dim:cfg.q_dim + cfg.kv_dim]
-        v = qkv[..., cfg.q_dim + cfg.kv_dim:]
+        k = qkv[..., cfg.q_dim:cfg.q_dim + kvd]
+        v = qkv[..., cfg.q_dim + kvd:]
     else:
         q = qlinear.apply(lp["attn"]["q"], h, backend)
         k = qlinear.apply(lp["attn"]["k"], h, backend)
@@ -567,8 +582,8 @@ def _std_qkv(cfg: ModelConfig, lp: Dict[str, Any], h: jax.Array, rope,
         q = _rms_vec(q, lp["attn"]["q_norm"]["weight"], cfg.norm_eps)
         k = _rms_vec(k, lp["attn"]["k_norm"]["weight"], cfg.norm_eps)
     q = q.reshape(b, s, cfg.num_attention_heads, cfg.head_dim)
-    k = k.reshape(b, s, cfg.num_key_value_heads, cfg.head_dim)
-    v = v.reshape(b, s, cfg.num_key_value_heads, cfg.head_dim)
+    k = k.reshape(b, s, -1, cfg.head_dim)
+    v = v.reshape(b, s, -1, cfg.head_dim)
 
     if cfg.qk_norm in (True, "head"):
         # per-head RMSNorm over head_dim (qwen3; gemma3 adds its (1+w)

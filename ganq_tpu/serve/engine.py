@@ -31,11 +31,12 @@ def init_cache(cfg: ModelConfig, batch: int, max_seq: int,
                dtype=jnp.bfloat16) -> list:
     """Per-layer KV buffers [B, T, Hkv, D] (bf16 — the BASELINE KV policy).
     MLA models cache per-head k at nope+rope width and v at v_head_dim."""
-    hkv = cfg.kv_cache_heads
     return [
-        {"k": jnp.zeros((batch, max_seq, hkv, cfg.k_cache_dim), dtype),
-         "v": jnp.zeros((batch, max_seq, hkv, cfg.v_cache_dim), dtype)}
-        for _ in range(cfg.num_hidden_layers)
+        {"k": jnp.zeros((batch, max_seq, cfg.layer_kv_heads(i),
+                         cfg.k_cache_dim), dtype),
+         "v": jnp.zeros((batch, max_seq, cfg.layer_kv_heads(i),
+                         cfg.v_cache_dim), dtype)}
+        for i in range(cfg.num_hidden_layers)
     ]
 
 

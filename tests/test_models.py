@@ -197,7 +197,7 @@ def test_unsupported_arch_fails_loudly():
     from ganq_tpu.models.registry import get_spec
     import pytest as _pt
     with _pt.raises(KeyError, match="Unsupported architecture"):
-        get_spec("chatglm")  # remote-code arch, no local oracle; must not alias
+        get_spec("hymba")  # mamba-hybrid remote-code arch; must not alias
 
 
 def test_qwen3_forward_parity(rng):
@@ -856,3 +856,419 @@ def test_cohere2_forward_parity(rng):
     cfg, _ = _compare(model, ids)
     assert cfg.rope_nope_full and cfg.parallel_residual
     assert cfg.layer_window(0) == 8 and cfg.layer_window(3) is None
+
+
+# ---------------------------------------------------------------------------
+# Remote-code architectures (no local transformers class): build a local
+# oracle model, refactor its weights INTO the foreign checkpoint layout
+# (fused packs, renamed tensors), then check our importer + forward
+# reproduces the oracle's logits from that foreign-layout state dict.
+
+def _np_state(model):
+    return {k: v.detach().numpy() for k, v in model.state_dict().items()}
+
+
+def _compare_state(hf_cfg_dict, state, model, input_ids, atol=ATOL):
+    model = model.eval().float()
+    with torch.no_grad():
+        ref = model(torch.tensor(input_ids)).logits.numpy()
+    cfg, params = hf_import.params_from_state_dict(state, hf_cfg_dict)
+    out = np.asarray(transformer.forward(cfg, params, jnp.asarray(input_ids)))
+    np.testing.assert_allclose(out, ref, atol=atol, rtol=1e-3)
+    return cfg, params
+
+
+def test_baichuan_wpack_parity(rng):
+    """W_pack fused qkv split; llama forward otherwise (7B-style rope)."""
+    hf_cfg = transformers.LlamaConfig(
+        vocab_size=256, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=4,
+        max_position_embeddings=128, rms_norm_eps=1e-6)
+    torch.manual_seed(70)
+    model = transformers.LlamaForCausalLM(hf_cfg)
+    state = {}
+    for k, v in _np_state(model).items():
+        if ".q_proj." in k:
+            base = k.replace("q_proj", "{}")
+            q = v
+            kk = _np_state(model)[k.replace("q_proj", "k_proj")]
+            vv = _np_state(model)[k.replace("q_proj", "v_proj")]
+            state[base.format("W_pack")] = np.concatenate([q, kk, vv], 0)
+        elif ".k_proj." in k or ".v_proj." in k:
+            continue
+        else:
+            state[k] = v
+    cfg_dict = {"model_type": "baichuan", "vocab_size": 256, "hidden_size": 64,
+                "intermediate_size": 128, "num_hidden_layers": 2,
+                "num_attention_heads": 4, "num_key_value_heads": 4,
+                "rms_norm_eps": 1e-6, "max_position_embeddings": 128}
+    ids = rng.integers(0, 256, size=(2, 16))
+    cfg, _ = _compare_state(cfg_dict, state, model, ids)
+    assert cfg.pos == "rope"
+
+
+def test_baichuan_alibi_and_normhead():
+    """13B-style config selects ALiBi; Baichuan2-size vocab normalizes
+    lm_head rows (NormHead inference semantics)."""
+    from ganq_tpu.models import registry as R
+    cfg = R.get_spec("baichuan").make_config(
+        {"model_type": "baichuan", "vocab_size": 64000, "hidden_size": 5120,
+         "intermediate_size": 13696, "num_hidden_layers": 2,
+         "num_attention_heads": 40})
+    assert cfg.pos == "alibi"
+    w = np.random.default_rng(0).normal(size=(8, 4)).astype(np.float32)
+    out = R._baichuan_convert_state({"lm_head.weight": w},
+                                    {"vocab_size": 125696, "hidden_size": 4})
+    np.testing.assert_allclose(
+        np.linalg.norm(out["lm_head.weight"], axis=1), 1.0, atol=1e-6)
+
+
+def test_internlm_bias_parity(rng):
+    """llama + q/k/v/o biases (config.bias), llama tensor names."""
+    hf_cfg = transformers.LlamaConfig(
+        vocab_size=256, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=4,
+        attention_bias=True, max_position_embeddings=128)
+    torch.manual_seed(71)
+    model = transformers.LlamaForCausalLM(hf_cfg)
+    cfg_dict = {"model_type": "internlm", "vocab_size": 256, "hidden_size": 64,
+                "intermediate_size": 128, "num_hidden_layers": 2,
+                "num_attention_heads": 4, "bias": True,
+                "rms_norm_eps": 1e-6, "max_position_embeddings": 128}
+    ids = rng.integers(0, 256, size=(2, 16))
+    cfg, params = _compare_state(cfg_dict, _np_state(model), model, ids)
+    assert "bias" in params["layers"][0]["attn"]["o"].arrays
+
+
+def test_internlm2_wqkv_parity(rng):
+    """Grouped wqkv layout ([kv_heads, q_per_group+2, head_dim, hidden]) +
+    internlm2 tensor names (tok_embeddings, feed_forward.w1/w3/w2)."""
+    hf_cfg = transformers.LlamaConfig(
+        vocab_size=256, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=128)
+    torch.manual_seed(72)
+    model = transformers.LlamaForCausalLM(hf_cfg)
+    hd, kv, qpg = 16, 2, 2
+    state = {}
+    for k, v in _np_state(model).items():
+        k2 = (k.replace("model.embed_tokens", "model.tok_embeddings")
+               .replace("input_layernorm", "attention_norm")
+               .replace("post_attention_layernorm", "ffn_norm")
+               .replace("self_attn.o_proj", "attention.wo")
+               .replace("mlp.gate_proj", "feed_forward.w1")
+               .replace("mlp.up_proj", "feed_forward.w3")
+               .replace("mlp.down_proj", "feed_forward.w2"))
+        k2 = k2.replace("lm_head.weight", "output.weight")
+        if ".q_proj." in k:
+            q = v.reshape(kv, qpg, hd, 64)
+            kk = _np_state(model)[k.replace("q_proj", "k_proj")].reshape(kv, 1, hd, 64)
+            vv = _np_state(model)[k.replace("q_proj", "v_proj")].reshape(kv, 1, hd, 64)
+            state[k2.replace("self_attn.q_proj", "attention.wqkv")] = \
+                np.concatenate([q, kk, vv], 1).reshape(-1, 64)
+        elif ".k_proj." in k or ".v_proj." in k:
+            continue
+        else:
+            state[k2] = v
+    cfg_dict = {"model_type": "internlm2", "vocab_size": 256, "hidden_size": 64,
+                "intermediate_size": 128, "num_hidden_layers": 2,
+                "num_attention_heads": 4, "num_key_value_heads": 2,
+                "rms_norm_eps": 1e-6, "max_position_embeddings": 128}
+    ids = rng.integers(0, 256, size=(2, 16))
+    _compare_state(cfg_dict, state, model, ids)
+
+
+def test_qwen1_parity(rng):
+    """Fused biased c_attn split + halved-MLP convention (w1=up, w2=gate at
+    intermediate_size//2); qwen2 is the oracle (same bias pattern)."""
+    hf_cfg = transformers.Qwen2Config(
+        vocab_size=256, hidden_size=64, intermediate_size=48,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=4,
+        max_position_embeddings=128, rope_theta=5000.0, rms_norm_eps=1e-6)
+    torch.manual_seed(73)
+    model = transformers.Qwen2ForCausalLM(hf_cfg)
+    raw = _np_state(model)
+    state = {}
+    for k, v in raw.items():
+        k2 = (k.replace("model.embed_tokens", "transformer.wte")
+               .replace("model.norm", "transformer.ln_f")
+               .replace("model.layers.", "transformer.h.")
+               .replace("input_layernorm", "ln_1")
+               .replace("post_attention_layernorm", "ln_2")
+               .replace("self_attn.o_proj", "attn.c_proj")
+               .replace("mlp.up_proj", "mlp.w1")
+               .replace("mlp.gate_proj", "mlp.w2")
+               .replace("mlp.down_proj", "mlp.c_proj"))
+        if ".q_proj." in k:
+            parts = [raw[k], raw[k.replace("q_proj", "k_proj")],
+                     raw[k.replace("q_proj", "v_proj")]]
+            state[k2.replace("self_attn.q_proj", "attn.c_attn")] = \
+                np.concatenate(parts, 0)
+        elif ".k_proj." in k or ".v_proj." in k:
+            continue
+        else:
+            state[k2] = v
+    cfg_dict = {"model_type": "qwen", "vocab_size": 256, "hidden_size": 64,
+                "intermediate_size": 96,  # halved by the config reader
+                "num_hidden_layers": 2, "num_attention_heads": 4,
+                "kv_channels": 16, "layer_norm_epsilon": 1e-6,
+                "rotary_emb_base": 5000.0, "seq_length": 128}
+    ids = rng.integers(0, 256, size=(2, 16))
+    cfg, _ = _compare_state(cfg_dict, state, model, ids)
+    assert cfg.intermediate_size == 48
+
+
+def test_exaone3_parity(rng):
+    """llama forward under EXAONE names (transformer.h, attn.attention.*,
+    mlp.c_fc_0/1) with num_layers config key."""
+    hf_cfg = transformers.LlamaConfig(
+        vocab_size=256, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=128, rope_theta=10000.0)
+    torch.manual_seed(74)
+    model = transformers.LlamaForCausalLM(hf_cfg)
+    state = {}
+    for k, v in _np_state(model).items():
+        k2 = (k.replace("model.embed_tokens", "transformer.wte")
+               .replace("model.norm", "transformer.ln_f")
+               .replace("model.layers.", "transformer.h.")
+               .replace("input_layernorm", "ln_1")
+               .replace("post_attention_layernorm", "ln_2")
+               .replace("self_attn.q_proj", "attn.attention.q_proj")
+               .replace("self_attn.k_proj", "attn.attention.k_proj")
+               .replace("self_attn.v_proj", "attn.attention.v_proj")
+               .replace("self_attn.o_proj", "attn.attention.out_proj")
+               .replace("mlp.gate_proj", "mlp.c_fc_0")
+               .replace("mlp.up_proj", "mlp.c_fc_1")
+               .replace("mlp.down_proj", "mlp.c_proj"))
+        state[k2] = v
+    cfg_dict = {"model_type": "exaone", "vocab_size": 256, "hidden_size": 64,
+                "intermediate_size": 128, "num_layers": 2,
+                "num_attention_heads": 4, "num_key_value_heads": 2,
+                "layer_norm_epsilon": 1e-6, "rope_theta": 10000.0,
+                "activation_function": "silu",
+                "max_position_embeddings": 128}
+    ids = rng.integers(0, 256, size=(2, 16))
+    _compare_state(cfg_dict, state, model, ids)
+
+
+def test_stablelm_epoch_parity(rng):
+    """norm_eps/rope_pct config keys; LayerNorm + partial rotary forward
+    (StableLm is the oracle, no qkv bias)."""
+    hf_cfg = transformers.StableLmConfig(
+        vocab_size=256, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=4,
+        partial_rotary_factor=0.5, use_qkv_bias=False,
+        max_position_embeddings=128, layer_norm_eps=1e-5)
+    torch.manual_seed(75)
+    model = transformers.StableLmForCausalLM(hf_cfg)
+    cfg_dict = {"model_type": "stablelm_epoch", "vocab_size": 256,
+                "hidden_size": 64, "intermediate_size": 128,
+                "num_hidden_layers": 2, "num_attention_heads": 4,
+                "num_key_value_heads": 4, "norm_eps": 1e-5, "rope_pct": 0.5,
+                "max_position_embeddings": 128}
+    ids = rng.integers(0, 256, size=(2, 16))
+    cfg, _ = _compare_state(cfg_dict, _np_state(model), model, ids)
+    assert cfg.rotary_dim == 8 and cfg.norm == "layernorm"
+
+
+def test_decilm_variable_gqa_parity(rng):
+    """Per-layer kv-head counts: oracle is a llama whose layer-1 attention is
+    rebuilt with fewer kv heads (HF attention modules are per-layer
+    independent, so surgically swapping one is a faithful reference)."""
+    from transformers.models.llama.modeling_llama import LlamaAttention
+    hf_cfg = transformers.LlamaConfig(
+        vocab_size=256, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=4,
+        max_position_embeddings=128)
+    torch.manual_seed(76)
+    model = transformers.LlamaForCausalLM(hf_cfg)
+    import copy
+    cfg1 = copy.deepcopy(hf_cfg)
+    cfg1.num_key_value_heads = 2
+    model.model.layers[1].self_attn = LlamaAttention(cfg1, layer_idx=1)
+    cfg_dict = {"model_type": "decilm", "vocab_size": 256, "hidden_size": 64,
+                "intermediate_size": 128, "num_hidden_layers": 2,
+                "num_attention_heads": 4,
+                "num_key_value_heads_per_layer": [4, 2],
+                "rms_norm_eps": 1e-6, "max_position_embeddings": 128}
+    ids = rng.integers(0, 256, size=(2, 16))
+    cfg, params = _compare_state(cfg_dict, _np_state(model), model, ids)
+    assert cfg.layer_kv_heads(0) == 4 and cfg.layer_kv_heads(1) == 2
+    assert params["layers"][1]["attn"]["k"].arrays["weight"].shape[0] == 32
+
+
+def test_moss_parity(rng):
+    """MOSS == CodeGen under identical names; model_type routes to the moss
+    spec (mp_num=4 fused qkv split, shared-norm parallel residual)."""
+    hf_cfg = transformers.CodeGenConfig(
+        vocab_size=256, n_embd=64, n_layer=2, n_head=4, rotary_dim=16,
+        n_positions=128, n_inner=None, activation_function="gelu_new",
+        attn_pdrop=0.0, embd_pdrop=0.0, resid_pdrop=0.0)
+    torch.manual_seed(77)
+    model = transformers.CodeGenForCausalLM(hf_cfg)
+    cfg_dict = {"model_type": "moss", "vocab_size": 256, "n_embd": 64,
+                "n_layer": 2, "n_head": 4, "rotary_dim": 16,
+                "n_positions": 128, "activation_function": "gelu_new"}
+    state = {k: v for k, v in _np_state(model).items()
+             if not k.endswith("causal_mask")}
+    ids = rng.integers(0, 256, size=(2, 16))
+    _compare_state(cfg_dict, state, model, ids)
+
+
+def test_telechat2_parity(rng):
+    """Bloom-lineage names, per-head fused key_value split, dense/down
+    biases wired (zero here so the bias-free llama oracle matches)."""
+    hf_cfg = transformers.LlamaConfig(
+        vocab_size=256, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=128)
+    torch.manual_seed(78)
+    model = transformers.LlamaForCausalLM(hf_cfg)
+    hd, kv = 16, 2
+    state = {}
+    for k, v in _np_state(model).items():
+        k2 = (k.replace("model.embed_tokens", "transformer.word_embeddings")
+               .replace("model.norm", "transformer.ln_f")
+               .replace("model.layers.", "transformer.h.")
+               .replace("self_attn.q_proj", "self_attention.query")
+               .replace("self_attn.o_proj", "self_attention.dense"))
+        if ".k_proj." in k:
+            kw = v.reshape(kv, 1, hd, 64)
+            vw = _np_state(model)[k.replace("k_proj", "v_proj")].reshape(kv, 1, hd, 64)
+            state[k2.replace("self_attn.k_proj", "self_attention.key_value")] = \
+                np.concatenate([kw, vw], 1).reshape(2 * kv * hd, 64)
+        elif ".v_proj." in k:
+            continue
+        else:
+            state[k2] = v
+    for i in range(2):  # exercise the bias slots (zero = oracle-equivalent)
+        state[f"transformer.h.{i}.self_attention.dense.bias"] = np.zeros(64, np.float32)
+        state[f"transformer.h.{i}.mlp.down_proj.bias"] = np.zeros(64, np.float32)
+    cfg_dict = {"model_type": "telechat2", "vocab_size": 256,
+                "hidden_size": 64, "ffn_hidden_size": 128, "n_layer": 2,
+                "num_attention_heads": 4, "num_key_value_heads": 2,
+                "layer_norm_epsilon": 1e-6, "seq_length": 128}
+    ids = rng.integers(0, 256, size=(2, 16))
+    cfg, params = _compare_state(cfg_dict, state, model, ids)
+    assert "bias" in params["layers"][0]["attn"]["o"].arrays
+    assert "bias" in params["layers"][0]["mlp"]["down"].arrays
+
+
+def test_grinmoe_parity(rng):
+    """GRIN-MoE == PhiMoE inference graph (sparsemixer top-2, LayerNorm,
+    biases); phimoe is the oracle, model_type routes to the grinmoe spec."""
+    hf_cfg = transformers.PhimoeConfig(
+        vocab_size=256, hidden_size=64, intermediate_size=48,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        num_local_experts=8, num_experts_per_tok=2,
+        router_jitter_noise=0.01, input_jitter_noise=0.0,
+        attention_bias=True, lm_head_bias=True,
+        max_position_embeddings=128, rope_theta=10000.0)
+    torch.manual_seed(80)
+    model = transformers.PhimoeForCausalLM(hf_cfg)
+    cfg_dict = {"model_type": "grinmoe", "vocab_size": 256, "hidden_size": 64,
+                "intermediate_size": 48, "num_hidden_layers": 2,
+                "num_attention_heads": 4, "num_key_value_heads": 2,
+                "num_local_experts": 8, "num_experts_per_tok": 2,
+                "router_jitter_noise": 0.01, "attention_bias": True,
+                "rms_norm_eps": 1e-5, "max_position_embeddings": 128,
+                "rope_theta": 10000.0}
+    ids = rng.integers(0, 256, size=(2, 16))
+    cfg, _ = _compare_state(cfg_dict, _np_state(model), model, ids)
+    assert cfg.moe_router_mode == "sparsemixer"
+
+
+def test_minicpm_parity(rng):
+    """muP multipliers (scale_emb, scale_depth/sqrt(L), dim_model_base);
+    granite exposes the identical knob set and is the oracle."""
+    import math
+    hf_cfg = transformers.GraniteConfig(
+        vocab_size=256, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        embedding_multiplier=12.0,
+        residual_multiplier=1.4 / math.sqrt(2),
+        logits_scaling=2.0,              # = hidden / dim_model_base
+        attention_multiplier=0.25,       # = 1/sqrt(head_dim): minicpm default
+        max_position_embeddings=128, rms_norm_eps=1e-6)
+    torch.manual_seed(81)
+    model = transformers.GraniteForCausalLM(hf_cfg)
+    cfg_dict = {"model_type": "minicpm", "vocab_size": 256, "hidden_size": 64,
+                "intermediate_size": 128, "num_hidden_layers": 2,
+                "num_attention_heads": 4, "num_key_value_heads": 2,
+                "scale_emb": 12.0, "scale_depth": 1.4, "dim_model_base": 32,
+                "rms_norm_eps": 1e-6, "max_position_embeddings": 128}
+    ids = rng.integers(0, 256, size=(2, 16))
+    cfg, _ = _compare_state(cfg_dict, _np_state(model), model, ids)
+    assert cfg.embed_scale == 12.0 and cfg.logit_scale == 0.5
+
+
+def test_minicpm3_mla_parity(rng):
+    """MLA with mandatory q bottleneck over all-dense MLPs (deepseek-v2 with
+    first_k_dense_replace=L is the oracle; names are identical), neutral muP
+    scales."""
+    hf_cfg = transformers.DeepseekV2Config(
+        vocab_size=256, hidden_size=64, intermediate_size=128,
+        moe_intermediate_size=48, num_hidden_layers=2,
+        num_attention_heads=4, num_key_value_heads=4,
+        q_lora_rank=32, kv_lora_rank=24, qk_nope_head_dim=16,
+        qk_rope_head_dim=8, v_head_dim=16, head_dim=8,
+        n_routed_experts=4, n_shared_experts=1, num_experts_per_tok=2,
+        first_k_dense_replace=2, max_position_embeddings=128)
+    torch.manual_seed(82)
+    model = transformers.DeepseekV2ForCausalLM(hf_cfg)
+    cfg_dict = {"model_type": "minicpm3", "vocab_size": 256,
+                "hidden_size": 64, "intermediate_size": 128,
+                "num_hidden_layers": 2, "num_attention_heads": 4,
+                "q_lora_rank": 32, "kv_lora_rank": 24,
+                "qk_nope_head_dim": 16, "qk_rope_head_dim": 8,
+                "v_head_dim": 16, "rms_norm_eps": 1e-6,
+                "scale_emb": 1.0, "scale_depth": 2 ** 0.5,
+                "dim_model_base": 64, "max_position_embeddings": 128}
+    ids = rng.integers(0, 256, size=(2, 16))
+    cfg, params = _compare_state(cfg_dict, _np_state(model), model, ids)
+    assert cfg.mla and cfg.q_lora_rank == 32
+    assert "moe" not in params["layers"][0]
+
+
+def test_chatglm_parity(rng):
+    """ChatGLM-2/3 encoder-style layout: fused biased query_key_value (MQA
+    widths), fused dense_h_to_4h = [gate; up], half-dim interleaved rotary —
+    transformers Glm is the oracle (same block, converted naming)."""
+    hf_cfg = transformers.GlmConfig(
+        vocab_size=256, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=16, partial_rotary_factor=0.5, attention_bias=True,
+        rms_norm_eps=1e-6, max_position_embeddings=128, pad_token_id=0)
+    torch.manual_seed(83)
+    model = transformers.GlmForCausalLM(hf_cfg)
+    raw = _np_state(model)
+    state = {}
+    for k, v in raw.items():
+        k2 = (k.replace("model.embed_tokens", "transformer.embedding.word_embeddings")
+               .replace("model.norm", "transformer.encoder.final_layernorm")
+               .replace("lm_head", "transformer.output_layer")
+               .replace("model.layers.", "transformer.encoder.layers.")
+               .replace("self_attn.o_proj", "self_attention.dense")
+               .replace("mlp.gate_up_proj", "mlp.dense_h_to_4h")
+               .replace("mlp.down_proj", "mlp.dense_4h_to_h"))
+        if ".q_proj." in k:
+            parts = [raw[k], raw[k.replace("q_proj", "k_proj")],
+                     raw[k.replace("q_proj", "v_proj")]]
+            state[k2.replace("self_attn.q_proj",
+                             "self_attention.query_key_value")] = \
+                np.concatenate(parts, 0)
+        elif ".k_proj." in k or ".v_proj." in k:
+            continue
+        else:
+            state[k2] = v
+    cfg_dict = {"model_type": "chatglm", "padded_vocab_size": 256,
+                "hidden_size": 64, "ffn_hidden_size": 128, "num_layers": 2,
+                "num_attention_heads": 4, "kv_channels": 16,
+                "multi_query_attention": True, "multi_query_group_num": 2,
+                "add_qkv_bias": True, "layernorm_epsilon": 1e-6,
+                "rmsnorm": True, "post_layer_norm": True, "rope_ratio": 1.0,
+                "seq_length": 128}
+    ids = rng.integers(0, 256, size=(2, 16))
+    cfg, _ = _compare_state(cfg_dict, state, model, ids)
+    assert cfg.rotary_dim == 8 and cfg.rope_interleaved
