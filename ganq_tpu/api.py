@@ -248,6 +248,24 @@ class GanqModel:
             from .evals.harness import multiple_choice_eval
             return multiple_choice_eval(self, kw["examples"],
                                         tokenizer=self.tokenizer)
+        if framework == "mmlupro":
+            # reference utils/mmlupro.py CoT loop; rows from local files
+            # (test_rows/val_rows lists or test_path/val_path JSON(L))
+            from .evals.mmlupro import load_rows, run_mmlupro
+            test_rows = kw.get("test_rows") or load_rows(kw["test_path"])
+            val_rows = kw.get("val_rows") or load_rows(kw["val_path"])
+            gen = kw.get("generate_fn") or (lambda p: self.generate(
+                p, max_new_tokens=kw.get("max_new_tokens", 512)))
+            return run_mmlupro(gen, test_rows, val_rows,
+                               ntrain=kw.get("ntrain", 5),
+                               limit=kw.get("limit"))
+        if framework == "evalplus":
+            # evalplus-style pass@1 over local humaneval-schema JSONL
+            from .evals.codegen_eval import load_tasks, run_code_eval
+            tasks = kw.get("tasks") or load_tasks(kw["tasks_path"])
+            gen = kw.get("generate_fn") or (lambda p: self.generate(
+                p, max_new_tokens=kw.get("max_new_tokens", 512)))
+            return run_code_eval(gen, tasks, limit=kw.get("limit"))
         raise ValueError(f"unknown eval framework {framework}")
 
     def perplexity(self, tokens: np.ndarray, seqlen: int = 2048,

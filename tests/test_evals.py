@@ -71,3 +71,89 @@ def test_ganq_lm_requires_lm_eval(model):
     except ImportError:
         with pytest.raises(RuntimeError, match="lm-eval is not installed"):
             GanqLM(model)
+
+
+# ------------------------------------------------------------------ mmlupro
+def test_mmlupro_cot_loop(tmp_path):
+    """Prompt assembly (k-shot per category), stop-string truncation, and
+    the 3-stage answer-extraction cascade (reference utils/mmlupro.py)."""
+    from ganq_tpu.evals import mmlupro
+
+    val = [{"question": "What is 1+1?", "options": ["1", "2", "N/A"],
+            "answer": "B", "category": "math",
+            "cot_content": "A: Let's think step by step. 1+1=2. "
+                           "the answer is (B)."}]
+    test = [
+        {"question": "What is 2+2?", "options": ["3", "4"], "answer": "B",
+         "category": "math"},
+        {"question": "Capital of France?", "options": ["Paris", "Rome"],
+         "answer": "A", "category": "geo"},
+    ]
+    import json
+    vp = tmp_path / "val.json"
+    vp.write_text(json.dumps(val))
+    rows = mmlupro.load_rows(str(vp))
+    assert rows[0]["options"] == ["1", "2"]  # N/A dropped
+
+    prompts = []
+
+    def gen(p):
+        prompts.append(p)
+        if "2+2" in p:
+            # correct + trailing next-question text that must be truncated
+            return (" 2+2 equals 4. the answer is (B).\n\n"
+                    "Question:\nGARBAGE the answer is (A)")
+        return " Hmm.\nAnswer: C"  # wrong (gold A), 2nd-stage extraction
+
+    out = mmlupro.run_mmlupro(gen, test, rows, ntrain=5)
+    assert out["acc"] == 0.5
+    assert out["per_category"] == {"math": 1.0, "geo": 0.0}
+    # k-shot exemplars only for same category, query block last
+    assert "1+1" in prompts[0] and "think step by step" in prompts[0]
+    assert "1+1" not in prompts[1]  # geo has no validation exemplars
+    assert prompts[0].rstrip().endswith("Answer: Let's think step by step.")
+    # extraction cascade stages
+    assert mmlupro.extract_answer("blah the answer is (C) done") == "C"
+    assert mmlupro.extract_answer("Answer: D") == "D"
+    assert mmlupro.extract_answer("pick between A or E please") == "E"
+    assert mmlupro.extract_answer("nothing here 123") is None
+
+
+# ------------------------------------------------------------ evalplus-style
+def test_code_eval_pass_at_1(tmp_path):
+    from ganq_tpu.evals import codegen_eval
+
+    tasks = [
+        {"task_id": "t/0",
+         "prompt": "def add(a, b):\n    \"\"\"Add two ints.\"\"\"\n",
+         "entry_point": "add",
+         "test": "def check(candidate):\n    assert candidate(1, 2) == 3\n"},
+        {"task_id": "t/1",
+         "prompt": "def sub(a, b):\n",
+         "entry_point": "sub",
+         "test": "def check(candidate):\n    assert candidate(3, 1) == 2\n"},
+    ]
+
+    def gen(prompt):
+        if "add" in prompt:
+            # correct body + trailing junk that truncation must drop
+            return "    return a + b\n\ndef junk():\n    raise Exception()\n"
+        return "    return a * b\n"  # wrong
+
+    out = codegen_eval.run_code_eval(gen, tasks)
+    assert out["pass@1"] == 0.5
+    assert out["results"][0]["pass"] and not out["results"][1]["pass"]
+    assert "junk" not in out["results"][0]["completion"]
+
+    # timeout path: infinite loop fails, doesn't hang
+    t = [{"task_id": "t/2", "prompt": "def f():\n", "entry_point": "f",
+          "test": "def check(candidate):\n    candidate()\n"}]
+    out2 = codegen_eval.run_code_eval(
+        lambda p: "    while True:\n        pass\n", t, timeout_s=2.0)
+    assert out2["pass@1"] == 0.0
+
+    # jsonl loading
+    import json
+    tp = tmp_path / "tasks.jsonl"
+    tp.write_text("\n".join(json.dumps(x) for x in tasks))
+    assert len(codegen_eval.load_tasks(str(tp))) == 2
