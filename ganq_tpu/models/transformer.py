@@ -654,7 +654,63 @@ def _mla_qkv(cfg: ModelConfig, ap: Dict[str, Any], h: jax.Array, rope,
     k_pe = apply_rope(k_pe[:, :, None, :], cos, sin, interleaved=True)
     k = jnp.concatenate(
         [k_nope, jnp.broadcast_to(k_pe, (b, s, H, rd))], axis=-1)
-    return jnp.concatenate([q_nope, q_pe], axis=-1), k, v
+    # cn/k_pe are returned for the compressed (absorbed-matmul) KV cache:
+    # per token only kv_lora_rank + rope_dim floats instead of
+    # heads*(nope+rope+v) — the deepseek MLA serving memory win
+    return (jnp.concatenate([q_nope, q_pe], axis=-1), k, v,
+            cn, k_pe[:, :, 0, :])
+
+
+def _mla_absorbed_attention(cfg: ModelConfig, ab: Dict[str, jax.Array],
+                            q: jax.Array, c_all: jax.Array,
+                            kpe_all: jax.Array, mask: Optional[jax.Array],
+                            scale: float) -> jax.Array:
+    """Decode attention over the COMPRESSED MLA cache via absorbed matmuls.
+
+    Identity: k_nope[h] = W_uk[h] @ c and v[h] = W_uv[h] @ c (the per-head
+    splits of kv_b), so
+      q_nope . k_nope[h]  =  (q_nope @ W_uk[h]) . c        ("q absorption")
+      probs . v[h]        =  W_uv[h] @ (probs . c)         ("out absorption")
+    Per decoded token this reads rank+rope_dim cache floats instead of
+    heads*(nope+rope+v) — the HBM-bandwidth win that motivates MLA. The
+    rope scores ride the shared single-head k_pe (MQA-style).
+
+    q [b,s,H,nope+rd]; c_all [b,t,rank]; kpe_all [b,t,rd];
+    ab["uk"] [H,nope,rank], ab["uv"] [H,v,rank]. Returns [b,s,H,v]."""
+    nope = cfg.qk_nope_head_dim
+    q_nope, q_pe = q[..., :nope], q[..., nope:]
+    c = c_all.astype(q.dtype)
+    qc = jnp.einsum("bshn,hnr->bshr", q_nope, ab["uk"].astype(q.dtype))
+    logits = (jnp.einsum("bshr,btr->bhst", qc, c)
+              + jnp.einsum("bshd,btd->bhst", q_pe, kpe_all.astype(q.dtype))
+              ).astype(jnp.float32) * scale
+    if mask is not None:
+        logits = jnp.where(mask, logits, jnp.finfo(jnp.float32).min)
+    probs = jax.nn.softmax(logits, axis=-1).astype(c.dtype)
+    ctx = jnp.einsum("bhst,btr->bshr", probs, c)
+    return jnp.einsum("bshr,hvr->bshv", ctx, ab["uv"].astype(q.dtype))
+
+
+def absorb_mla_params(cfg: ModelConfig, params: Dict[str, Any]) -> Dict[str, Any]:
+    """Serving-time MLA preparation: materialize kv_b's per-head k/v blocks
+    as the absorbed operands ``attn.absorb = {uk [H,nope,rank],
+    uv [H,v,rank]}``. Quantized kv_b is dequantized once here (a load-time
+    repack, like the reference's marlin repack) — the absorbed decode path
+    then runs dense einsums against the compressed cache."""
+    from ..ops import qlinear as _ql
+
+    H, nope, v = (cfg.num_attention_heads, cfg.qk_nope_head_dim,
+                  cfg.v_head_dim)
+    layers = []
+    for lp in params["layers"]:
+        lp = dict(lp)
+        a = dict(lp["attn"])
+        w = _ql.dequantize_weight(a["kv_b"])        # [H*(nope+v), rank]
+        w = w.reshape(H, nope + v, -1)
+        a["absorb"] = {"uk": w[:, :nope], "uv": w[:, nope:]}
+        lp["attn"] = a
+        layers.append(lp)
+    return {**params, "layers": layers}
 
 
 def layer_forward(cfg: ModelConfig, lp: Dict[str, Any], x: jax.Array,
@@ -684,9 +740,10 @@ def layer_forward(cfg: ModelConfig, lp: Dict[str, Any], x: jax.Array,
         h = x
     else:
         h = apply_norm(lp["input_norm"], x, cfg.norm, cfg.norm_eps, cfg.rms_offset)
+    cn = kpe = None
     if cfg.mla:
-        q, k, v = _mla_qkv(cfg, lp["attn"], h, rope, backend,
-                           taps if want_taps else None)
+        q, k, v, cn, kpe = _mla_qkv(cfg, lp["attn"], h, rope, backend,
+                                    taps if want_taps else None)
     else:
         q, k, v = _std_qkv(cfg, lp, h, rope, backend,
                            taps if want_taps else None)
@@ -696,7 +753,17 @@ def layer_forward(cfg: ModelConfig, lp: Dict[str, Any], x: jax.Array,
     # masked full-cache product, and flash-attention eligible).
     is_prefill = cache is None or (isinstance(cache_pos, int) and cache_pos == 0
                                    and s > 1)
-    if cache is not None:
+    # MLA compressed cache (cache structure decides, statically under jit):
+    # store the shared post-norm compressed kv + rotated rope key instead of
+    # assembled per-head k/v; decode reads it via absorbed matmuls
+    mla_compressed = cache is not None and "c" in cache
+    if mla_compressed:
+        cc = jax.lax.dynamic_update_slice(
+            cache["c"], cn.astype(cache["c"].dtype), (0, cache_pos, 0))
+        ckpe = jax.lax.dynamic_update_slice(
+            cache["kpe"], kpe.astype(cache["kpe"].dtype), (0, cache_pos, 0))
+        new_cache = {"c": cc, "kpe": ckpe}
+    elif cache is not None:
         ck = jax.lax.dynamic_update_slice(cache["k"], k.astype(cache["k"].dtype), (0, cache_pos, 0, 0))
         cv = jax.lax.dynamic_update_slice(cache["v"], v.astype(cache["v"].dtype), (0, cache_pos, 0, 0))
         new_cache = {"k": ck, "v": cv}
@@ -721,7 +788,11 @@ def layer_forward(cfg: ModelConfig, lp: Dict[str, Any], x: jax.Array,
     flash_ok = (alibi is None and cfg.attn_softcap is None and not cfg.mla
                 and (window is None or (isinstance(window, int)
                                         and s <= window)))
-    if is_prefill and flash_ok:
+    if mla_compressed and not is_prefill:
+        attn_out = _mla_absorbed_attention(cfg, lp["attn"]["absorb"], q,
+                                           new_cache["c"], new_cache["kpe"],
+                                           mask, scale)
+    elif is_prefill and flash_ok:
         from ..ops.attention import flash_attention
         attn_out = flash_attention(q, k.astype(q.dtype), v.astype(q.dtype),
                                    scale, causal=True)

@@ -28,9 +28,18 @@ from ..models.transformer import (ModelConfig, causal_mask, embed,
 
 
 def init_cache(cfg: ModelConfig, batch: int, max_seq: int,
-               dtype=jnp.bfloat16) -> list:
+               dtype=jnp.bfloat16, mla_absorbed: bool = False) -> list:
     """Per-layer KV buffers [B, T, Hkv, D] (bf16 — the BASELINE KV policy).
-    MLA models cache per-head k at nope+rope width and v at v_head_dim."""
+    MLA models cache per-head k at nope+rope width and v at v_head_dim —
+    or, with ``mla_absorbed``, only the compressed kv (kv_lora_rank) plus
+    the shared rope key (qk_rope_head_dim) per token; layer_forward then
+    decodes via absorbed matmuls (transformer.absorb_mla_params)."""
+    if mla_absorbed and cfg.mla:
+        return [
+            {"c": jnp.zeros((batch, max_seq, cfg.kv_lora_rank), dtype),
+             "kpe": jnp.zeros((batch, max_seq, cfg.qk_rope_head_dim), dtype)}
+            for _ in range(cfg.num_hidden_layers)
+        ]
     return [
         {"k": jnp.zeros((batch, max_seq, cfg.layer_kv_heads(i),
                          cfg.k_cache_dim), dtype),
@@ -38,6 +47,11 @@ def init_cache(cfg: ModelConfig, batch: int, max_seq: int,
                          cfg.v_cache_dim), dtype)}
         for i in range(cfg.num_hidden_layers)
     ]
+
+
+def _cache_len(cache: list) -> int:
+    c0 = cache[0]
+    return (c0["k"] if "k" in c0 else c0["c"]).shape[1]
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "backend"))
@@ -48,7 +62,7 @@ def prefill(cfg: ModelConfig, params: Dict[str, Any], cache: list,
     input_ids: [B, S]. Returns (logits_last [B, vocab], cache).
     """
     b, s = input_ids.shape
-    max_seq = cache[0]["k"].shape[1]
+    max_seq = _cache_len(cache)
     positions = jnp.broadcast_to(jnp.arange(s), (b, s))
     x = embed(cfg, params, input_ids, positions)
     mask = causal_mask(s, max_seq)
@@ -68,7 +82,7 @@ def _decode_one(cfg: ModelConfig, params, cache, token: jax.Array,
                 pos: jax.Array, backend: str):
     """One decode step. token: [B], pos: scalar int32 (next position)."""
     b = token.shape[0]
-    max_seq = cache[0]["k"].shape[1]
+    max_seq = _cache_len(cache)
     positions = jnp.broadcast_to(pos, (b, 1))
     x = embed(cfg, params, token[:, None], positions)
     mask = (jnp.arange(max_seq) <= pos)[None, None, None, :]
@@ -147,11 +161,27 @@ def generate_tokens(cfg: ModelConfig, params, cache, input_ids, key,
 
 @dataclass
 class Engine:
-    """Convenience wrapper holding (cfg, params) with a chosen kernel backend."""
+    """Convenience wrapper holding (cfg, params) with a chosen kernel backend.
+
+    ``mla_absorb``: for MLA models (deepseek v2/v3, minicpm3), serve from
+    the compressed kv cache via absorbed matmuls — ~heads*(nope+rope+v) /
+    (rank+rope) less KV memory and decode HBM traffic. Prepared once at
+    construction (kv_b dequantized into per-head absorb operands)."""
     cfg: ModelConfig
     params: Dict[str, Any]
     backend: str = "reference"
     max_seq: int = 2048
+    mla_absorb: bool = True
+
+    def __post_init__(self):
+        from ..models.transformer import absorb_mla_params
+        self._absorbed = bool(self.mla_absorb and self.cfg.mla)
+        if self._absorbed:
+            self.params = absorb_mla_params(self.cfg, self.params)
+
+    def _init_cache(self, batch: int):
+        return init_cache(self.cfg, batch, self.max_seq,
+                          mla_absorbed=self._absorbed)
 
     def generate(self, input_ids: np.ndarray, max_new_tokens: int = 32,
                  temperature: float = 0.0, top_k: int = 0, top_p: float = 1.0,
@@ -162,7 +192,7 @@ class Engine:
         total = ids.shape[1] + max_new_tokens
         if total > self.max_seq:
             raise ValueError(f"sequence {total} exceeds max_seq {self.max_seq}")
-        cache = init_cache(self.cfg, ids.shape[0], self.max_seq)
+        cache = self._init_cache(ids.shape[0])
         out = generate_tokens(self.cfg, self.params, cache, ids,
                               jax.random.PRNGKey(seed), max_new_tokens,
                               temperature, top_k, top_p, eos_id, self.backend)
@@ -184,7 +214,7 @@ class Engine:
         total = ids.shape[1] + max_new_tokens
         if total > self.max_seq:
             raise ValueError(f"sequence {total} exceeds max_seq {self.max_seq}")
-        cache = init_cache(self.cfg, 1, self.max_seq)
+        cache = self._init_cache(1)
         key = jax.random.PRNGKey(seed)
         logits, cache = prefill(self.cfg, self.params, cache, ids, self.backend)
         pos = ids.shape[1]

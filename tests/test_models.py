@@ -1272,3 +1272,35 @@ def test_chatglm_parity(rng):
     ids = rng.integers(0, 256, size=(2, 16))
     cfg, _ = _compare_state(cfg_dict, state, model, ids)
     assert cfg.rotary_dim == 8 and cfg.rope_interleaved
+
+
+def test_mla_absorbed_decode_matches_standard(rng):
+    """Compressed-cache absorbed-matmul decode (rank+rope floats per token)
+    vs the assembled per-head cache: same greedy tokens, close logits."""
+    from ganq_tpu.serve.engine import Engine, init_cache
+
+    hf_cfg = transformers.DeepseekV2Config(
+        vocab_size=128, hidden_size=32, intermediate_size=64,
+        moe_intermediate_size=32, num_hidden_layers=2,
+        num_attention_heads=2, num_key_value_heads=2,
+        q_lora_rank=16, kv_lora_rank=16, qk_nope_head_dim=16,
+        qk_rope_head_dim=8, v_head_dim=12, head_dim=8,
+        n_routed_experts=4, n_shared_experts=1, num_experts_per_tok=2,
+        topk_method="greedy", first_k_dense_replace=0,
+        max_position_embeddings=64)
+    torch.manual_seed(90)
+    cfg, params = hf_import.params_from_torch_model(
+        transformers.DeepseekV2ForCausalLM(hf_cfg))
+    prompt = rng.integers(0, 128, size=(1, 10)).astype(np.int32)
+    out_std = Engine(cfg, params, max_seq=32, mla_absorb=False).generate(
+        prompt, max_new_tokens=8)
+    out_abs = Engine(cfg, params, max_seq=32, mla_absorb=True).generate(
+        prompt, max_new_tokens=8)
+    np.testing.assert_array_equal(out_std, out_abs)
+    # compressed cache really is the small one: rank+rope vs H*(k+v) dims
+    comp = init_cache(cfg, 1, 32, mla_absorbed=True)[0]
+    full = init_cache(cfg, 1, 32)[0]
+    comp_f = comp["c"].size + comp["kpe"].size
+    full_f = full["k"].size + full["v"].size
+    assert comp["c"].shape == (1, 32, 16) and comp["kpe"].shape == (1, 32, 8)
+    assert comp_f < full_f / 2
