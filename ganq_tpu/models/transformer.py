@@ -520,10 +520,18 @@ def _moe_combine(cfg: ModelConfig, moe: Dict[str, Any], h: jax.Array,
         # a zero routing weight (f_e(h)·0 == f_e(h·0)·w for the masked loop
         # below, so outputs match the per-expert path exactly).
         st = moe["stacked"]
-        g = jnp.einsum("bsh,eih->ebsi", h, st["gate_w"].astype(h.dtype))
-        u = jnp.einsum("bsh,eih->ebsi", h, st["up_w"].astype(h.dtype))
+
+        def _proj(x, key, spec):
+            # int8-stacked experts carry a per-row scale applied on the
+            # OUTPUT side of the dot (parallel/expert_parallel.py)
+            y = jnp.einsum(spec, x, st[f"{key}_w"].astype(x.dtype))
+            s = st.get(f"{key}_s")
+            return y if s is None else y * s[:, None, None, :].astype(y.dtype)
+
+        g = _proj(h, "gate", "bsh,eih->ebsi")
+        u = _proj(h, "up", "bsh,eih->ebsi")
         a = _activation(g, cfg.act) * u
-        y = jnp.einsum("ebsi,ehi->ebsh", a, st["down_w"].astype(a.dtype))
+        y = _proj(a, "down", "ebsi,ehi->ebsh")
         y = jnp.einsum("ebsh,bse->bsh", y, gated.astype(y.dtype))
         if "shared" in moe:
             y = y + shared_expert_out()

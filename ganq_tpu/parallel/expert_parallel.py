@@ -19,37 +19,53 @@ from typing import Any, Dict
 
 import jax.numpy as jnp
 
-from ..ops.qlinear import QLinear
-
 
 def stack_layer_experts(lp: Dict[str, Any]) -> Dict[str, Any]:
-    """Replace a layer's moe["experts"] list with moe["stacked"]:
-    {"gate_w": [E, I, H], "up_w": [E, I, H], "down_w": [E, H, I]}.
+    """Replace a layer's moe["experts"] list with moe["stacked"].
 
-    Dense experts only (fp/bf16 — FAKE-format checkpoints or
-    ``export_dequantized`` output); quantized expert kinds keep the
-    per-expert path until stacked quantized kernels exist."""
+    Dense experts -> {"gate_w": [E, I, H], "up_w": [E, I, H],
+    "down_w": [E, H, I]} (fp/bf16 — FAKE-format checkpoints or
+    ``export_dequantized`` output).
+
+    Quantized (w8/lut) experts -> the weights stay int8 in memory:
+    {"gate_w": int8 [E, I, H], "gate_s": f32 [E, I], ...} with the
+    per-row dequant scale applied on the OUTPUT side of each einsum
+    (y[e] = (x @ w8[e]ᵀ)·s[e] — the same push-dequant-past-the-dot move as
+    ops/w8_matmul). LUT experts are recoded to int8 first (the load-time
+    serving fast path, ops/qlinear.recode_w8)."""
     moe = lp.get("moe")
     if not moe or "experts" not in moe:
         return lp
-    for e in moe["experts"]:
+    from ..ops.qlinear import recode_w8
+
+    experts = [{k: recode_w8(e[k]) for k in ("gate", "up", "down")}
+               for e in moe["experts"]]
+    kinds = {e[k].kind for e in experts for k in ("gate", "up", "down")}
+    if kinds - {"dense", "w8"}:
+        raise ValueError(
+            f"expert stacking supports dense/w8/lut experts (got {kinds})")
+    if len(kinds) != 1:
+        raise ValueError(f"experts must share one kind to stack (got {kinds})")
+    for e in experts:
         for k in ("gate", "up", "down"):
-            q = e[k]
-            if not isinstance(q, QLinear) or q.kind != "dense":
-                raise ValueError(
-                    "expert stacking requires dense experts "
-                    f"(got kind={getattr(q, 'kind', None)!r})")
-            if "bias" in q.arrays:
+            if "bias" in e[k].arrays:
                 raise ValueError("biased experts are not stackable yet")
+    stacked: Dict[str, Any] = {}
+    if kinds == {"dense"}:
+        for k in ("gate", "up", "down"):
+            stacked[f"{k}_w"] = jnp.stack([e[k]["weight"] for e in experts])
+    else:
+        for k in ("gate", "up", "down"):
+            # w8 keeps pack-time K padding; slice to the true width so the
+            # einsum contracts exactly over in_features
+            kf = experts[0][k].in_features
+            stacked[f"{k}_w"] = jnp.stack(
+                [e[k]["w8"][:, :kf] for e in experts])
+            stacked[f"{k}_s"] = jnp.stack(
+                [e[k]["scale"][:, 0] for e in experts])
     out = dict(lp)
-    out["moe"] = {
-        "router": moe["router"],
-        "stacked": {
-            "gate_w": jnp.stack([e["gate"]["weight"] for e in moe["experts"]]),
-            "up_w": jnp.stack([e["up"]["weight"] for e in moe["experts"]]),
-            "down_w": jnp.stack([e["down"]["weight"] for e in moe["experts"]]),
-        },
-    }
+    out["moe"] = {k: v for k, v in moe.items() if k != "experts"}
+    out["moe"]["stacked"] = stacked
     return out
 
 

@@ -153,19 +153,68 @@ def test_expert_parallel_stacked_forward(rng):
     np.testing.assert_allclose(sout, ref, atol=3e-4, rtol=3e-4)
 
 
-def test_expert_stacking_rejects_quantized(rng):
+def test_expert_stacking_quantized_w8(rng):
+    """LUT experts are recoded to int8 and stacked with output-side scales;
+    the stacked einsum must match the per-expert w8 loop."""
+    from ganq_tpu.models.transformer import ModelConfig, _moe_forward
+    from ganq_tpu.ops import qlinear
     from ganq_tpu.parallel import expert_parallel
+
+    E, H, I = 4, 64, 128
+    key = jax.random.PRNGKey(3)
+
+    def lut_lin(k, out_f, in_f):
+        k1, k2 = jax.random.split(k)
+        lut = jax.random.normal(k1, (out_f, 16), jnp.float32)
+        idx = jax.random.randint(k2, (out_f, in_f), 0, 16)
+        return qlinear.lut_linear(lut, idx, 4)
+
+    keys = jax.random.split(key, 3 * E + 2)
+    experts = [{"gate": lut_lin(keys[3 * e], I, H),
+                "up": lut_lin(keys[3 * e + 1], I, H),
+                "down": lut_lin(keys[3 * e + 2], H, I)} for e in range(E)]
+    router = qlinear.dense_linear(
+        jax.random.normal(keys[-2], (E, H), jnp.float32))
+    cfg = ModelConfig(
+        model_type="mixtral", vocab_size=64, hidden_size=H,
+        intermediate_size=I, num_hidden_layers=1, num_attention_heads=4,
+        num_key_value_heads=4, head_dim=16, num_experts=E,
+        num_experts_per_tok=2)
+    h = jax.random.normal(keys[-1], (2, 8, H), jnp.float32)
+
+    # per-expert reference uses the SAME int8 recode as the stacked path
+    ref_moe = {"router": router,
+               "experts": [{k: qlinear.recode_w8(v) for k, v in e.items()}
+                           for e in experts]}
+    ref = np.asarray(_moe_forward(cfg, ref_moe, h, None, "reference"))
+
+    lp = expert_parallel.stack_layer_experts(
+        {"moe": {"router": router, "experts": experts}})
+    st = lp["moe"]["stacked"]
+    assert st["gate_w"].dtype == jnp.int8
+    assert st["gate_s"].shape == (E, I) and st["down_s"].shape == (E, H)
+    out = np.asarray(_moe_forward(cfg, lp["moe"], h, None, "reference"))
+    np.testing.assert_allclose(out, ref, atol=1e-3, rtol=1e-4)
+
+
+def test_expert_stacking_preserves_shared_and_rejects_uniform(rng):
     from ganq_tpu.models import synthetic
+    from ganq_tpu.parallel import expert_parallel
     params = synthetic.make_model(synthetic.llama_config(
-        hidden=64, inter=128, layers=1), kind="lut", seed=0)
-    # fabricate a fake moe layer holding a quantized expert
-    lp = dict(params["layers"][0])
-    lp["moe"] = {"router": params["layers"][0]["mlp"]["down"],
-                 "experts": [{"gate": params["layers"][0]["mlp"]["gate"],
-                              "up": params["layers"][0]["mlp"]["up"],
-                              "down": params["layers"][0]["mlp"]["down"]}]}
-    with pytest.raises(ValueError, match="dense"):
+        hidden=64, inter=128, layers=1), kind="uniform", seed=0)
+    mlp = params["layers"][0]["mlp"]
+    exp = {"gate": mlp["gate"], "up": mlp["up"], "down": mlp["down"]}
+    lp = {"moe": {"router": mlp["down"], "experts": [exp], "shared": exp}}
+    with pytest.raises(ValueError, match="dense/w8/lut"):
         expert_parallel.stack_layer_experts(lp)
+    # dense stacking keeps the shared-expert entries (qwen2_moe/deepseek)
+    params2 = synthetic.make_model(synthetic.llama_config(
+        hidden=64, inter=128, layers=1), kind="dense", seed=0)
+    mlp2 = params2["layers"][0]["mlp"]
+    exp2 = {"gate": mlp2["gate"], "up": mlp2["up"], "down": mlp2["down"]}
+    lp2 = expert_parallel.stack_layer_experts(
+        {"moe": {"router": mlp2["down"], "experts": [exp2], "shared": exp2}})
+    assert "shared" in lp2["moe"] and "stacked" in lp2["moe"]
 
 
 def test_pipeline_forward_matches_unsharded(rng):
@@ -201,3 +250,26 @@ def test_pipeline_rejects_bad_split(rng):
     cfg, params = tiny8(6)
     with pytest.raises(ValueError, match="not divisible"):
         pipeline.stage_stack(params, 3)  # layers % stages != 0
+
+
+def test_pipeline_decode_resident_kv(rng):
+    """Decode PP: resident per-stage KV caches + the period-R token
+    schedule must reproduce the single-device engine's greedy tokens
+    exactly, in every microbatch regime (bubble M<S, M=S, M>S)."""
+    from ganq_tpu.parallel.pipeline import PipelineRunner, make_pipe_mesh
+    from ganq_tpu.serve.engine import Engine
+
+    hf_cfg = transformers.LlamaConfig(
+        vocab_size=128, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=4, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=64)
+    torch.manual_seed(99)
+    cfg, params = hf_import.params_from_torch_model(
+        transformers.LlamaForCausalLM(hf_cfg))
+    prompt = rng.integers(0, 128, size=(8, 8)).astype(np.int32)
+    ref = Engine(cfg, params, max_seq=32).generate(prompt, max_new_tokens=5)
+    pr = PipelineRunner.build(cfg, params, make_pipe_mesh(4))
+    for M in (1, 4, 8):
+        out = np.asarray(pr.generate_greedy(jnp.asarray(prompt), 5,
+                                            microbatches=M))
+        np.testing.assert_array_equal(out, ref)
