@@ -16,8 +16,14 @@ translation):
   stays with the host stage in a real deployment);
 - the classic GPipe bubble is ``(S-1)/(M+S-1)`` of the ticks — pick M >= S.
 
-Prefill/forward only: token-by-token decode is latency-bound and a poor fit
-for inter-stage hops; decode PP (with resident per-stage KV) is future work.
+Decode (``PipelineRunner.generate_greedy``) keeps each stage's KV caches
+RESIDENT on that stage's device ([L/S, M, mb, T, Hkv, D], sharded on
+"pipe") and runs a schedule-deterministic token-interleaved pipeline:
+microbatch m starts decode step k at tick ``m + k*R`` with period
+``R = max(S, M)``, so every (tick, stage) pair maps to at most one
+microbatch, utilization is min(1, M/S), and no cross-device counters are
+needed — the whole schedule is a function of the tick index. The sampled
+token is broadcast back to stage 0 with a masked psum each tick.
 """
 
 from __future__ import annotations
@@ -170,6 +176,186 @@ class PipelineRunner:
             return unembed(cfg, outer, y)
 
         with jax.set_mesh(self.mesh):
+            return run(self.staged, self.outer, input_ids)
+
+
+    def generate_greedy(self, input_ids: jax.Array, max_new_tokens: int,
+                        microbatches: Optional[int] = None,
+                        max_seq: Optional[int] = None) -> jax.Array:
+        """Greedy decode with resident per-stage KV caches.
+
+        input_ids [B, s] -> tokens [B, max_new_tokens]. B splits into M
+        microbatches; decode ticks follow the fixed period-R schedule (see
+        module docstring). Correctness-first: single rope table, no sliding
+        windows (both raise), greedy sampling only."""
+        cfg = self.cfg
+        S = self.mesh.shape["pipe"]
+        M = microbatches or S
+        b, s = input_ids.shape
+        N = max_new_tokens
+        if b % M:
+            raise ValueError(f"batch {b} not divisible into {M} microbatches")
+        if cfg.sliding_window is not None or cfg.rope_local_theta is not None:
+            raise NotImplementedError("decode PP: sliding-window/dual-rope "
+                                      "models not supported yet")
+        if cfg.pos == "alibi":
+            raise NotImplementedError("decode PP: alibi models not yet")
+        mb = b // M
+        T = max_seq or min(cfg.max_position_embeddings, s + N)
+        if s + N > T:
+            raise ValueError(f"sequence {s + N} exceeds max_seq {T}")
+        R = max(S, M)
+        backend = self.backend
+        outer = self.outer
+        mesh = self.mesh
+
+        def stage_fn(staged_local, outer_rep, x_mb):
+            lp_stack = jax.tree_util.tree_map(lambda a: a[0], staged_local)
+            per_local = jax.tree_util.tree_leaves(lp_stack)[0].shape[0]
+            idx = jax.lax.axis_index("pipe")
+            perm = [(i, (i + 1) % S) for i in range(S)]
+
+            def run_stage(x, cache_m, pos, seqlen):
+                """Scan this stage's layers; cache_m leaves [L/S, mb, T, ...]."""
+                positions = pos + jnp.arange(seqlen)[None, :]
+                rope = (rope_tables_all(cfg, jnp.broadcast_to(
+                    positions, (x.shape[0], seqlen)))
+                    if cfg.pos == "rope" else None)
+                mask = (jnp.arange(T)[None, :] <= positions[0][:, None]
+                        )[None, None]
+
+                def body(x, lc_lp):
+                    lc, lp = lc_lp
+                    y, new_lc, _ = layer_forward(cfg, lp, x, mask, rope,
+                                                 cache=lc, cache_pos=pos,
+                                                 backend=backend)
+                    return y, new_lc
+                y, new_cache = jax.lax.scan(body, x, (cache_m, lp_stack))
+                return y, new_cache
+
+            def init_caches():
+                hkv, kd, vd = (cfg.kv_cache_heads, cfg.k_cache_dim,
+                               cfg.v_cache_dim)
+                z = {"k": jnp.zeros((per_local, M, mb, T, hkv, kd),
+                                    jnp.bfloat16),
+                     "v": jnp.zeros((per_local, M, mb, T, hkv, vd),
+                                    jnp.bfloat16)}
+                return jax.tree_util.tree_map(
+                    lambda a: jax.lax.pvary(a, "pipe"), z)
+
+            def sel_m(caches, m):
+                return jax.tree_util.tree_map(
+                    lambda a: jax.lax.dynamic_index_in_dim(a, m, 1, False),
+                    caches)
+
+            def put_m(caches, new, m, active):
+                def upd(a, n):
+                    cur = jax.lax.dynamic_index_in_dim(a, m, 1, False)
+                    n = jnp.where(active, n.astype(a.dtype), cur)
+                    return jax.lax.dynamic_update_index_in_dim(a, n, m, 1)
+                return jax.tree_util.tree_map(upd, caches, new)
+
+            # ---- phase 1: prefill (GPipe fill, writing caches) ----
+            def pre_body(t, carry):
+                caches, state, next_x, toks = carry
+                m_in = jnp.clip(t, 0, M - 1)
+                x = jnp.where(idx == 0, x_mb[m_in], state)
+                m_here = jnp.clip(t - idx, 0, M - 1)
+                active = (t - idx >= 0) & (t - idx < M)
+                y, new_c = run_stage(x, sel_m(caches, m_here), 0, s)
+                caches = put_m(caches, new_c, m_here, active)
+                # last stage: greedy token 0 for microbatch t-(S-1)
+                m_out = jnp.clip(t - (S - 1), 0, M - 1)
+                produce = (idx == S - 1) & (t >= S - 1) & (t - (S - 1) < M)
+                logits = unembed(cfg, outer_rep, y[:, -1:, :])[:, 0]
+                tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+                upd = embed(cfg, outer_rep, tok[:, None],
+                            jnp.full((mb, 1), s, jnp.int32))
+                nx_cur = jax.lax.dynamic_index_in_dim(next_x, m_out, 0, False)
+                next_x = jax.lax.dynamic_update_index_in_dim(
+                    next_x, jnp.where(produce, upd, nx_cur), m_out, 0)
+                tcur = jax.lax.dynamic_index_in_dim(toks, m_out, 0, False)
+                tcur = jnp.where((jnp.arange(N)[None, :] == 0) & produce,
+                                 tok[:, None], tcur)
+                toks = jax.lax.dynamic_update_index_in_dim(toks, tcur, m_out, 0)
+                state = jax.lax.ppermute(y, "pipe", perm)
+                # settle next_x onto every stage (stage 0 reads it next
+                # phase); re-mark varying so the fori carry types line up
+                next_x = jax.lax.pvary(jax.lax.psum(
+                    jnp.where(idx == S - 1, next_x,
+                              jnp.zeros_like(next_x)), "pipe"), "pipe")
+                return caches, state, next_x, toks
+
+            caches = init_caches()
+            H = x_mb.shape[-1]
+            state0 = jax.lax.pvary(jnp.zeros((mb, s, H), x_mb.dtype), "pipe")
+            next_x0 = jax.lax.pvary(jnp.zeros((M, mb, 1, H), x_mb.dtype),
+                                    "pipe")
+            toks0 = jax.lax.pvary(jnp.zeros((M, mb, N), jnp.int32), "pipe")
+
+            caches, _, next_x, toks = jax.lax.fori_loop(
+                0, M + S - 1, pre_body, (caches, state0, next_x0, toks0))
+
+            # ---- phase 2: decode (period-R interleave) ----
+            def dec_tick(t, carry):
+                caches, state, next_x, toks = carry
+                # stage `idx` serves microbatch m = (t - idx) mod R at step
+                # k = (t - idx) // R; active iff m < M and k < N-1
+                rel = t - idx
+                m_here = jnp.clip(jnp.mod(rel, R), 0, M - 1)
+                k_here = rel // R
+                active = (rel >= 0) & (jnp.mod(rel, R) < M) & (k_here < N - 1)
+                pos = s + k_here
+                x_in = jax.lax.dynamic_index_in_dim(next_x, m_here, 0, False)
+                x = jnp.where(idx == 0, x_in, state)
+                y, new_c = run_stage(x, sel_m(caches, m_here),
+                                     jnp.maximum(pos, 0), 1)
+                caches = put_m(caches, new_c, m_here, active)
+                # production on the last stage
+                relp = t - (S - 1)
+                m_out = jnp.clip(jnp.mod(relp, R), 0, M - 1)
+                k_out = relp // R
+                produce = ((idx == S - 1) & (relp >= 0)
+                           & (jnp.mod(relp, R) < M) & (k_out < N - 1))
+                logits = unembed(cfg, outer_rep, y)[:, 0]
+                tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+                upd = embed(cfg, outer_rep, tok[:, None],
+                            jnp.full((mb, 1), 0, jnp.int32) + s + k_out + 1)
+                nx_cur = jax.lax.dynamic_index_in_dim(next_x, m_out, 0, False)
+                next_x = jax.lax.dynamic_update_index_in_dim(
+                    next_x, jnp.where(produce, upd, nx_cur), m_out, 0)
+                tcur = jax.lax.dynamic_index_in_dim(toks, m_out, 0, False)
+                slot = jnp.clip(k_out + 1, 0, N - 1)
+                tcur = jnp.where(
+                    (jnp.arange(N)[None, :] == slot) & produce,
+                    tok[:, None], tcur)
+                toks = jax.lax.dynamic_update_index_in_dim(toks, tcur, m_out, 0)
+                state = jax.lax.ppermute(y, "pipe", perm)
+                # tokens + next_x must reach stage 0: settle via masked psum
+                next_x = jax.lax.pvary(jax.lax.psum(
+                    jnp.where(idx == S - 1, next_x,
+                              jnp.zeros_like(next_x)), "pipe"), "pipe")
+                return caches, state, next_x, toks
+
+            state1 = jax.lax.pvary(
+                jnp.zeros((mb, 1, H), x_mb.dtype), "pipe")
+            n_ticks = (N - 1) * R + S - 1 if N > 1 else 0
+            caches, _, next_x, toks = jax.lax.fori_loop(
+                0, n_ticks, dec_tick, (caches, state1, next_x, toks))
+            return jax.lax.psum(
+                jnp.where(idx == S - 1, toks, jnp.zeros_like(toks)), "pipe")
+
+        @jax.jit
+        def run(staged, outer_rep, ids):
+            pos_full = jnp.broadcast_to(jnp.arange(s), (b, s))
+            x = embed(cfg, outer_rep, ids, pos_full)
+            x_mb = x.reshape(M, mb, s, x.shape[-1])
+            toks = shard_map(stage_fn, mesh=mesh,
+                             in_specs=(P("pipe"), P(), P()),
+                             out_specs=P())(staged, outer_rep, x_mb)
+            return toks.reshape(b, N)
+
+        with jax.set_mesh(mesh):
             return run(self.staged, self.outer, input_ids)
 
 
