@@ -721,6 +721,22 @@ def absorb_mla_params(cfg: ModelConfig, params: Dict[str, Any]) -> Dict[str, Any
     return {**params, "layers": layers}
 
 
+def _cache_write_vec(buf: jax.Array, new: jax.Array, pos: jax.Array,
+                     s: int) -> jax.Array:
+    """Scatter ``new`` [b, s, ...] into ``buf`` [b, T, ...] at *per-batch*
+    start positions ``pos`` [b] (continuous-batching slot decode, where every
+    slot sits at its own sequence offset). Expressed as a gather + select so
+    XLA lowers it without a serial scatter."""
+    T = buf.shape[1]
+    off = jnp.arange(T)[None, :] - pos[:, None]            # [b, T]
+    sel = (off >= 0) & (off < s)
+    idx = jnp.clip(off, 0, s - 1)
+    extra = (1,) * (buf.ndim - 2)
+    gathered = jnp.take_along_axis(new, idx.reshape(idx.shape + extra), axis=1)
+    return jnp.where(sel.reshape(sel.shape + extra),
+                     gathered.astype(buf.dtype), buf)
+
+
 def layer_forward(cfg: ModelConfig, lp: Dict[str, Any], x: jax.Array,
                   mask: Optional[jax.Array],
                   rope: Optional[Tuple[jax.Array, jax.Array]] = None,
@@ -765,15 +781,27 @@ def layer_forward(cfg: ModelConfig, lp: Dict[str, Any], x: jax.Array,
     # store the shared post-norm compressed kv + rotated rope key instead of
     # assembled per-head k/v; decode reads it via absorbed matmuls
     mla_compressed = cache is not None and "c" in cache
+    # vector cache_pos = per-batch slot positions (continuous batching);
+    # scalar/int = all rows at the same position (single-sequence engine)
+    vec_pos = (cache_pos is not None and not isinstance(cache_pos, int)
+               and getattr(cache_pos, "ndim", 0) == 1)
     if mla_compressed:
-        cc = jax.lax.dynamic_update_slice(
-            cache["c"], cn.astype(cache["c"].dtype), (0, cache_pos, 0))
-        ckpe = jax.lax.dynamic_update_slice(
-            cache["kpe"], kpe.astype(cache["kpe"].dtype), (0, cache_pos, 0))
+        if vec_pos:
+            cc = _cache_write_vec(cache["c"], cn, cache_pos, s)
+            ckpe = _cache_write_vec(cache["kpe"], kpe, cache_pos, s)
+        else:
+            cc = jax.lax.dynamic_update_slice(
+                cache["c"], cn.astype(cache["c"].dtype), (0, cache_pos, 0))
+            ckpe = jax.lax.dynamic_update_slice(
+                cache["kpe"], kpe.astype(cache["kpe"].dtype), (0, cache_pos, 0))
         new_cache = {"c": cc, "kpe": ckpe}
     elif cache is not None:
-        ck = jax.lax.dynamic_update_slice(cache["k"], k.astype(cache["k"].dtype), (0, cache_pos, 0, 0))
-        cv = jax.lax.dynamic_update_slice(cache["v"], v.astype(cache["v"].dtype), (0, cache_pos, 0, 0))
+        if vec_pos:
+            ck = _cache_write_vec(cache["k"], k, cache_pos, s)
+            cv = _cache_write_vec(cache["v"], v, cache_pos, s)
+        else:
+            ck = jax.lax.dynamic_update_slice(cache["k"], k.astype(cache["k"].dtype), (0, cache_pos, 0, 0))
+            cv = jax.lax.dynamic_update_slice(cache["v"], v.astype(cache["v"].dtype), (0, cache_pos, 0, 0))
         new_cache = {"k": ck, "v": cv}
     else:
         new_cache = None
@@ -787,6 +815,10 @@ def layer_forward(cfg: ModelConfig, lp: Dict[str, Any], x: jax.Array,
 
     def _window_overlay(T: int) -> jax.Array:
         # key j visible to query at absolute position p iff j > p - window
+        if vec_pos:  # per-batch positions -> [b, 1, s, T]
+            qpos = jnp.arange(s)[None, :] + cache_pos[:, None]
+            return (jnp.arange(T)[None, None, :]
+                    > qpos[:, :, None] - window)[:, None]
         qpos = jnp.arange(s) + (cache_pos if cache_pos is not None else 0)
         return (jnp.arange(T)[None, :] > qpos[:, None] - window)[None, None]
 

@@ -36,168 +36,49 @@ log = get_logger(__name__)
                    donate_argnums=(2,))
 def prefill_into_slot(cfg: ModelConfig, params, cache, ids, slot,
                       backend: str = "reference"):
-    """Prefill ids [1, s] and write k/v into batch cache slot ``slot``.
-    Returns (last logits [vocab], cache)."""
+    """Prefill ids [1, s] and write k/v (or MLA compressed c/kpe) into batch
+    cache slot ``slot``. Returns (last logits [vocab], cache)."""
     b1, s = ids.shape
     positions = jnp.broadcast_to(jnp.arange(s), (b1, s))
     x = embed(cfg, params, ids, positions)
     rope = rope_tables_all(cfg, positions) if cfg.pos == "rope" else None
     new_cache = []
     for i, (lp, lc) in enumerate(zip(params["layers"], cache)):
-        T = lc["k"].shape[1]
-        slot_cache = {"k": jnp.zeros((1, T, *lc["k"].shape[2:]), lc["k"].dtype),
-                      "v": jnp.zeros((1, T, *lc["v"].shape[2:]), lc["v"].dtype)}
+        T = next(iter(lc.values())).shape[1]
+        slot_cache = {key: jnp.zeros((1, T, *lc[key].shape[2:]),
+                                     lc[key].dtype) for key in lc}
         x, sc, _ = layer_forward(cfg, lp, x, None,
                                  rope_for_layer(cfg, rope, i),
                                  cache=slot_cache,
                                  cache_pos=0, backend=backend,
                                  window=cfg.layer_window(i))
         new_cache.append({
-            "k": jax.lax.dynamic_update_slice(lc["k"], sc["k"], (slot, 0, 0, 0)),
-            "v": jax.lax.dynamic_update_slice(lc["v"], sc["v"], (slot, 0, 0, 0)),
-        })
+            key: jax.lax.dynamic_update_slice(
+                lc[key], sc[key], (slot,) + (0,) * (lc[key].ndim - 1))
+            for key in lc})
     logits = unembed(cfg, params, x[:, -1:, :])
     return logits[0, 0, :], new_cache
-
-
-# The per-slot decode needs scatter-at-position cache writes; rather than
-# special-casing layer_forward further, decode_slots uses a dedicated layer
-# pass below.
-def _decode_layer(cfg, lp, x, mask, rope, lc, pos, backend, window=None):
-    from ..models.transformer import apply_norm, attention, _activation
-    import math as _math
-    from ..ops import qlinear as ql
-
-    b, s, _ = x.shape
-    scale = cfg.attn_scale if cfg.attn_scale is not None else 1.0 / _math.sqrt(cfg.head_dim)
-    residual = x
-    if cfg.norm_after_sublayer or not cfg.do_layer_norm_before:
-        h = x
-    else:
-        h = apply_norm(lp["input_norm"], x, cfg.norm, cfg.norm_eps,
-                       cfg.rms_offset)
-    if "qkv" in lp["attn"]:
-        qkv = ql.apply(lp["attn"]["qkv"], h, backend)
-        q = qkv[..., :cfg.q_dim]
-        k = qkv[..., cfg.q_dim:cfg.q_dim + cfg.kv_dim]
-        v = qkv[..., cfg.q_dim + cfg.kv_dim:]
-    else:
-        q = ql.apply(lp["attn"]["q"], h, backend)
-        k = ql.apply(lp["attn"]["k"], h, backend)
-        v = ql.apply(lp["attn"]["v"], h, backend)
-    if cfg.clip_qkv is not None:  # mpt
-        q, k, v = (jnp.clip(t, -cfg.clip_qkv, cfg.clip_qkv)
-                   for t in (q, k, v))
-
-    def _rms(t, w):
-        tf = t.astype(jnp.float32)
-        var = jnp.mean(tf * tf, axis=-1, keepdims=True)
-        return (tf * jax.lax.rsqrt(var + cfg.norm_eps)
-                * (w.astype(jnp.float32) + cfg.rms_offset)).astype(t.dtype)
-
-    if cfg.qk_norm == "flat":  # olmo2: norm over full proj dim, pre-reshape
-        q = _rms(q, lp["attn"]["q_norm"]["weight"])
-        k = _rms(k, lp["attn"]["k_norm"]["weight"])
-    q = q.reshape(b, 1, cfg.num_attention_heads, cfg.head_dim)
-    k = k.reshape(b, 1, cfg.num_key_value_heads, cfg.head_dim)
-    v = v.reshape(b, 1, cfg.num_key_value_heads, cfg.head_dim)
-    if cfg.qk_norm in (True, "head"):  # qwen3: per-head norm over head_dim
-        q = _rms(q, lp["attn"]["q_norm"]["weight"])
-        k = _rms(k, lp["attn"]["k_norm"]["weight"])
-    elif cfg.qk_norm == "cohere":  # bias-free LayerNorm, per-head weights
-        def _ln(t, w):
-            tf = t.astype(jnp.float32)
-            mean = jnp.mean(tf, axis=-1, keepdims=True)
-            var = jnp.var(tf, axis=-1, keepdims=True)
-            return ((tf - mean) * jax.lax.rsqrt(var + cfg.norm_eps)
-                    * w.astype(jnp.float32)[None, None]).astype(t.dtype)
-        q = _ln(q, lp["attn"]["q_norm"]["weight"])
-        k = _ln(k, lp["attn"]["k_norm"]["weight"])
-    if cfg.pos == "rope":
-        from ..models.transformer import apply_rope
-        cos, sin = rope
-        q = apply_rope(q, cos, sin, cfg.rope_interleaved)
-        k = apply_rope(k, cos, sin, cfg.rope_interleaved)
-
-    max_seq = lc["k"].shape[1]
-    t_ids = jnp.arange(max_seq)[None, :, None, None]
-    sel = t_ids == pos[:, None, None, None]
-    ck = jnp.where(sel, k.astype(lc["k"].dtype), lc["k"])
-    cv = jnp.where(sel, v.astype(lc["v"].dtype), lc["v"])
-    lc["k"], lc["v"] = ck, cv
-
-    if window is not None:
-        # per-slot positions: key t visible to slot b iff t > pos_b - window
-        mask = mask & (jnp.arange(max_seq)[None, :]
-                       > (pos - window)[:, None])[:, None, None, :]
-    attn = attention(q, ck.astype(q.dtype), cv.astype(q.dtype), mask, scale,
-                     softcap=cfg.attn_softcap)
-    attn = attn.reshape(b, 1, cfg.q_dim)
-    attn = ql.apply(lp["attn"]["o"], attn, backend)
-    if cfg.sandwich_norm:  # gemma2: norm the attn output pre-residual
-        attn = apply_norm(lp["post_attn_norm"], attn, cfg.norm, cfg.norm_eps,
-                          cfg.rms_offset)
-    if cfg.parallel_residual:
-        x = residual  # attn joins the residual at the final add
-    elif cfg.norm_after_sublayer:  # olmo2: x += norm(attn_out)
-        x = residual + apply_norm(lp["input_norm"], attn, cfg.norm,
-                                  cfg.norm_eps, cfg.rms_offset)
-    else:
-        if cfg.residual_multiplier is not None:  # granite
-            attn = attn * cfg.residual_multiplier
-        x = residual + attn
-        if not cfg.do_layer_norm_before:
-            x = apply_norm(lp["input_norm"], x, cfg.norm, cfg.norm_eps)
-
-    residual = x
-    if cfg.norm_after_sublayer or not cfg.do_layer_norm_before:
-        h = x
-    else:
-        h = apply_norm(lp["post_norm"], x, cfg.norm, cfg.norm_eps,
-                       cfg.rms_offset)
-    if cfg.gated_mlp:
-        if "gateup" in lp["mlp"]:
-            gu = ql.apply(lp["mlp"]["gateup"], h, backend)
-            g, u = gu[..., :cfg.intermediate_size], gu[..., cfg.intermediate_size:]
-        else:
-            g = ql.apply(lp["mlp"]["gate"], h, backend)
-            u = ql.apply(lp["mlp"]["up"], h, backend)
-        a = _activation(g, cfg.act) * u
-    else:
-        a = _activation(ql.apply(lp["mlp"]["up"], h, backend), cfg.act)
-    out = ql.apply(lp["mlp"]["down"], a, backend)
-    if cfg.norm_after_sublayer:  # olmo2: x += norm(mlp_out)
-        x = residual + apply_norm(lp["post_norm"], out, cfg.norm,
-                                  cfg.norm_eps, cfg.rms_offset)
-        return x, lc
-    if cfg.sandwich_norm:  # gemma2: norm the mlp output pre-residual
-        out = apply_norm(lp["post_mlp_norm"], out, cfg.norm, cfg.norm_eps,
-                         cfg.rms_offset)
-    if cfg.residual_multiplier is not None:  # granite
-        out = out * cfg.residual_multiplier
-    if cfg.parallel_residual:  # x + attn(ln x) + mlp(ln' x)
-        out = out + attn
-    x = residual + out
-    if not cfg.do_layer_norm_before:
-        x = apply_norm(lp["post_norm"], x, cfg.norm, cfg.norm_eps)
-    return x, lc
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "backend"),
                    donate_argnums=(2,))
 def _decode_slots_impl(cfg: ModelConfig, params, cache, tokens, pos, backend):
-    b = tokens.shape[0]
-    max_seq = cache[0]["k"].shape[1]
+    """One decode step over all slots at per-slot positions ``pos`` [b].
+
+    Runs the full ``layer_forward`` (MoE, MLA absorbed decode, ALiBi,
+    sliding windows, per-layer GQA) with a *vector* cache_pos — the
+    scatter-at-position cache write lives in transformer._cache_write_vec."""
+    max_seq = next(iter(cache[0].values())).shape[1]
     positions = pos[:, None]
     x = embed(cfg, params, tokens[:, None], positions)
     mask = (jnp.arange(max_seq)[None, :] <= pos[:, None])[:, None, None, :]
     rope = rope_tables_all(cfg, positions) if cfg.pos == "rope" else None
     new_cache = []
     for i, (lp, lc) in enumerate(zip(params["layers"], cache)):
-        lc = dict(lc)
-        x, lc = _decode_layer(cfg, lp, x, mask,
-                              rope_for_layer(cfg, rope, i), lc, pos,
-                              backend, window=cfg.layer_window(i))
+        x, lc, _ = layer_forward(cfg, lp, x, mask,
+                                 rope_for_layer(cfg, rope, i), cache=lc,
+                                 cache_pos=pos, backend=backend,
+                                 window=cfg.layer_window(i))
         new_cache.append(lc)
     logits = unembed(cfg, params, x)[:, 0, :]
     return logits, new_cache
@@ -220,19 +101,21 @@ class BatchingEngine:
     def __init__(self, cfg: ModelConfig, params: Dict[str, Any],
                  backend: str = "reference", slots: int = 4,
                  max_seq: int = 512, eos_id: int = -1,
-                 prompt_buckets=(32, 64, 128, 256, 512)):
-        if cfg.mla:
-            raise NotImplementedError(
-                "MLA models are served by serve.engine / serve.stacked; the "
-                "continuous-batching decode layer does not model MLA yet")
+                 prompt_buckets=(32, 64, 128, 256, 512),
+                 mla_absorb: bool = True):
         self.cfg = cfg
+        self._absorbed = bool(mla_absorb and cfg.mla)
+        if self._absorbed:
+            from ..models.transformer import absorb_mla_params
+            params = absorb_mla_params(cfg, params)
         self.params = params
         self.backend = backend
         self.slots = slots
         self.max_seq = max_seq
         self.eos_id = eos_id
         self.buckets = [b for b in prompt_buckets if b <= max_seq]
-        self.cache = init_cache(cfg, slots, max_seq)
+        self.cache = init_cache(cfg, slots, max_seq,
+                                mla_absorbed=self._absorbed)
         self.pos = np.zeros(slots, np.int32)           # next write position
         self.tokens = np.zeros(slots, np.int32)        # last sampled token
         self.slot_req: List[Optional[Request]] = [None] * slots
@@ -320,7 +203,8 @@ class BatchingEngine:
                 self.tokens[i] = first
                 self.pos[i] = n
                 self.slot_req[i] = r
-                if self.eos_id >= 0 and first == self.eos_id:
+                if ((self.eos_id >= 0 and first == self.eos_id)
+                        or r.max_new_tokens <= 1):
                     r.done = True
                     self.slot_req[i] = None
             else:

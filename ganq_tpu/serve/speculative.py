@@ -186,3 +186,218 @@ class SpeculativeEngine:
 
 
 __all__ = ["SpeculativeEngine", "extend", "verify_rejection"]
+
+
+# --------------------------------------------------------------------------
+# Speculative decoding inside continuous batching: every active slot runs a
+# draft/verify round per engine step, at its own sequence position.
+@functools.partial(jax.jit, static_argnames=("cfg", "backend"),
+                   donate_argnums=(2,))
+def extend_slots(cfg: ModelConfig, params, cache, tokens: jax.Array,
+                 pos: jax.Array, backend: str = "reference"):
+    """Batched multi-token cached step at *per-slot* positions: tokens
+    [B, s] for slot b occupy positions pos_b..pos_b+s-1. The verification
+    primitive for speculative rounds under continuous batching; one program
+    scores every slot's proposal block through the MXU at once."""
+    b, s = tokens.shape
+    max_seq = next(iter(cache[0].values())).shape[1]
+    positions = pos[:, None] + jnp.arange(s)[None, :]            # [b, s]
+    x = embed(cfg, params, tokens, positions)
+    # query i of slot b (absolute pos_b+i) sees keys <= pos_b+i -> [b,1,s,T]
+    mask = (jnp.arange(max_seq)[None, None, :]
+            <= positions[:, :, None])[:, None]
+    rope = rope_tables_all(cfg, positions) if cfg.pos == "rope" else None
+    new_cache = []
+    for i, (lp, lc) in enumerate(zip(params["layers"], cache)):
+        x, lc, _ = layer_forward(cfg, lp, x, mask,
+                                 rope_for_layer(cfg, rope, i), cache=lc,
+                                 cache_pos=pos, backend=backend,
+                                 window=cfg.layer_window(i))
+        new_cache.append(lc)
+    return unembed(cfg, params, x), new_cache
+
+
+class SpeculativeBatchingEngine:
+    """Continuous batching with per-slot speculative rounds.
+
+    Each step: the draft decodes ``gamma`` tokens for every active slot
+    (batched, per-slot positions), the target verifies all proposal blocks
+    in ONE ``extend_slots`` program, and each slot advances by its own
+    accepted length. Greedy slots (temperature 0) use longest-agreeing-
+    prefix verification; sampled slots use the rejection scheme (output
+    distributed exactly as target-only sampling). Slots at different
+    positions/acceptance rates interleave freely — the per-slot-position
+    cache writes make the whole round position-vectorized.
+
+    Cache discipline matches :class:`SpeculativeEngine`: append-only with a
+    per-slot validity pointer; rejected positions leave stale entries that
+    are masked and re-written before any later read.
+    """
+
+    def __init__(self, cfg: ModelConfig, params, draft_cfg: ModelConfig,
+                 draft_params, backend: str = "reference",
+                 draft_backend: str = "reference", slots: int = 4,
+                 max_seq: int = 512, eos_id: int = -1, gamma: int = 4,
+                 prompt_buckets=(32, 64, 128, 256, 512),
+                 mla_absorb: bool = True, seed: int = 0):
+        from .batching import BatchingEngine
+
+        self.t = BatchingEngine(cfg, params, backend=backend, slots=slots,
+                                max_seq=max_seq, eos_id=eos_id,
+                                prompt_buckets=prompt_buckets,
+                                mla_absorb=mla_absorb)
+        self.d = BatchingEngine(draft_cfg, draft_params,
+                                backend=draft_backend, slots=slots,
+                                max_seq=max_seq, eos_id=eos_id,
+                                prompt_buckets=prompt_buckets,
+                                mla_absorb=mla_absorb)
+        self.gamma = gamma
+        self.eos_id = eos_id
+        self.max_seq = max_seq
+        self._rng = np.random.default_rng(seed)
+        self.proposed = 0
+        self.accepted = 0
+
+    # ---------------------------------------------------------------- public
+    def submit(self, prompt, max_new_tokens: int = 32,
+               temperature: float = 0.0) -> int:
+        prompt = np.asarray(prompt, np.int32).reshape(-1)
+        if len(prompt) + max_new_tokens + self.gamma + 1 > self.max_seq:
+            raise ValueError("request (+ speculative margin) exceeds max_seq")
+        rid = self.t.submit(prompt, max_new_tokens, temperature)
+        return rid
+
+    def step(self):
+        """Admit, then run one speculative round over all active slots.
+        Returns {req_id: [tokens accepted this round]}."""
+        from .batching import _decode_slots_impl
+
+        self._admit()
+        tgt, dft = self.t, self.d
+        active = [i for i, r in enumerate(tgt.slot_req) if r is not None]
+        if not active:
+            return {}
+        g = self.gamma
+        b = tgt.slots
+        sampled = {i: tgt.slot_req[i].temperature for i in active}
+
+        # --- draft proposes g tokens per slot (batched decode steps)
+        drafts = np.zeros((b, g), np.int64)
+        p_drafts: dict = {i: [] for i in active if sampled[i] > 0}
+        tok = dft.tokens.copy()
+        dpos = tgt.pos.copy()
+        for j in range(g):
+            logits, dft.cache = _decode_slots_impl(
+                dft.cfg, dft.params, dft.cache,
+                jnp.asarray(tok), jnp.asarray(dpos), dft.backend)
+            logits = np.asarray(logits, np.float32)
+            for i in active:
+                if sampled[i] > 0:
+                    pd = _softmax(logits[i], sampled[i])
+                    p_drafts[i].append(pd)
+                    t = int(self._rng.choice(pd.shape[0], p=pd))
+                else:
+                    t = int(np.argmax(logits[i]))
+                drafts[i, j] = t
+                tok[i] = t
+            dpos = dpos + 1
+
+        # --- target verifies every slot's [last, d_1..d_g] block at once
+        block = np.concatenate([tgt.tokens[:, None], drafts], axis=1)
+        logits, tgt.cache = extend_slots(
+            tgt.cfg, tgt.params, tgt.cache,
+            jnp.asarray(block, np.int32), jnp.asarray(tgt.pos), tgt.backend)
+        logits = np.asarray(logits, np.float32)       # [b, g+1, V]
+
+        out = {}
+        for i in active:
+            r = tgt.slot_req[i]
+            di = [int(x) for x in drafts[i]]
+            if sampled[i] > 0:
+                p_t = np.stack([_softmax(logits[i, j], sampled[i])
+                                for j in range(g + 1)])
+                new, a = verify_rejection(p_t, np.stack(p_drafts[i]), di,
+                                          self._rng)
+            else:
+                greedy = np.argmax(logits[i], axis=-1)
+                a = 0
+                while a < g and di[a] == int(greedy[a]):
+                    a += 1
+                new = di[:a] + [int(greedy[a])]
+            self.proposed += g
+            self.accepted += a
+            if self.eos_id >= 0 and self.eos_id in new:
+                new = new[:new.index(self.eos_id) + 1]
+            room = r.max_new_tokens - len(r.generated)
+            new = new[:room]
+            r.generated.extend(new)
+            out[r.req_id] = new
+            tgt.pos[i] += len(new)
+            dft.pos[i] = tgt.pos[i]
+            tgt.tokens[i] = dft.tokens[i] = new[-1]
+            if (len(r.generated) >= r.max_new_tokens
+                    or (self.eos_id >= 0 and new[-1] == self.eos_id)):
+                r.done = True
+                tgt.slot_req[i] = None
+                dft.slot_req[i] = None
+        return out
+
+    def run_all(self, max_steps: int = 10_000):
+        results = {}
+        tracked = {r.req_id: r for r in self.t.queue}
+        for _ in range(max_steps):
+            if (not self.t.queue
+                    and all(s is None for s in self.t.slot_req)):
+                break
+            for r in self.t.slot_req:
+                if r is not None:
+                    tracked.setdefault(r.req_id, r)
+            self.step()
+        return {rid: r.generated for rid, r in tracked.items()}
+
+    @property
+    def acceptance_rate(self) -> float:
+        return self.accepted / self.proposed if self.proposed else 0.0
+
+    # --------------------------------------------------------------- private
+    def _admit(self):
+        """Admit queued requests into free slots, prefilling BOTH caches."""
+        tgt, dft = self.t, self.d
+        for i in range(tgt.slots):
+            if tgt.slot_req[i] is not None or not tgt.queue:
+                continue
+            r = tgt.queue.pop(0)
+            n = len(r.prompt)
+            bucket = tgt._bucket(n)
+            padded = np.zeros(bucket, np.int32)
+            padded[:n] = r.prompt
+            from .batching import prefill_into_slot
+            logits, tgt.cache = prefill_into_slot(
+                tgt.cfg, tgt.params, tgt.cache,
+                jnp.asarray(padded[None, :]), i, tgt.backend)
+            _, dft.cache = prefill_into_slot(
+                dft.cfg, dft.params, dft.cache,
+                jnp.asarray(padded[None, :]), i, dft.backend)
+            if bucket == n:
+                if r.temperature > 0:
+                    p0 = _softmax(np.asarray(logits, np.float32),
+                                  r.temperature)
+                    first = int(self._rng.choice(p0.shape[0], p=p0))
+                else:
+                    first = int(np.argmax(np.asarray(logits)))
+                r.generated.append(first)
+                tgt.tokens[i] = dft.tokens[i] = first
+                tgt.pos[i] = dft.pos[i] = n
+                tgt.slot_req[i] = dft.slot_req[i] = r
+                if ((self.eos_id >= 0 and first == self.eos_id)
+                        or r.max_new_tokens <= 1):
+                    r.done = True
+                    tgt.slot_req[i] = dft.slot_req[i] = None
+            else:
+                # padded prefill: the round re-decodes token n-1 -> token n
+                tgt.tokens[i] = dft.tokens[i] = int(r.prompt[-1])
+                tgt.pos[i] = dft.pos[i] = n - 1
+                tgt.slot_req[i] = dft.slot_req[i] = r
+
+
+__all__ += ["SpeculativeBatchingEngine", "extend_slots"]

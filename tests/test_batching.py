@@ -121,3 +121,99 @@ def test_openai_server_with_batching(model, rng):
         assert out["choices"][0]["text"]
     finally:
         srv.shutdown()
+
+
+# --------------------------------------------------------------------------
+# Full-arch continuous batching: the slot decode runs the real layer_forward
+# with vector cache positions, so MoE routing, MLA absorbed decode, ALiBi and
+# sliding windows must all match the single-request engine bit-for-bit.
+def _parity_vs_engine(cfg, params, rng, vocab, lens=(6, 9, 12), new=5,
+                      engine_kwargs=None, batching_kwargs=None):
+    import jax.numpy as jnp
+    prompts = [rng.integers(1, vocab, size=(n,)).astype(np.int32)
+               for n in lens]
+    single = Engine(cfg, params, max_seq=64, **(engine_kwargs or {}))
+    expected = [single.generate(p, max_new_tokens=new)[0].tolist()
+                for p in prompts]
+    eng = BatchingEngine(cfg, params, slots=2, max_seq=64,
+                         prompt_buckets=(8, 16), **(batching_kwargs or {}))
+    ids = [eng.submit(p, max_new_tokens=new) for p in prompts]
+    out = eng.run_all()
+    for rid, exp in zip(ids, expected):
+        assert out[rid] == exp, (out[rid], exp)
+
+
+def test_batching_moe_mixtral(rng):
+    import torch
+    import transformers
+    from ganq_tpu.models import hf_import
+
+    hf_cfg = transformers.MixtralConfig(
+        vocab_size=128, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        num_local_experts=4, num_experts_per_tok=2,
+        max_position_embeddings=128)
+    torch.manual_seed(21)
+    cfg, params = hf_import.params_from_torch_model(
+        transformers.MixtralForCausalLM(hf_cfg))
+    _parity_vs_engine(cfg, params, rng, 128)
+
+
+def test_batching_mla_deepseek_absorbed(rng):
+    """MLA continuous batching on the compressed (absorbed-matmul) KV cache:
+    per-slot c/kpe scatter writes + absorbed decode attention."""
+    import torch
+    import transformers
+    from ganq_tpu.models import hf_import
+
+    hf_cfg = transformers.DeepseekV2Config(
+        vocab_size=128, hidden_size=32, intermediate_size=64,
+        moe_intermediate_size=32, num_hidden_layers=2,
+        num_attention_heads=2, num_key_value_heads=2,
+        q_lora_rank=16, kv_lora_rank=16, qk_nope_head_dim=16,
+        qk_rope_head_dim=8, v_head_dim=12, head_dim=8,
+        n_routed_experts=4, n_shared_experts=1, num_experts_per_tok=2,
+        topk_method="greedy", first_k_dense_replace=0,
+        max_position_embeddings=64)
+    torch.manual_seed(22)
+    cfg, params = hf_import.params_from_torch_model(
+        transformers.DeepseekV2ForCausalLM(hf_cfg))
+    assert cfg.mla
+    _parity_vs_engine(cfg, params, rng, 128,
+                      engine_kwargs={"mla_absorb": True},
+                      batching_kwargs={"mla_absorb": True})
+    _parity_vs_engine(cfg, params, rng, 128,
+                      engine_kwargs={"mla_absorb": False},
+                      batching_kwargs={"mla_absorb": False})
+
+
+def test_batching_sliding_window_gemma2(rng):
+    import torch
+    import transformers
+    from ganq_tpu.models import hf_import
+
+    hf_cfg = transformers.Gemma2Config(
+        vocab_size=128, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=2, num_attention_heads=2, num_key_value_heads=1,
+        head_dim=16, max_position_embeddings=64, query_pre_attn_scalar=16,
+        sliding_window=8)
+    torch.manual_seed(23)
+    cfg, params = hf_import.params_from_torch_model(
+        transformers.Gemma2ForCausalLM(hf_cfg))
+    # prompts longer than the window so the per-slot window overlay matters
+    _parity_vs_engine(cfg, params, rng, 128, lens=(10, 13, 16), new=6)
+
+
+def test_batching_alibi_bloom(rng):
+    import torch
+    import transformers
+    from ganq_tpu.models import hf_import
+
+    hf_cfg = transformers.BloomConfig(
+        vocab_size=128, hidden_size=32, n_layer=2, n_head=4,
+        hidden_dropout=0.0, attention_dropout=0.0)
+    torch.manual_seed(24)
+    cfg, params = hf_import.params_from_torch_model(
+        transformers.BloomForCausalLM(hf_cfg))
+    assert cfg.pos == "alibi"
+    _parity_vs_engine(cfg, params, rng, 128)

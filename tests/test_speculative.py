@@ -117,3 +117,64 @@ def test_sampled_speculative_runs_and_matches_vocab(rng):
                                   return_stats=True, seed=4)
     assert out2.shape == (1, 12)
     assert 0.0 <= stats2["acceptance_rate"] <= 1.0
+
+
+# --------------------------------------------------------------------------
+# Speculative rounds inside continuous batching
+from ganq_tpu.serve.batching import BatchingEngine  # noqa: E402
+from ganq_tpu.serve.speculative import SpeculativeBatchingEngine  # noqa: E402
+
+
+def test_spec_batching_greedy_matches_plain_batching(rng):
+    """Per-slot speculative rounds must reproduce the plain continuous-
+    batching greedy output token-for-token, at mixed prompt lengths (the
+    per-slot position vectors) and with more requests than slots."""
+    cfg, params = _model(31)
+    dcfg, dparams = _model(77, layers=1)      # weak independent draft
+    prompts = [rng.integers(1, 256, size=(n,)).astype(np.int32)
+               for n in (6, 9, 12, 8, 14)]
+
+    plain = BatchingEngine(cfg, params, slots=2, max_seq=64,
+                           prompt_buckets=(8, 16))
+    ids_p = [plain.submit(p, max_new_tokens=6) for p in prompts]
+    expected = plain.run_all()
+
+    spec = SpeculativeBatchingEngine(cfg, params, dcfg, dparams, slots=2,
+                                     max_seq=64, gamma=3,
+                                     prompt_buckets=(8, 16))
+    ids_s = [spec.submit(p, max_new_tokens=6) for p in prompts]
+    got = spec.run_all()
+    for rp, rs in zip(ids_p, ids_s):
+        assert expected[rp] == got[rs], (expected[rp], got[rs])
+    assert spec.proposed > 0
+
+
+def test_spec_batching_self_draft_high_acceptance(rng):
+    cfg, params = _model(32)
+    prompts = [rng.integers(1, 256, size=(8,)).astype(np.int32)
+               for _ in range(3)]
+    spec = SpeculativeBatchingEngine(cfg, params, cfg, params, slots=3,
+                                     max_seq=64, gamma=4,
+                                     prompt_buckets=(8,))
+    for p in prompts:
+        spec.submit(p, max_new_tokens=8)
+    out = spec.run_all()
+    assert all(len(t) == 8 for t in out.values())
+    # self-draft on near-flat random logits: >=0.5 (s=1 vs s=g+1 argmax
+    # near-tie flips); near 1.0 on a real checkpoint
+    assert spec.acceptance_rate >= 0.5
+
+
+def test_spec_batching_sampled_runs_and_respects_budget(rng):
+    cfg, params = _model(33)
+    dcfg, dparams = _model(78, layers=1)
+    spec = SpeculativeBatchingEngine(cfg, params, dcfg, dparams, slots=2,
+                                     max_seq=64, gamma=3,
+                                     prompt_buckets=(8,), seed=5)
+    r1 = spec.submit(rng.integers(1, 256, size=(8,)).astype(np.int32),
+                     max_new_tokens=7, temperature=0.8)
+    r2 = spec.submit(rng.integers(1, 256, size=(6,)).astype(np.int32),
+                     max_new_tokens=5, temperature=0.0)
+    out = spec.run_all()
+    assert len(out[r1]) == 7 and len(out[r2]) == 5
+    assert all(0 <= t < 256 for t in out[r1] + out[r2])
