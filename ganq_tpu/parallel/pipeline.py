@@ -45,12 +45,28 @@ from ..models.transformer import (ModelConfig, causal_mask, embed,
                                   layer_forward, rope_tables_all, unembed)
 
 
-def make_pipe_mesh(stages: int, devices=None) -> Mesh:
+def _bcast_psum(x: jax.Array, axis: str) -> jax.Array:
+    """Masked-broadcast psum. On the CPU backend, bf16 all-reduces inside a
+    partial-auto shard_map crash XLA's AllReducePromotion pass ("Invalid
+    binary instruction opcode copy"), so promote via f32 there; the roundtrip
+    is exact for pass-through values. TPU all-reduces bf16 natively."""
+    if x.dtype == jnp.bfloat16 and jax.default_backend() == "cpu":
+        return jax.lax.psum(x.astype(jnp.float32), axis).astype(jnp.bfloat16)
+    return jax.lax.psum(x, axis)
+
+
+def make_pipe_mesh(stages: int, model: int = 1, devices=None) -> Mesh:
+    """1-D ("pipe",) mesh, or 2-D ("pipe", "model") for PP x TP: each stage
+    owns ``model`` devices that tensor-shard the stage's weights."""
     devices = devices if devices is not None else jax.devices()
-    if len(devices) < stages:
-        raise ValueError(f"{stages} stages need {stages} devices, "
+    need = stages * model
+    if len(devices) < need:
+        raise ValueError(f"{stages}x{model} mesh needs {need} devices, "
                          f"have {len(devices)}")
-    return Mesh(np.asarray(devices[:stages]).reshape(stages), ("pipe",))
+    if model == 1:
+        return Mesh(np.asarray(devices[:stages]).reshape(stages), ("pipe",))
+    return Mesh(np.asarray(devices[:need]).reshape(stages, model),
+                ("pipe", "model"))
 
 
 def stage_stack(params: Dict[str, Any], n_stages: int):
@@ -94,11 +110,37 @@ class PipelineRunner:
                      rope_local=jnp.bool_(cfg.layer_window(i) is not None))
                 for i, lp in enumerate(params["layers"])]
         staged = stage_stack(params, S)
-        staged = jax.tree_util.tree_map(
-            lambda a: jax.device_put(a, NamedSharding(mesh, P("pipe"))),
-            staged)
+        tp = mesh.shape.get("model", 1)
+        if tp > 1:
+            # PP x TP: within each stage, weights are tensor-sharded over
+            # "model" per the TP policy (parallel/sharding.py), with the two
+            # stacking axes [S, L/S] prepended — "pipe" stays the manual
+            # shard_map axis, "model" is left to GSPMD inside the stage body
+            from .sharding import param_specs
+            ls0 = dict(param_specs(cfg, params, tp)["layers"][0])
+            for extra in ("window", "rope_local"):
+                if extra in params["layers"][0]:
+                    ls0[extra] = P()
+            leaves, treedef = jax.tree_util.tree_flatten(staged)
+            spec_leaves = treedef.flatten_up_to(ls0)
+            staged = jax.tree_util.tree_unflatten(treedef, [
+                jax.device_put(a, NamedSharding(
+                    mesh, P("pipe", None, *tuple(s))))
+                for a, s in zip(leaves, spec_leaves)])
+        else:
+            staged = jax.tree_util.tree_map(
+                lambda a: jax.device_put(a, NamedSharding(mesh, P("pipe"))),
+                staged)
         outer = {k: v for k, v in params.items() if k != "layers"}
         return cls(cfg, mesh, staged, outer, backend)
+
+    @property
+    def _shmap_kwargs(self) -> Dict[str, Any]:
+        """Manual over "pipe" only; any "model" axis stays under GSPMD
+        control inside the stage body (PP x TP composition)."""
+        if len(self.mesh.axis_names) > 1:
+            return {"axis_names": frozenset({"pipe"})}
+        return {}
 
     def forward(self, input_ids: jax.Array,
                 microbatches: Optional[int] = None) -> jax.Array:
@@ -160,7 +202,7 @@ class PipelineRunner:
             out0 = jax.lax.pvary(jnp.zeros_like(x_mb), "pipe")
             _, out_mb = jax.lax.fori_loop(0, M + S - 1, tick, (state0, out0))
             # results live on the last stage; masked psum broadcasts them
-            return jax.lax.psum(
+            return _bcast_psum(
                 jnp.where(idx == S - 1, out_mb, jnp.zeros_like(out_mb)),
                 "pipe")
 
@@ -171,7 +213,8 @@ class PipelineRunner:
             x_mb = x.reshape(M, mb, s, x.shape[-1])
             y_mb = shard_map(stage_fn, mesh=self.mesh,
                              in_specs=(P("pipe"), P()),
-                             out_specs=P())(staged, x_mb)
+                             out_specs=P(),
+                             **self._shmap_kwargs)(staged, x_mb)
             y = y_mb.reshape(b, s, -1)
             return unembed(cfg, outer, y)
 
@@ -281,7 +324,7 @@ class PipelineRunner:
                 state = jax.lax.ppermute(y, "pipe", perm)
                 # settle next_x onto every stage (stage 0 reads it next
                 # phase); re-mark varying so the fori carry types line up
-                next_x = jax.lax.pvary(jax.lax.psum(
+                next_x = jax.lax.pvary(_bcast_psum(
                     jnp.where(idx == S - 1, next_x,
                               jnp.zeros_like(next_x)), "pipe"), "pipe")
                 return caches, state, next_x, toks
@@ -332,7 +375,7 @@ class PipelineRunner:
                 toks = jax.lax.dynamic_update_index_in_dim(toks, tcur, m_out, 0)
                 state = jax.lax.ppermute(y, "pipe", perm)
                 # tokens + next_x must reach stage 0: settle via masked psum
-                next_x = jax.lax.pvary(jax.lax.psum(
+                next_x = jax.lax.pvary(_bcast_psum(
                     jnp.where(idx == S - 1, next_x,
                               jnp.zeros_like(next_x)), "pipe"), "pipe")
                 return caches, state, next_x, toks
@@ -352,7 +395,8 @@ class PipelineRunner:
             x_mb = x.reshape(M, mb, s, x.shape[-1])
             toks = shard_map(stage_fn, mesh=mesh,
                              in_specs=(P("pipe"), P(), P()),
-                             out_specs=P())(staged, outer_rep, x_mb)
+                             out_specs=P(),
+                             **self._shmap_kwargs)(staged, outer_rep, x_mb)
             return toks.reshape(b, N)
 
         with jax.set_mesh(mesh):

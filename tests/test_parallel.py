@@ -273,3 +273,40 @@ def test_pipeline_decode_resident_kv(rng):
         out = np.asarray(pr.generate_greedy(jnp.asarray(prompt), 5,
                                             microbatches=M))
         np.testing.assert_array_equal(out, ref)
+
+
+def test_pipeline_x_tensor_2d_mesh(rng):
+    """PP x TP composition: a ("pipe", "model") mesh with manual pipe hops
+    (shard_map axis_names={"pipe"}) and GSPMD tensor parallelism inside each
+    stage. Forward AND resident-KV decode must match the unsharded oracle."""
+    from ganq_tpu.parallel import pipeline
+    from ganq_tpu.serve.engine import Engine
+
+    hf_cfg = transformers.LlamaConfig(
+        vocab_size=128, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=4, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=64)
+    torch.manual_seed(101)
+    cfg, params = hf_import.params_from_torch_model(
+        transformers.LlamaForCausalLM(hf_cfg))
+    ids = jnp.asarray(rng.integers(0, 128, size=(8, 10)))
+    ref = np.asarray(transformer.forward(cfg, params, ids))
+
+    mesh = pipeline.make_pipe_mesh(4, model=2)
+    assert mesh.axis_names == ("pipe", "model")
+    runner = pipeline.PipelineRunner.build(cfg, params, mesh)
+    # a column-parallel weight must be split over BOTH axes: stage axis 0
+    # and the output-feature axis over "model"
+    wq = runner.staged["attn"]["q"].arrays["weight"]
+    shard = wq.sharding.shard_shape(wq.shape)
+    assert shard[0] == 1 and shard[2] == wq.shape[2] // 2
+
+    out = np.asarray(runner.forward(ids, microbatches=4))
+    np.testing.assert_allclose(out, ref, atol=3e-4, rtol=3e-4)
+
+    prompt = rng.integers(0, 128, size=(8, 8)).astype(np.int32)
+    ref_toks = Engine(cfg, params, max_seq=32).generate(prompt,
+                                                        max_new_tokens=5)
+    out_toks = np.asarray(runner.generate_greedy(jnp.asarray(prompt), 5,
+                                                 microbatches=4))
+    np.testing.assert_array_equal(out_toks, ref_toks)
