@@ -103,7 +103,19 @@ def params_from_state_dict(state: Dict[str, np.ndarray], hf_config: Dict[str, An
         params["final_norm"] = raw["final_norm"]
 
     lm = to_linear(raw.get("lm_head"))
-    if lm is not None and not cfg.tie_word_embeddings:
+    tied = cfg.tie_word_embeddings
+    if lm is not None and tied:
+        # composite configs (qwen2_vl) can report tie_word_embeddings=True
+        # in to_dict() while the model actually holds a DISTINCT lm_head —
+        # trust the tensors over the flag
+        emb_name = spec.name_map.get("embed_tokens.weight")
+        lm_name = spec.name_map.get("lm_head.weight")
+        if (emb_name in state and lm_name in state
+                and (state[lm_name].shape != state[emb_name].shape
+                     or not np.array_equal(np.asarray(state[lm_name]),
+                                           np.asarray(state[emb_name])))):
+            tied = False
+    if lm is not None and not tied:
         params["lm_head"] = lm
     # tied: unembed falls back to embed_tokens
 

@@ -556,6 +556,25 @@ register(ArchSpec(
 ))
 
 
+def _instella_config(hf: Dict[str, Any]) -> ModelConfig:
+    """Instella (AMD, modeling_instella.py remote code): the OLMo-2
+    architecture verbatim — post-sublayer norms + flat pre-reshape q/k
+    RMSNorms under the same model.layers.* names. The reference's definition
+    is olmo2's with only the layer_type renamed
+    (gptqmodel/models/definitions/instella.py vs olmo2.py)."""
+    import dataclasses as _dc
+    return _dc.replace(_olmo2_config(hf), model_type="instella")
+
+
+register(ArchSpec(
+    model_type="instella",
+    make_config=_instella_config,
+    name_map=OLMO2_NAME_MAP,
+    layer_modules=LLAMA_LAYER_MODULES,
+    module_slots=LLAMA_SLOTS,
+))
+
+
 # ------------------------------------------------------------------- stablelm
 def _stablelm_config(hf: Dict[str, Any]) -> ModelConfig:
     """StableLM: llama-style gated MLP but LayerNorm (with bias) and partial
@@ -1569,6 +1588,58 @@ register(ArchSpec(
     layer_modules=GPT2_LAYER_MODULES,
     module_slots=GPT2_SLOTS,
     layers_prefix="transformer.h",
+))
+
+
+# ------------------------------------------------------------------- qwen2_vl
+def _qwen2_vl_config(hf: Dict[str, Any]) -> ModelConfig:
+    """Qwen2-VL TEXT decoder (reference definitions/qwen2_vl.py): a qwen2
+    decoder (qkv biases) whose rope is "mrope" with temporal/height/width
+    sections. For text-only inputs all three mrope position streams are the
+    SAME sequence index, which makes mrope numerically identical to standard
+    rope — so the text decoder imports onto plain-rope qwen2 knobs exactly.
+    The vision tower (``visual.*``) is descoped (SURVEY §7.5): calibration
+    and serving are text-only."""
+    import dataclasses as _dc
+    base = _llama_config(hf)
+    rs = hf.get("rope_scaling")
+    # transformers normalizes {"type": "mrope"} to rope_type "default" while
+    # keeping mrope_section — either form is plain rope for text-only
+    if rs and (rs.get("rope_type", rs.get("type")) == "mrope"
+               or "mrope_section" in rs):
+        rs = None                       # text-only: mrope == plain rope
+    return _dc.replace(base, model_type="qwen2_vl", rope_scaling=rs)
+
+
+def _qwen2_vl_convert_state(state: Dict[str, Any],
+                            hf: Dict[str, Any]) -> Dict[str, Any]:
+    """Normalize the legacy flat layout (model.layers.* + visual.*) onto the
+    current nested one (model.language_model.*); visual tower keys are left
+    behind (unmapped keys are ignored by the importer)."""
+    if any(k.startswith("model.language_model.") for k in state):
+        return state
+    out = {}
+    for k, v in state.items():
+        if k.startswith("model.") and not k.startswith("model.visual"):
+            out["model.language_model." + k[len("model."):]] = v
+        else:
+            out[k] = v
+    return out
+
+
+QWEN2_VL_NAME_MAP = {
+    ours: theirs.replace("model.", "model.language_model.", 1)
+    for ours, theirs in LLAMA_NAME_MAP.items()
+}
+
+register(ArchSpec(
+    model_type="qwen2_vl",
+    make_config=_qwen2_vl_config,
+    name_map=QWEN2_VL_NAME_MAP,
+    convert_state=_qwen2_vl_convert_state,
+    layer_modules=LLAMA_LAYER_MODULES,
+    module_slots=LLAMA_SLOTS,
+    layers_prefix="model.language_model.layers",
 ))
 
 

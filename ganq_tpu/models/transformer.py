@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import dataclasses
 import math
+import os
 from typing import Any, Dict, Optional, Tuple
 
 import jax
@@ -759,13 +760,72 @@ def layer_forward(cfg: ModelConfig, lp: Dict[str, Any], x: jax.Array,
     b, s, _ = x.shape
     scale = cfg.attn_scale if cfg.attn_scale is not None else 1.0 / math.sqrt(cfg.head_dim)
 
+    # Fused attention-half decode fast path (ops/fused_attention.py): one
+    # kernel for norm+qkv+rope, one flash kernel for GQA cache attention —
+    # collapses ~20 small XLA ops per layer at decode (PERF.md). Gated to
+    # the scalar-position single-token w8a8 serving shape.
+    _plain_decode = (cache is not None and "k" in cache and s == 1
+                     and b <= 64 and not want_taps and not cfg.mla
+                     and cache_pos is not None
+                     and not isinstance(cache_pos, int)
+                     and getattr(cache_pos, "ndim", None) == 0
+                     and cfg.pos != "alibi" and cfg.attn_softcap is None
+                     and window is None and cfg.head_dim <= 128)
+    # fused norm+qkv+rope kernel: measured perf-NEUTRAL-to-slightly-negative
+    # on this tunneled chip (XLA already fuses the small ops it absorbs;
+    # see PERF.md round-1 addendum) — parity-complete, opt-in via env
+    use_fused_attn = False
+    if (_plain_decode and backend == "pallas_a8"
+            and "qkv" in lp["attn"] and lp["attn"]["qkv"].kind == "w8"
+            and "lora_a" not in lp["attn"]["qkv"].arrays
+            and cfg.clip_qkv is None and not cfg.qk_norm
+            and cfg.norm == "rmsnorm" and cfg.do_layer_norm_before
+            and not cfg.norm_after_sublayer and cfg.pos == "rope"
+            and os.environ.get("GANQ_FUSED_QKV", "0") != "0"):
+        from ..ops.fused_attention import qkv_fusable_tile
+        kvd = (lp["attn"]["qkv"]["w8"].shape[0] - cfg.q_dim) // 2
+        use_fused_attn = qkv_fusable_tile(cfg.q_dim, kvd,
+                                          cfg.head_dim) is not None
+    # flash decode attention: one kernel over the cache with online softmax;
+    # skips compute for blocks beyond the current position (long-context win).
+    # Default on for real TPU; off on the CPU backend (Mosaic kernels do not
+    # lower there) unless GANQ_FLASH_DECODE=1 forces it (interpret-mode tests)
+    _flash_env = os.environ.get("GANQ_FLASH_DECODE", "")
+    use_flash_decode = (_plain_decode and backend in ("pallas", "pallas_a8")
+                        and (_flash_env == "1"
+                             or (_flash_env != "0"
+                                 and jax.default_backend() != "cpu")))
+
     residual = x
     if cfg.norm_after_sublayer or not cfg.do_layer_norm_before:
         h = x
+    elif use_fused_attn:
+        h = x                     # rmsnorm folded into the fused qkv kernel
     else:
         h = apply_norm(lp["input_norm"], x, cfg.norm, cfg.norm_eps, cfg.rms_offset)
     cn = kpe = None
-    if cfg.mla:
+    if use_fused_attn:
+        from ..ops.fused_attention import fused_qkv_rope_w8a8
+        ap = lp["attn"]["qkv"]
+        rd = cfg.rotary_dim or cfg.head_dim
+        cos, sin = rope
+        if cfg.rope_interleaved:
+            cos_h, sin_h = cos[0, 0, 0::2], sin[0, 0, 0::2]
+        else:
+            cos_h, sin_h = cos[0, 0, :rd // 2], sin[0, 0, :rd // 2]
+        qkv_flat = fused_qkv_rope_w8a8(
+            x[:, 0, :], lp["input_norm"]["weight"], ap["w8"], ap["scale"],
+            ap.arrays.get("bias"), cos_h, sin_h,
+            q_dim=cfg.q_dim, kv_dim=kvd, head_dim=cfg.head_dim,
+            rotary_dim=rd, interleaved=cfg.rope_interleaved,
+            eps=cfg.norm_eps, rms_offset=cfg.rms_offset, fold_norm=True)
+        q = qkv_flat[:, None, :cfg.q_dim].reshape(
+            b, 1, cfg.num_attention_heads, cfg.head_dim)
+        k = qkv_flat[:, None, cfg.q_dim:cfg.q_dim + kvd].reshape(
+            b, 1, -1, cfg.head_dim)
+        v = qkv_flat[:, None, cfg.q_dim + kvd:].reshape(
+            b, 1, -1, cfg.head_dim)
+    elif cfg.mla:
         q, k, v, cn, kpe = _mla_qkv(cfg, lp["attn"], h, rope, backend,
                                     taps if want_taps else None)
     else:
@@ -828,7 +888,12 @@ def layer_forward(cfg: ModelConfig, lp: Dict[str, Any], x: jax.Array,
     flash_ok = (alibi is None and cfg.attn_softcap is None and not cfg.mla
                 and (window is None or (isinstance(window, int)
                                         and s <= window)))
-    if mla_compressed and not is_prefill:
+    if use_flash_decode:
+        from ..ops.fused_attention import flash_decode_attention
+        attn_out = flash_decode_attention(
+            q[:, 0], new_cache["k"], new_cache["v"], cache_pos,
+            scale)[:, None]
+    elif mla_compressed and not is_prefill:
         attn_out = _mla_absorbed_attention(cfg, lp["attn"]["absorb"], q,
                                            new_cache["c"], new_cache["kpe"],
                                            mask, scale)

@@ -225,12 +225,24 @@ class PipelineRunner:
     def generate_greedy(self, input_ids: jax.Array, max_new_tokens: int,
                         microbatches: Optional[int] = None,
                         max_seq: Optional[int] = None) -> jax.Array:
-        """Greedy decode with resident per-stage KV caches.
+        return self.generate(input_ids, max_new_tokens,
+                             microbatches=microbatches, max_seq=max_seq)
+
+    def generate(self, input_ids: jax.Array, max_new_tokens: int,
+                 microbatches: Optional[int] = None,
+                 max_seq: Optional[int] = None, temperature: float = 0.0,
+                 top_k: int = 0, top_p: float = 1.0,
+                 seed: int = 0) -> jax.Array:
+        """Decode with resident per-stage KV caches; greedy (temperature 0)
+        or sampled (temperature/top-k/top-p — the sample key is folded by
+        tick index, so every production event draws an independent key on
+        whichever stage produces it).
 
         input_ids [B, s] -> tokens [B, max_new_tokens]. B splits into M
         microbatches; decode ticks follow the fixed period-R schedule (see
-        module docstring). Correctness-first: single rope table, no sliding
-        windows (both raise), greedy sampling only."""
+        module docstring). Sliding-window / dual-rope / NoPE layers ride the
+        staged pytree as data (window + rope_local leaves); ALiBi models
+        work (bias computed inside layer_forward)."""
         cfg = self.cfg
         S = self.mesh.shape["pipe"]
         M = microbatches or S
@@ -238,11 +250,6 @@ class PipelineRunner:
         N = max_new_tokens
         if b % M:
             raise ValueError(f"batch {b} not divisible into {M} microbatches")
-        if cfg.sliding_window is not None or cfg.rope_local_theta is not None:
-            raise NotImplementedError("decode PP: sliding-window/dual-rope "
-                                      "models not supported yet")
-        if cfg.pos == "alibi":
-            raise NotImplementedError("decode PP: alibi models not yet")
         mb = b // M
         T = max_seq or min(cfg.max_position_embeddings, s + N)
         if s + N > T:
@@ -269,12 +276,28 @@ class PipelineRunner:
 
                 def body(x, lc_lp):
                     lc, lp = lc_lp
-                    y, new_lc, _ = layer_forward(cfg, lp, x, mask, rope,
+                    lp = dict(lp)
+                    win = lp.pop("window", None)
+                    sl = lp.pop("rope_local", None)
+                    r = rope
+                    if isinstance(rope, dict):  # dual rope rides the scan
+                        r = jax.tree_util.tree_map(
+                            lambda a_, b_: jnp.where(sl, a_, b_),
+                            rope["local"], rope["global"])
+                    y, new_lc, _ = layer_forward(cfg, lp, x, mask, r,
                                                  cache=lc, cache_pos=pos,
-                                                 backend=backend)
+                                                 backend=backend, window=win)
                     return y, new_lc
                 y, new_cache = jax.lax.scan(body, x, (cache_m, lp_stack))
                 return y, new_cache
+
+            def pick(logits, tick):
+                if temperature <= 0.0:
+                    return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+                from ..serve.engine import _sample
+                key = jax.random.fold_in(jax.random.PRNGKey(seed), tick)
+                return _sample(logits.astype(jnp.float32), key, temperature,
+                               top_k, top_p)
 
             def init_caches():
                 hkv, kd, vd = (cfg.kv_cache_heads, cfg.k_cache_dim,
@@ -311,7 +334,7 @@ class PipelineRunner:
                 m_out = jnp.clip(t - (S - 1), 0, M - 1)
                 produce = (idx == S - 1) & (t >= S - 1) & (t - (S - 1) < M)
                 logits = unembed(cfg, outer_rep, y[:, -1:, :])[:, 0]
-                tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+                tok = pick(logits, t)
                 upd = embed(cfg, outer_rep, tok[:, None],
                             jnp.full((mb, 1), s, jnp.int32))
                 nx_cur = jax.lax.dynamic_index_in_dim(next_x, m_out, 0, False)
@@ -361,7 +384,7 @@ class PipelineRunner:
                 produce = ((idx == S - 1) & (relp >= 0)
                            & (jnp.mod(relp, R) < M) & (k_out < N - 1))
                 logits = unembed(cfg, outer_rep, y)[:, 0]
-                tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+                tok = pick(logits, (M + S - 1) + t)
                 upd = embed(cfg, outer_rep, tok[:, None],
                             jnp.full((mb, 1), 0, jnp.int32) + s + k_out + 1)
                 nx_cur = jax.lax.dynamic_index_in_dim(next_x, m_out, 0, False)

@@ -1304,3 +1304,49 @@ def test_mla_absorbed_decode_matches_standard(rng):
     full_f = full["k"].size + full["v"].size
     assert comp["c"].shape == (1, 32, 16) and comp["kpe"].shape == (1, 32, 8)
     assert comp_f < full_f / 2
+
+
+def test_instella_parity(rng):
+    """Instella (AMD remote code): the OLMo-2 architecture verbatim under
+    model_type "instella" — the reference's definition is olmo2's with only
+    the layer_type renamed (definitions/instella.py). Olmo2 is the oracle."""
+    hf_cfg = transformers.Olmo2Config(
+        vocab_size=256, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=128, attention_dropout=0.0)
+    torch.manual_seed(81)
+    model = transformers.Olmo2ForCausalLM(hf_cfg)
+    cfg_dict = {"model_type": "instella", "vocab_size": 256,
+                "hidden_size": 64, "intermediate_size": 128,
+                "num_hidden_layers": 2, "num_attention_heads": 4,
+                "num_key_value_heads": 2, "rms_norm_eps": 1e-5,
+                "max_position_embeddings": 128}
+    ids = rng.integers(0, 256, size=(2, 16))
+    cfg, _ = _compare_state(cfg_dict, _np_state(model), model, ids)
+    assert cfg.norm_after_sublayer and cfg.qk_norm == "flat"
+
+
+def test_qwen2_vl_text_decoder_parity(rng):
+    """Qwen2-VL text decoder: qwen2 layers under model.language_model.*;
+    text-only mrope == plain rope. Oracle = the full HF VL model driven with
+    text-only input_ids; the visual tower is descoped (its keys are ignored
+    at import)."""
+    hf_cfg = transformers.Qwen2VLConfig(
+        vocab_size=256, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=128,
+        rope_scaling={"type": "mrope", "mrope_section": [4, 2, 2]},
+        vision_config={"depth": 2, "embed_dim": 32, "hidden_size": 32,
+                       "num_heads": 2, "in_chans": 3, "patch_size": 4,
+                       "spatial_merge_size": 1, "temporal_patch_size": 1})
+    torch.manual_seed(82)
+    model = transformers.Qwen2VLForConditionalGeneration(hf_cfg).eval().float()
+    ids = rng.integers(0, 256, size=(2, 16))
+    with torch.no_grad():
+        ref = model(torch.tensor(ids)).logits.numpy()
+    cfg, params = hf_import.params_from_torch_model(model)
+    out = np.asarray(transformer.forward(cfg, params, jnp.asarray(ids)))
+    np.testing.assert_allclose(out, ref, atol=3e-3, rtol=3e-3)
+    assert cfg.model_type == "qwen2_vl" and cfg.rope_scaling is None
+    assert "lm_head" in params        # untied despite the composite tie flag
+    assert "bias" in params["layers"][0]["attn"]["q"].arrays  # qkv biases

@@ -310,3 +310,66 @@ def test_pipeline_x_tensor_2d_mesh(rng):
     out_toks = np.asarray(runner.generate_greedy(jnp.asarray(prompt), 5,
                                                  microbatches=4))
     np.testing.assert_array_equal(out_toks, ref_toks)
+
+
+def test_pipeline_decode_sliding_window_gemma2(rng):
+    """Decode PP with per-layer sliding windows riding the staged pytree as
+    data (previously NotImplementedError)."""
+    from ganq_tpu.parallel.pipeline import PipelineRunner, make_pipe_mesh
+    from ganq_tpu.serve.engine import Engine
+
+    hf_cfg = transformers.Gemma2Config(
+        vocab_size=128, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=4, num_attention_heads=2, num_key_value_heads=1,
+        head_dim=16, max_position_embeddings=64, query_pre_attn_scalar=16,
+        sliding_window=8)
+    torch.manual_seed(103)
+    cfg, params = hf_import.params_from_torch_model(
+        transformers.Gemma2ForCausalLM(hf_cfg))
+    prompt = rng.integers(0, 128, size=(4, 12)).astype(np.int32)
+    ref = Engine(cfg, params, max_seq=32).generate(prompt, max_new_tokens=6)
+    pr = PipelineRunner.build(cfg, params, make_pipe_mesh(4))
+    out = np.asarray(pr.generate(jnp.asarray(prompt), 6, microbatches=4,
+                                 max_seq=32))
+    np.testing.assert_array_equal(out, ref)
+
+
+def test_pipeline_decode_alibi_bloom(rng):
+    from ganq_tpu.parallel.pipeline import PipelineRunner, make_pipe_mesh
+    from ganq_tpu.serve.engine import Engine
+
+    hf_cfg = transformers.BloomConfig(
+        vocab_size=128, hidden_size=32, n_layer=4, n_head=4,
+        hidden_dropout=0.0, attention_dropout=0.0)
+    torch.manual_seed(104)
+    cfg, params = hf_import.params_from_torch_model(
+        transformers.BloomForCausalLM(hf_cfg))
+    assert cfg.pos == "alibi"
+    prompt = rng.integers(0, 128, size=(4, 8)).astype(np.int32)
+    ref = Engine(cfg, params, max_seq=32).generate(prompt, max_new_tokens=5)
+    pr = PipelineRunner.build(cfg, params, make_pipe_mesh(4))
+    out = np.asarray(pr.generate(jnp.asarray(prompt), 5, microbatches=4,
+                                 max_seq=32))
+    np.testing.assert_array_equal(out, ref)
+
+
+def test_pipeline_decode_sampled(rng):
+    """Sampled decode PP: deterministic per seed, diverse across seeds, and
+    the temperature->0 path equals greedy."""
+    from ganq_tpu.parallel.pipeline import PipelineRunner, make_pipe_mesh
+
+    cfg, params = tiny8(4)
+    prompt = rng.integers(0, 256, size=(4, 8)).astype(np.int32)
+    pr = PipelineRunner.build(cfg, params, make_pipe_mesh(2))
+    greedy = np.asarray(pr.generate(jnp.asarray(prompt), 6, microbatches=4,
+                                    max_seq=32))
+    s1a = np.asarray(pr.generate(jnp.asarray(prompt), 6, microbatches=4,
+                                 max_seq=32, temperature=1.0, seed=1))
+    s1b = np.asarray(pr.generate(jnp.asarray(prompt), 6, microbatches=4,
+                                 max_seq=32, temperature=1.0, seed=1))
+    s2 = np.asarray(pr.generate(jnp.asarray(prompt), 6, microbatches=4,
+                                max_seq=32, temperature=1.0, seed=2))
+    np.testing.assert_array_equal(s1a, s1b)
+    assert (s1a != s2).any() and (s1a != greedy).any()
+    assert s1a.shape == greedy.shape and (s1a >= 0).all()
+    assert (s1a < cfg.vocab_size).all()
