@@ -23,7 +23,7 @@ import numpy as np
 
 from ..core.config import FORMAT, QUANT_METHOD, QuantizeConfig
 from ..models import hf_import
-from ..models.registry import ArchSpec, get_spec
+from ..models.registry import ArchSpec, get_spec, resolve_spec
 from ..models.transformer import ModelConfig
 from ..ops import qlinear
 from ..ops.packing import pack_int_rows
@@ -55,7 +55,7 @@ def save_quantized(save_dir: str, hf_config: Dict[str, Any], qcfg: QuantizeConfi
                    quant_log: Optional[List[Any]] = None,
                    max_shard_bytes: int = MAX_SHARD_BYTES) -> None:
     """Write a self-contained quantized checkpoint directory."""
-    spec = get_spec(hf_config["model_type"])
+    spec = resolve_spec(get_spec(hf_config["model_type"]), hf_config)
     cfg = spec.make_config(hf_config)
     spec = spec.expand(cfg.num_experts)
     os.makedirs(save_dir, exist_ok=True)
@@ -233,7 +233,7 @@ def load_quantized(model_dir: str, verify_hash: Optional[Dict[str, str]] = None
     """
     hf_config = hf_import.load_hf_config(model_dir)
     qcfg = QuantizeConfig.from_pretrained(model_dir)
-    spec = get_spec(hf_config["model_type"])
+    spec = resolve_spec(get_spec(hf_config["model_type"]), hf_config)
     cfg = spec.make_config(hf_config)
     spec = spec.expand(cfg.num_experts)
 

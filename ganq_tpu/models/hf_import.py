@@ -18,7 +18,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops import qlinear
-from .registry import get_spec
+from .registry import get_spec, resolve_spec
 from .transformer import ModelConfig
 
 
@@ -64,7 +64,7 @@ def _get_nested(params: Dict[str, Any], dotted: str, default=None):
 def params_from_state_dict(state: Dict[str, np.ndarray], hf_config: Dict[str, Any],
                            dtype=jnp.float32) -> Tuple[ModelConfig, Dict[str, Any]]:
     """Convert a HF state dict (numpy arrays) into (ModelConfig, params)."""
-    spec = get_spec(hf_config["model_type"])
+    spec = resolve_spec(get_spec(hf_config["model_type"]), hf_config)
     if spec.convert_state is not None:
         state = spec.convert_state(dict(state), hf_config)
     cfg = spec.make_config(hf_config)

@@ -16,7 +16,7 @@ knob tweaks — the TPU analog of the reference's subclassing-by-declaration.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass, field, replace as dataclasses_replace
 from typing import Any, Callable, Dict, List, Optional
 
 from .transformer import ModelConfig
@@ -38,6 +38,11 @@ class ArchSpec:
     module_slots: Dict[str, str] = field(default_factory=dict)
     lm_head_name: str = "lm_head"
     layers_prefix: str = "model.layers"
+    # wrapper/composite architectures (ovis: an LLM + a visual tokenizer)
+    # whose inner decoder type is only known from the config: called with the
+    # HF config dict at import/save/load time, returns the concrete spec
+    # (inner arch's name_map/make_config with the wrapper's model_type)
+    resolve: Optional[Callable[[Dict[str, Any]], "ArchSpec"]] = None
 
     def expand(self, num_experts: int) -> "ArchSpec":
         """Instantiate {e} expert templates (the reference's
@@ -89,6 +94,11 @@ def get_spec(model_type: str) -> ArchSpec:
         raise KeyError(
             f"Unsupported architecture '{model_type}'. Registered: {sorted(REGISTRY)}")
     return REGISTRY[model_type]
+
+
+def resolve_spec(spec: ArchSpec, hf_config: Dict[str, Any]) -> ArchSpec:
+    """Apply a wrapper spec's config-driven resolution (no-op otherwise)."""
+    return spec.resolve(hf_config) if spec.resolve is not None else spec
 
 
 # ---------------------------------------------------------------------- llama
@@ -1637,6 +1647,162 @@ register(ArchSpec(
     make_config=_qwen2_vl_config,
     name_map=QWEN2_VL_NAME_MAP,
     convert_state=_qwen2_vl_convert_state,
+    layer_modules=LLAMA_LAYER_MODULES,
+    module_slots=LLAMA_SLOTS,
+    layers_prefix="model.language_model.layers",
+))
+
+
+# --------------------------------------------------------------------- mllama
+def _mllama_config(hf: Dict[str, Any]) -> ModelConfig:
+    """Mllama (Llama-3.2-Vision) TEXT decoder (reference
+    definitions/mllama.py): llama layers under model.language_model.*, where
+    text_config.cross_attention_layers marks a subset of layers as gated
+    CROSS-attention layers against the vision tower. For text-only inputs HF
+    skips those layers entirely (modeling_mllama.py MllamaTextModel.forward:
+    "For text-only path we should skip cross attention layers"), so the
+    text-only decoder is exactly llama over the remaining self-attention
+    layers — ``convert_state`` drops the cross-attn layers and renumbers the
+    rest contiguously. Vision tower + multi_modal_projector are descoped
+    (SURVEY §7.5; calibration and serving are text-only). The embed table
+    carries vocab_size+8 image-special rows (harmless for lookup); lm_head
+    is always untied."""
+    import dataclasses as _dc
+    tc = dict(hf.get("text_config") or hf)
+    n_cross = len(tc.get("cross_attention_layers") or ())
+    base = _llama_config(tc)
+    return _dc.replace(
+        base, model_type="mllama",
+        num_hidden_layers=base.num_hidden_layers - n_cross,
+        tie_word_embeddings=False)
+
+
+def _mllama_convert_state(state: Dict[str, Any],
+                          hf: Dict[str, Any]) -> Dict[str, Any]:
+    """Drop gated cross-attention layers, renumber the self-attn layers
+    contiguously onto model.layers.*, and normalize the legacy flat layout
+    (language_model.model.* + language_model.lm_head) onto the nested one
+    first. Vision-tower keys fall through unmapped (ignored at import)."""
+    if any(k.startswith("language_model.model.") for k in state):
+        norm = {}
+        for k, v in state.items():
+            if k.startswith("language_model.model."):
+                norm["model.language_model."
+                     + k[len("language_model.model."):]] = v
+            elif k == "language_model.lm_head.weight":
+                norm["lm_head.weight"] = v
+            else:
+                norm[k] = v
+        state = norm
+    tc = hf.get("text_config") or hf
+    cross = set(tc.get("cross_attention_layers") or ())
+    new_idx = {}
+    for i in range(tc["num_hidden_layers"]):
+        if i not in cross:
+            new_idx[i] = len(new_idx)
+    out = {}
+    pre = "model.language_model.layers."
+    for k, v in state.items():
+        if k.startswith(pre):
+            i_str, _, tail = k[len(pre):].partition(".")
+            i = int(i_str)
+            if i in cross:
+                continue          # gated cross-attn layer: text-only skip
+            out[f"model.layers.{new_idx[i]}.{tail}"] = v
+        elif k.startswith("model.language_model."):
+            out["model." + k[len("model.language_model."):]] = v
+        else:
+            out[k] = v
+    return out
+
+
+register(ArchSpec(
+    model_type="mllama",
+    make_config=_mllama_config,
+    name_map=LLAMA_NAME_MAP,
+    convert_state=_mllama_convert_state,
+    layer_modules=LLAMA_LAYER_MODULES,
+    module_slots=LLAMA_SLOTS,
+))
+
+
+# ----------------------------------------------------------------- ovis/ovis2
+# Ovis (AIDC-AI, reference definitions/ovis.py): a wrapper holding an inner
+# LLM (``llm.*``: Llama, Gemma2 or Qwen2 per release) plus a visual tokenizer
+# + visual-token embedding (``visual_tokenizer``/``vte`` — descoped, SURVEY
+# §7.5: text-only). The inner decoder type is only known from the config, so
+# the spec RESOLVES per config: the inner arch's name_map/make_config under
+# the wrapper's model_type. Text-only forward is exactly the inner decoder.
+def _ovis_llm_config(hf: Dict[str, Any]) -> Dict[str, Any]:
+    return dict(hf.get("llm_config") or hf.get("text_config") or hf)
+
+
+def _ovis_convert_state(state: Dict[str, Any],
+                        hf: Dict[str, Any]) -> Dict[str, Any]:
+    """llm.model.* -> model.*, llm.lm_head -> lm_head; visual_tokenizer/vte
+    keys pass through unmapped (ignored at import)."""
+    return {(k[len("llm."):] if k.startswith("llm.") else k): v
+            for k, v in state.items()}
+
+
+def _ovis_resolve(hf: Dict[str, Any]) -> ArchSpec:
+    import dataclasses as _dc
+    tc = _ovis_llm_config(hf)
+    mt = tc.get("model_type", "llama")
+    # a flat re-synthesized config (from_torch_model save path) carries the
+    # wrapper's own model_type — fall back to the default inner decoder
+    inner = get_spec("llama" if mt == "ovis" else mt)
+
+    def conv(state, hfc, _inner=inner):
+        state = _ovis_convert_state(state, hfc)
+        if _inner.convert_state is not None:
+            state = _inner.convert_state(state, _ovis_llm_config(hfc))
+        return state
+
+    def mk(_hf, _inner=inner, _tc=tc):
+        return dataclasses_replace(_inner.make_config(_tc),
+                                   model_type="ovis")
+
+    return _dc.replace(inner, model_type="ovis", make_config=mk,
+                       convert_state=conv, resolve=None)
+
+
+def _ovis2_resolve(hf: Dict[str, Any]) -> ArchSpec:
+    """Ovis2 (transformers-native): the inner decoder (qwen2 in all released
+    checkpoints) lives under ``model.language_model.*`` with a top-level
+    untied lm_head; the composite config reports tie_word_embeddings=True
+    while text_config says False — trust the text config + tensors."""
+    import dataclasses as _dc
+    tc = dict(hf.get("text_config") or hf)
+    mt = tc.get("model_type", "qwen2")
+    inner = get_spec("qwen2" if mt == "ovis2" else mt)
+    name_map = {ours: theirs.replace("model.", "model.language_model.", 1)
+                for ours, theirs in inner.name_map.items()}
+
+    def mk(_hf, _inner=inner, _tc=tc):
+        return dataclasses_replace(
+            _inner.make_config(_tc), model_type="ovis2",
+            tie_word_embeddings=bool(_tc.get("tie_word_embeddings", False)))
+
+    return _dc.replace(inner, model_type="ovis2", make_config=mk,
+                       name_map=name_map, convert_state=None, resolve=None,
+                       layers_prefix="model.language_model.layers")
+
+
+register(ArchSpec(
+    model_type="ovis",
+    make_config=lambda hf: _ovis_resolve(hf).make_config(hf),
+    resolve=_ovis_resolve,
+    name_map=LLAMA_NAME_MAP,
+    layer_modules=LLAMA_LAYER_MODULES,
+    module_slots=LLAMA_SLOTS,
+))
+
+register(ArchSpec(
+    model_type="ovis2",
+    make_config=lambda hf: _ovis2_resolve(hf).make_config(hf),
+    resolve=_ovis2_resolve,
+    name_map=LLAMA_NAME_MAP,
     layer_modules=LLAMA_LAYER_MODULES,
     module_slots=LLAMA_SLOTS,
     layers_prefix="model.language_model.layers",

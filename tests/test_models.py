@@ -1326,6 +1326,141 @@ def test_instella_parity(rng):
     assert cfg.norm_after_sublayer and cfg.qk_norm == "flat"
 
 
+def test_ovis2_text_decoder_parity(rng):
+    """Ovis2 (AIDC-AI, transformers-native): a qwen2 decoder under
+    model.language_model.* with a top-level untied lm_head; the visual tower
+    is descoped. The wrapper spec RESOLVES to the inner arch per config."""
+    hf_cfg = transformers.Ovis2Config(
+        text_config={"model_type": "qwen2", "vocab_size": 128,
+                     "hidden_size": 64, "intermediate_size": 128,
+                     "num_hidden_layers": 2, "num_attention_heads": 4,
+                     "num_key_value_heads": 2,
+                     "max_position_embeddings": 128,
+                     "tie_word_embeddings": False},
+        vision_config={"hidden_size": 32, "num_hidden_layers": 1,
+                       "num_attention_heads": 2, "image_size": 32,
+                       "patch_size": 16, "intermediate_size": 64,
+                       "hidden_stride": 1, "vocab_size": 16},
+        image_token_id=120, visual_indicator_token_ids=[121, 122, 123,
+                                                        124, 125],
+        vocab_size=128, hidden_size=64)
+    torch.manual_seed(84)
+    model = transformers.Ovis2ForConditionalGeneration(hf_cfg).eval().float()
+    ids = rng.integers(1, 120, size=(2, 16))
+    with torch.no_grad():
+        ref = model(input_ids=torch.tensor(ids)).logits.numpy()
+    cfg, params = hf_import.params_from_torch_model(model)
+    out = np.asarray(transformer.forward(cfg, params, jnp.asarray(ids)))
+    np.testing.assert_allclose(out, ref, atol=3e-3, rtol=3e-3)
+    assert cfg.model_type == "ovis2"
+    assert "lm_head" in params                         # untied
+    assert "bias" in params["layers"][0]["attn"]["q"].arrays  # qwen2 biases
+
+
+def test_ovis_legacy_gemma2_llm_parity(rng):
+    """Legacy Ovis 1.6 (remote code): inner LLM under ``llm.*`` — the spec
+    resolves by llm_config.model_type. Gemma2 is the hard inner case (its
+    sandwich-norm name map conflicts with llama's); oracle = a local
+    Gemma2ForCausalLM whose weights are refactored into the ovis layout
+    (the established remote-code test pattern)."""
+    hf_cfg = transformers.Gemma2Config(
+        vocab_size=128, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=2, num_attention_heads=2, num_key_value_heads=1,
+        head_dim=16, max_position_embeddings=64, query_pre_attn_scalar=16,
+        sliding_window=16)
+    torch.manual_seed(85)
+    model = transformers.Gemma2ForCausalLM(hf_cfg).eval().float()
+    ids = rng.integers(0, 128, size=(2, 12))
+    with torch.no_grad():
+        ref = model(torch.tensor(ids)).logits.numpy()
+    state = {"llm." + k: v.detach().numpy()
+             for k, v in model.state_dict().items()}
+    state["vte.weight"] = np.zeros((4, 32), np.float32)  # ignored
+    ovis_cfg = {"model_type": "ovis",
+                "llm_config": {"model_type": "gemma2",
+                               **hf_cfg.to_dict()}}
+    cfg, params = hf_import.params_from_state_dict(state, ovis_cfg)
+    out = np.asarray(transformer.forward(cfg, params, jnp.asarray(ids)))
+    np.testing.assert_allclose(out, ref, atol=3e-3, rtol=3e-3)
+    assert cfg.model_type == "ovis" and cfg.sandwich_norm
+    assert "post_attn_norm" in params["layers"][0]     # gemma2 norms mapped
+
+
+def test_ovis2_quantize_save_load_roundtrip(rng, tmp_path):
+    """Wrapper-arch (resolve-hook) checkpoint IO: quantize the ovis2 text
+    decoder, save, reload — the resolved spec must drive both the writer's
+    HF-name mapping and the loader's packed-module reconstruction."""
+    from ganq_tpu import GanqModel, QuantizeConfig
+
+    hf_cfg = transformers.Ovis2Config(
+        text_config={"model_type": "qwen2", "vocab_size": 128,
+                     "hidden_size": 64, "intermediate_size": 128,
+                     "num_hidden_layers": 2, "num_attention_heads": 4,
+                     "num_key_value_heads": 2,
+                     "max_position_embeddings": 128,
+                     "tie_word_embeddings": False},
+        vision_config={"hidden_size": 32, "num_hidden_layers": 1,
+                       "num_attention_heads": 2, "image_size": 32,
+                       "patch_size": 16, "intermediate_size": 64,
+                       "hidden_stride": 1, "vocab_size": 16},
+        image_token_id=120, visual_indicator_token_ids=[121, 122, 123,
+                                                        124, 125],
+        vocab_size=128, hidden_size=64)
+    torch.manual_seed(86)
+    model = transformers.Ovis2ForConditionalGeneration(hf_cfg).eval().float()
+    qcfg = QuantizeConfig(bits=4, quant_method="ganq", ganq_iterations=2,
+                          act_sort="asc", l_damp_style="ganq", dead="mean")
+    m = GanqModel.from_torch_model(model, qcfg)
+    calib = [rng.integers(1, 120, size=(32,)).astype(np.int32)
+             for _ in range(2)]
+    logrows = m.quantize(calib, batch_size=1)
+    assert len(logrows) == 14  # 7 linears x 2 layers
+
+    d = str(tmp_path / "q")
+    m.save(d)
+    m2 = GanqModel.load(d)
+    assert m2.quantized and m2.cfg.model_type == "ovis2"
+    prompt = rng.integers(1, 120, size=(1, 8)).astype(np.int32)
+    a = m.generate(prompt, max_new_tokens=4, max_seq=64)
+    m2.backend = "reference"
+    b = m2.generate(prompt, max_new_tokens=4, max_seq=64)
+    assert np.mean(a == b) >= 0.75
+
+
+def test_mllama_text_decoder_parity(rng):
+    """Mllama (Llama-3.2-Vision) text decoder: cross-attention layers are
+    dropped at import (HF skips them for text-only input), the remaining
+    self-attn layers renumber onto a plain llama decoder. Oracle = the full
+    HF VL model driven text-only."""
+    hf_cfg = transformers.MllamaConfig(
+        text_config={"vocab_size": 128, "hidden_size": 64,
+                     "intermediate_size": 128, "num_hidden_layers": 4,
+                     "num_attention_heads": 4, "num_key_value_heads": 2,
+                     "max_position_embeddings": 128,
+                     "cross_attention_layers": [1, 3],
+                     "rope_scaling": {"rope_type": "default"},
+                     "pad_token_id": 0, "bos_token_id": 1,
+                     "eos_token_id": 2},
+        vision_config={"hidden_size": 32, "num_hidden_layers": 1,
+                       "num_global_layers": 1, "num_attention_heads": 2,
+                       "image_size": 32, "patch_size": 16, "max_num_tiles": 4,
+                       "intermediate_size": 64, "vision_output_dim": 32,
+                       "intermediate_layers_indices": [0]})
+    torch.manual_seed(83)
+    model = transformers.MllamaForConditionalGeneration(hf_cfg).eval().float()
+    ids = rng.integers(1, 128, size=(2, 16))
+    with torch.no_grad():
+        ref = model(input_ids=torch.tensor(ids)).logits.numpy()
+    cfg, params = hf_import.params_from_torch_model(model)
+    out = np.asarray(transformer.forward(cfg, params, jnp.asarray(ids)))
+    np.testing.assert_allclose(out, ref, atol=3e-3, rtol=3e-3)
+    assert cfg.model_type == "mllama"
+    assert cfg.num_hidden_layers == 2          # 4 layers minus 2 cross-attn
+    assert len(params["layers"]) == 2
+    assert "lm_head" in params                 # untied (embed has +8 rows)
+    assert params["embed_tokens"]["weight"].shape[0] == 128 + 8
+
+
 def test_qwen2_vl_text_decoder_parity(rng):
     """Qwen2-VL text decoder: qwen2 layers under model.language_model.*;
     text-only mrope == plain rope. Oracle = the full HF VL model driven with
