@@ -283,7 +283,8 @@ def load_quantized(model_dir: str, verify_hash: Optional[Dict[str, str]] = None
             if ql is not None:
                 hf_import.set_module(params, li, slot, ql)
 
-    ql = build_qlinear(spec.lm_head_name, qcfg.bits)
+    eff = qcfg.for_module(spec.lm_head_name)
+    ql = build_qlinear(spec.lm_head_name, eff.bits if eff else qcfg.bits)
     if ql is not None:
         params["lm_head"] = ql
 

@@ -26,6 +26,7 @@ from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .packing import pack_int_rows, unpack_int_rows
 
@@ -121,16 +122,39 @@ def uniform_linear(qidx: jax.Array, scale: jax.Array, zero: jax.Array,
                    g_idx: jax.Array, bits: int,
                    bias: Optional[jax.Array] = None) -> QLinear:
     """Packed uniform linear. qidx [out, in] int codes; scale/zero
-    [out, n_groups]; g_idx [in] maps input column -> group."""
+    [out, n_groups]; g_idx [in] maps input column -> group.
+
+    A trivially-sequential g_idx (``k // group_size`` — every non-desc_act
+    checkpoint) is OMITTED from the arrays: sequentiality then becomes
+    pytree-STRUCTURAL, so the fused-kernel dispatch in
+    :func:`uniform_matmul` stays decidable under jit (a traced g_idx cannot
+    be inspected at trace time). ``uniform_g_idx`` reconstructs it."""
     arrays = {
         "qweight": pack_int_rows(qidx, bits),
         "scales": scale.astype(jnp.float32),
         "zeros": zero.astype(jnp.float32),
-        "g_idx": g_idx.astype(jnp.int32),
     }
+    if isinstance(g_idx, jax.core.Tracer):
+        arrays["g_idx"] = g_idx.astype(jnp.int32)   # unknown: keep dynamic
+    else:
+        K = qidx.shape[1]
+        n_groups = scale.shape[1]
+        gs = -(-K // max(n_groups, 1))
+        if not np.array_equal(np.asarray(g_idx), np.arange(K) // gs):
+            arrays["g_idx"] = jnp.asarray(g_idx, jnp.int32)
     if bias is not None:
         arrays["bias"] = bias
     return QLinear("uniform", arrays, bits=bits, in_features=qidx.shape[1])
+
+
+def uniform_g_idx(p: QLinear) -> jax.Array:
+    """The column->group map for a uniform linear (reconstructed when the
+    sequential map was omitted at construction)."""
+    if "g_idx" in p.arrays:
+        return p["g_idx"]
+    n_groups = p["scales"].shape[1]
+    gs = -(-p.in_features // max(n_groups, 1))
+    return jnp.arange(p.in_features, dtype=jnp.int32) // gs
 
 
 # ----------------------------------------------------------- reference dequant
@@ -145,8 +169,9 @@ def dequantize_weight(p: QLinear) -> jax.Array:
         return jnp.take_along_axis(p["lut"].astype(jnp.float32), idx, axis=1)
     if p.kind == "uniform":
         qidx = unpack_int_rows(p["qweight"], p.bits, p.in_features)
-        scale = p["scales"][:, p["g_idx"]]          # [out, in]
-        zero = p["zeros"][:, p["g_idx"]]
+        gi = uniform_g_idx(p)
+        scale = p["scales"][:, gi]                  # [out, in]
+        zero = p["zeros"][:, gi]
         return scale * (qidx.astype(jnp.float32) - zero)
     if p.kind == "w8":
         w = p["w8"].astype(jnp.float32) * p["scale"]
@@ -172,7 +197,8 @@ def apply(p: QLinear, x: jax.Array, backend: str = "reference") -> jax.Array:
                 y = w8_matmul.w8_matmul(x, p["w8"], p["scale"])
         else:
             y = uniform_matmul.uniform_matmul(
-                x, p["qweight"], p["scales"], p["zeros"], p["g_idx"], p.bits)
+                x, p["qweight"], p["scales"], p["zeros"],
+                p.arrays.get("g_idx"), p.bits)
     else:
         raise ValueError(f"unknown backend: {backend}")
     if "lora_a" in p:  # EoRA low-rank correction (adapter/eora.py)

@@ -72,7 +72,14 @@ def _uniform_kernel(x_ref, qw_ref, s_ref, z_ref, o_ref, *, width: int, gs: int):
     o_ref[:] = acc.astype(o_ref.dtype)
 
 
-def _sequential_groups(g_idx: jax.Array, gs: int, K: int) -> bool:
+def _sequential_groups(g_idx, gs: int, K: int) -> bool:
+    """None = sequential by construction (qlinear.uniform_linear omits the
+    trivial map so this stays decidable under jit). A traced g_idx cannot be
+    inspected at trace time — treat as permuted (reference fallback)."""
+    if g_idx is None:
+        return True
+    if isinstance(g_idx, jax.core.Tracer):
+        return False
     expect = np.arange(K) // gs
     return bool(np.array_equal(np.asarray(g_idx), expect))
 
@@ -135,6 +142,9 @@ def uniform_matmul(x: jax.Array, qweight: jax.Array, scales: jax.Array,
 
 def uniform_matmul_reference(x, qweight, scales, zeros, g_idx, bits):
     K = x.shape[-1]
+    if g_idx is None:
+        gs = -(-K // max(scales.shape[1], 1))
+        g_idx = jnp.arange(K, dtype=jnp.int32) // gs
     qidx = unpack_int_rows(qweight, bits, K)
     w = scales[:, g_idx] * (qidx.astype(jnp.float32) - zeros[:, g_idx])
     return jnp.dot(x, w.T.astype(x.dtype))

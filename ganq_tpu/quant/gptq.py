@@ -67,7 +67,10 @@ def _gptq_core(W: jax.Array, Hinv: jax.Array, perm: Optional[jax.Array], *,
     """
     m, n = W.shape
     maxq = 2**bits - 1
-    gs = group_size if group_size != -1 else n
+    # group_size larger than the module width (e.g. the injected lm_head
+    # g32 default on a tiny model, or g128 on a 64-wide projection) degrades
+    # to a single group — reference find_params sees the same columns
+    gs = min(group_size, n) if group_size != -1 else n
     n_groups = -(-n // gs)
 
     scales = jnp.zeros((m, n_groups), dtype=jnp.float32)
@@ -184,7 +187,7 @@ def gptq_quantize(W: jax.Array, H: jax.Array, qcfg: QuantizeConfig,
     )
 
     n = W.shape[1]
-    gs = qcfg.group_size if qcfg.group_size != -1 else n
+    gs = min(qcfg.group_size, n) if qcfg.group_size != -1 else n
 
     if use_perm_groups:
         g_idx = np.asarray(prep.perm) // gs

@@ -313,8 +313,25 @@ def quantize_model(
 
     # ---- optional lm_head pass (inputs go through the final norm,
     #      reference base.py:1300-1310)
+    if qcfg.lm_head and "lm_head" not in params:
+        # reference module_looper.py:131-135: tied lm_head cannot be
+        # quantized independently of the embedding — fail loudly
+        raise NotImplementedError(
+            "lm_head quantization requires untied weights "
+            "(tie_word_embeddings=False)")
     if qcfg.lm_head and "lm_head" in params:
-        eff = qcfg.for_module(spec.lm_head_name) or qcfg
+        if qcfg.for_module(spec.lm_head_name) is qcfg:
+            # no dynamic rule matched: the reference injects (and PERSISTS
+            # into the config, so the loader sees the right bits) a
+            # conservative 8-bit/g32 default for the accuracy-critical
+            # lm_head rather than the layer config (module_looper.py:145-150)
+            import re as _re
+            qcfg.dynamic = {**(qcfg.dynamic or {}),
+                            f"+:{_re.escape(spec.lm_head_name)}$": {
+                                "bits": 8, "group_size": 32, "sym": True,
+                                "desc_act": False, "mse": 2.4}}
+    if (qcfg.lm_head and "lm_head" in params
+            and (eff := qcfg.for_module(spec.lm_head_name)) is not None):
         acc = HessianAccumulator(cfg.hidden_size if cfg.word_embed_proj_dim is None
                                  else cfg.word_embed_proj_dim)
         for x in acts:

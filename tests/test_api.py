@@ -64,6 +64,46 @@ def test_quantize_save_load_generate(rng, tmp_path):
     assert np.mean(a == b) >= 0.75
 
 
+def test_lm_head_quantization(rng, tmp_path):
+    """lm_head=True (reference test_lm_head.py): quantizes the untied head
+    with the injected 8-bit/g32 default rule, persists the rule into the
+    saved dynamic config so the loader unpacks at the right width, and the
+    checkpoint round-trips. Tied models fail loudly."""
+    qcfg = QuantizeConfig(bits=4, quant_method="gptq", lm_head=True)
+    m = GanqModel.from_torch_model(tiny_model(31), qcfg)
+    calib = [rng.integers(1, 256, size=(48,)).astype(np.int32)
+             for _ in range(4)]
+    logrows = m.quantize(calib, batch_size=2)
+    assert len(logrows) == 15                    # 7 x 2 layers + lm_head
+    head_rows = [r for r in logrows if r.module == "lm_head"]
+    assert head_rows and head_rows[0].layer == -1
+    assert m.qcfg.dynamic and any("lm_head" in k for k in m.qcfg.dynamic)
+
+    d = str(tmp_path / "q")
+    m.save(d)
+    m2 = GanqModel.load(d)
+    assert m2.params["lm_head"].kind == "uniform"
+    assert m2.params["lm_head"].bits == 8       # injected default, not 4
+    assert m2.params["layers"][0]["attn"]["q"].bits == 4
+    prompt = rng.integers(1, 256, size=(1, 8)).astype(np.int32)
+    a = m.generate(prompt, max_new_tokens=4, max_seq=64)
+    m2.backend = "reference"
+    b = m2.generate(prompt, max_new_tokens=4, max_seq=64)
+    assert np.mean(a == b) >= 0.75
+
+    # tied embeddings: loud failure (reference module_looper.py:131-135)
+    tied_cfg = transformers.LlamaConfig(
+        vocab_size=256, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=256, tie_word_embeddings=True)
+    torch.manual_seed(32)
+    mt = GanqModel.from_torch_model(
+        transformers.LlamaForCausalLM(tied_cfg),
+        QuantizeConfig(bits=4, quant_method="gptq", lm_head=True))
+    with pytest.raises(NotImplementedError):
+        mt.quantize(calib[:2], batch_size=1)
+
+
 def test_prepare_dataset_modes(rng):
     tok = CharTokenizer()
     data = ["hello world", {"input_ids": list(range(1, 21))},
