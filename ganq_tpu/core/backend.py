@@ -45,8 +45,8 @@ class Capability:
 
 
 CAPABILITIES: List[Capability] = [
-    Capability(BACKEND.PALLAS_A8, requires_tpu=True, kinds=("w8", "dense"),
-               bits=(8, 16)),
+    Capability(BACKEND.PALLAS_A8, requires_tpu=True,
+               kinds=("w8", "uniform", "dense"), bits=(4, 8, 16)),
     # the fused kernels are total: unaligned shapes / desc_act g_idx
     # silently take the in-module XLA reference path, so no shape predicate
     Capability(BACKEND.PALLAS, requires_tpu=True,

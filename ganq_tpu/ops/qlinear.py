@@ -195,6 +195,12 @@ def apply(p: QLinear, x: jax.Array, backend: str = "reference") -> jax.Array:
                 y = w8_matmul.w8a8_matmul(x, p["w8"], p["scale"])
             else:
                 y = w8_matmul.w8_matmul(x, p["w8"], p["scale"])
+        elif backend == "pallas_a8":
+            # true W4A8: packed int4 straight to the int8 MXU (QQQ-kernel
+            # equivalent) — half the weight HBM traffic of the w8 path
+            y = uniform_matmul.uniform_a8_matmul(
+                x, p["qweight"], p["scales"], p["zeros"],
+                p.arrays.get("g_idx"), p.bits)
         else:
             y = uniform_matmul.uniform_matmul(
                 x, p["qweight"], p["scales"], p["zeros"],
@@ -210,13 +216,22 @@ def apply(p: QLinear, x: jax.Array, backend: str = "reference") -> jax.Array:
 
 
 def recode_w8(p: QLinear) -> QLinear:
-    """LUT linear -> per-row-affine int8 linear (load-time fast serving path,
-    see ops/w8_matmul.py). Non-LUT kinds pass through unchanged."""
-    if p.kind != "lut":
+    """LUT or uniform linear -> per-row int8 linear (load-time fast serving
+    path, see ops/w8_matmul.py). Recode error is bounded by rowrange/254 —
+    the decode-throughput/accuracy trade the user opts into via
+    ``optimize()``; the exact kinds keep their own fused kernels otherwise.
+    Other kinds pass through unchanged."""
+    if p.kind == "lut":
+        from .w8_matmul import recode_lut_to_int8
+        w8, scale = recode_lut_to_int8(p["lut"], p["idx_packed"], p.bits,
+                                       p.in_features)
+    elif p.kind == "uniform":
+        w = dequantize_weight(p)                     # [out, in] f32
+        amax = jnp.max(jnp.abs(w), axis=1, keepdims=True)
+        scale = jnp.maximum(amax, 1e-12) / 127.0
+        w8 = jnp.clip(jnp.round(w / scale), -127, 127).astype(jnp.int8)
+    else:
         return p
-    from .w8_matmul import recode_lut_to_int8
-    w8, scale = recode_lut_to_int8(p["lut"], p["idx_packed"], p.bits,
-                                   p.in_features)
     arrays = {"w8": w8, "scale": scale}
     if "bias" in p:
         arrays["bias"] = p["bias"]

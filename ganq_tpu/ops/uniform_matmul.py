@@ -140,6 +140,149 @@ def uniform_matmul(x: jax.Array, qweight: jax.Array, scales: jax.Array,
     return out.reshape(*x.shape[:-1], M)
 
 
+# ------------------------------------------------------------------- W4A8
+def _uniform_a8_kernel(x_ref, qw_ref, s_ref, z_ref, o_ref, codes_s, x8_s,
+                       *, width: int, gs: int):
+    """True W4A8 GEMM (the QQQ-kernel equivalent, ``gptqmodel_ext/qqq/``):
+    int4 codes stream PACKED from HBM (half the bytes of the w8 path),
+    unpack to int8 with one shift+mask, and feed the int8xint8 MXU per
+    group segment; the affine correction moves to the output side exactly:
+
+        y = sx * Σ_g s_g * ( x8 · q_g  -  z_g * Σ(x8)_g )
+
+    so the only approximation is the per-token activation quantization
+    (same as w8a8). Segments are group-aligned (the uniform_matmul planar
+    segment logic), so s_g/z_g are rank-1 [TM] broadcasts."""
+    x = x_ref[:].astype(jnp.float32)                        # [TB, K]
+    sx = jnp.maximum(jnp.max(jnp.abs(x), axis=1, keepdims=True) / 127.0,
+                     1e-12)
+    x8 = jnp.clip(jnp.round(x / sx), -127, 127).astype(jnp.int8)
+    packed = qw_ref[:]
+    tb = x.shape[0]
+    tm = packed.shape[0]
+    K = 8 * width
+    # one shift+mask per plane; planar planes are contiguous column spans,
+    # so writing them side by side rebuilds original column order. The
+    # unpacked codes and quantized activations land in VMEM SCRATCH so the
+    # group loop can slice them dynamically (Mosaic supports pl.ds on refs,
+    # not lax.dynamic_slice on values).
+    for p in range(8):
+        codes_s[:, p * width:(p + 1) * width] = unpack_plane(
+            packed, 4, p).astype(jnp.int8)
+    x8_s[:] = x8
+    G = max(K // gs, 1)
+
+    # Per-group int8 MXU dots via fori_loop: a statically-unrolled segment
+    # loop kept G live [TB, TM] f32 intermediates (~50 MB at 3B shapes —
+    # over Mosaic's 16 MB scoped-vmem stack), and Mosaic rejects batched
+    # (3-D) int8 matmuls outright; the loop carries ONE accumulator and
+    # reuses buffers. gs is a 128-multiple (capability gate), so the
+    # minor-dim slices stay lane-aligned. Scale and scale*zero arrive
+    # pre-transposed [G, TM] so group rows slice without a transpose.
+    def body(g, acc):
+        qg = codes_s[:, pl.ds(g * gs, gs)]
+        xs = x8_s[:, pl.ds(g * gs, gs)]
+        d = jax.lax.dot_general(
+            xs, qg, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32,
+            precision=jax.lax.Precision.DEFAULT)            # [TB, TM]
+        sum_x = jnp.sum(xs.astype(jnp.int32), axis=1,
+                        keepdims=True).astype(jnp.float32)  # [TB, 1]
+        s_g = s_ref[pl.ds(g, 1), :]
+        sz_g = z_ref[pl.ds(g, 1), :]
+        return acc + s_g * d.astype(jnp.float32) - sz_g * sum_x
+
+    acc = jax.lax.fori_loop(0, G, body,
+                            jnp.zeros((tb, tm), jnp.float32))
+    o_ref[:] = (acc * sx).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("tb", "tm"))
+def _uniform_a8_pallas(x2, qweight, scales, zeros, tb, tm):
+    K = x2.shape[-1]
+    M = qweight.shape[0]
+    B = x2.shape[0]
+    n_groups = scales.shape[1]
+    gs = K // n_groups
+    width = K // 8
+    # kernel expects scale and scale*zero pre-transposed [G, M] (no Mosaic
+    # in-kernel transpose); XLA does this once per call — negligible
+    s_t = scales.T.astype(jnp.float32)
+    sz_t = (scales * zeros).T.astype(jnp.float32)
+    return pl.pallas_call(
+        functools.partial(_uniform_a8_kernel, width=width, gs=min(gs, K)),
+        grid=(B // tb, M // tm),
+        in_specs=[
+            pl.BlockSpec((tb, K), lambda b, m: (b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tm, width), lambda b, m: (m, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_groups, tm), lambda b, m: (0, m),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_groups, tm), lambda b, m: (0, m),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tb, tm), lambda b, m: (b, m),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, M), x2.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((tm, K), jnp.int8),   # unpacked codes
+            pltpu.VMEM((tb, K), jnp.int8),   # quantized activations
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel")),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * M * K,
+            bytes_accessed=B * K * x2.dtype.itemsize + M * K // 2,
+            transcendentals=0,
+        ),
+    )(x2, qweight, s_t, sz_t)
+
+
+def uniform_a8_matmul(x: jax.Array, qweight: jax.Array, scales: jax.Array,
+                      zeros: jax.Array, g_idx, bits: int = 4,
+                      block_b: int = 256, block_m: int = 512) -> jax.Array:
+    """W4A8-dynamic matmul for the uniform format. Falls back to the
+    full-precision XLA reference at unsupported configs (permuted g_idx,
+    non-4-bit, misaligned groups) — same capability gate as uniform_matmul."""
+    K = x.shape[-1]
+    n_groups = scales.shape[1]
+    gs = K // n_groups if n_groups else K
+    M = qweight.shape[0]
+    width = K // 8
+    tm = _pick_tile(M, (block_m, 512, 256, 128, 64, 32, 16, 8))
+    # the batched-dot kernel splits the minor dim [K] -> [G, gs]: gs must be
+    # a 128-lane multiple (or one group spanning all of K)
+    ok = (bits == 4 and K % 8 == 0 and K % max(n_groups, 1) == 0
+          and _sequential_groups(g_idx, gs, K)
+          and M % tm == 0
+          and (width % 128 == 0 or M <= 8)
+          and (gs % 128 == 0 or n_groups <= 1)
+          and (width % gs == 0 or gs % width == 0))
+    if not ok:
+        return uniform_matmul_reference(x, qweight, scales, zeros, g_idx, bits)
+    x2 = x.reshape(-1, K)
+    B = x2.shape[0]
+    tb = _pick_b_tile(B, block_b)
+    out = _uniform_a8_pallas(x2, qweight, scales, zeros, tb, tm)
+    return out.reshape(*x.shape[:-1], M)
+
+
+def uniform_a8_reference(x, qweight, scales, zeros, g_idx, bits):
+    """Pure-jnp oracle of the W4A8 math (incl. activation quantization)."""
+    K = x.shape[-1]
+    if g_idx is None:
+        gs = -(-K // max(scales.shape[1], 1))
+        g_idx = jnp.arange(K, dtype=jnp.int32) // gs
+    xf = x.reshape(-1, K).astype(jnp.float32)
+    sx = jnp.maximum(jnp.max(jnp.abs(xf), axis=1, keepdims=True) / 127.0,
+                     1e-12)
+    x8 = jnp.clip(jnp.round(xf / sx), -127, 127)
+    qidx = unpack_int_rows(qweight, bits, K).astype(jnp.float32)
+    w = scales[:, g_idx] * (qidx - zeros[:, g_idx])
+    y = (x8 @ w.T) * sx
+    return y.reshape(*x.shape[:-1], -1).astype(x.dtype)
+
+
 def uniform_matmul_reference(x, qweight, scales, zeros, g_idx, bits):
     K = x.shape[-1]
     if g_idx is None:
@@ -150,4 +293,5 @@ def uniform_matmul_reference(x, qweight, scales, zeros, g_idx, bits):
     return jnp.dot(x, w.T.astype(x.dtype))
 
 
-__all__ = ["uniform_matmul", "uniform_matmul_reference"]
+__all__ = ["uniform_matmul", "uniform_matmul_reference",
+           "uniform_a8_matmul", "uniform_a8_reference"]

@@ -43,7 +43,8 @@ def stack_layer_experts(lp: Dict[str, Any]) -> Dict[str, Any]:
     kinds = {e[k].kind for e in experts for k in ("gate", "up", "down")}
     if kinds - {"dense", "w8"}:
         raise ValueError(
-            f"expert stacking supports dense/w8/lut experts (got {kinds})")
+            "expert stacking supports dense/w8/lut/uniform experts "
+            f"(got {kinds})")
     if len(kinds) != 1:
         raise ValueError(f"experts must share one kind to stack (got {kinds})")
     for e in experts:

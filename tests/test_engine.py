@@ -154,3 +154,19 @@ def test_olmo2_cached_decode_matches_full_forward(rng):
         nxt = np.asarray(jnp.argmax(logits[:, -1, :], axis=-1))[:, None]
         ids = np.concatenate([ids, nxt.astype(np.int32)], axis=1)
     np.testing.assert_array_equal(out, ids[:, 10:])
+
+
+def test_uniform_backends_agree_pallas_a8(rng):
+    """GPTQ-format checkpoint under the W4A8 backend (uniform_a8_matmul
+    dispatch) greedy-agrees with the full-precision reference."""
+    from ganq_tpu.models import synthetic
+
+    cfg = synthetic.llama_config(hidden=256, inter=512, layers=2, heads=4,
+                                 kv_heads=2, vocab=512, max_pos=64)
+    params = synthetic.make_model(cfg, kind="uniform", seed=17)
+    prompt = rng.integers(1, 512, size=(2, 8)).astype(np.int32)
+    ref = engine.Engine(cfg, params, backend="reference", max_seq=32).generate(
+        prompt, max_new_tokens=6)
+    a8 = engine.Engine(cfg, params, backend="pallas_a8", max_seq=32).generate(
+        prompt, max_new_tokens=6)
+    assert np.mean(ref == a8) >= 0.8, (ref, a8)

@@ -124,3 +124,42 @@ def test_lut_matmul_low_bits(rng, interp, bits):
     out = lm.lut_matmul(x, lut, packed, bits)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=2e-2, atol=2e-2)
+
+
+@pytest.mark.parametrize("gs", [128, 256, -1])
+def test_uniform_a8_matches_a8_oracle(rng, interp, gs):
+    """W4A8 kernel vs the pure-jnp oracle of the SAME math (activation int8
+    quant + exact output-side affine correction) — tight tolerance, the only
+    difference is accumulation order. K=1024 keeps the shapes inside the
+    Pallas capability gate (width=128-aligned, seg 128 or full plane)."""
+    x, qw, s, z, g = make_uniform_problem(rng, 8, 256, 1024, gs)
+    ref = um.uniform_a8_reference(x, qw, s, z, g, 4)
+    out = um.uniform_a8_matmul(x, qw, s, z, g, 4)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-3, atol=2e-3)
+
+
+def test_uniform_a8_close_to_full_precision(rng, interp):
+    """The activation-quantization error vs the full-precision dequant
+    matmul is bounded (same bound as w8a8: rowmax/254 per element)."""
+    x, qw, s, z, g = make_uniform_problem(rng, 8, 256, 1024, 128)
+    full = np.asarray(um.uniform_matmul_reference(x, qw, s, z, g, 4))
+    out = np.asarray(um.uniform_a8_matmul(x, qw, s, z, g, 4))
+    # near-zero outputs make elementwise relative error meaningless; the
+    # right scale is the output RMS (same activation-quant noise as w8a8)
+    rms = float(np.sqrt(np.mean(full ** 2)))
+    assert np.max(np.abs(out - full)) / rms < 0.05
+
+
+def test_uniform_a8_ineligible_shapes_fall_back_full_precision(rng):
+    """Outside the capability gate (width not 128-aligned / misaligned seg /
+    permuted g_idx) the a8 entry returns the FULL-PRECISION reference — a
+    strictly more accurate fallback than the a8 math."""
+    x, qw, s, z, g = make_uniform_problem(rng, 8, 256, 512, 32)
+    out = um.uniform_a8_matmul(x, qw, s, z, g, 4)        # width=64: gated out
+    full = um.uniform_matmul_reference(x, qw, s, z, g, 4)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(full), rtol=1e-6)
+    g_perm = np.asarray(g)[np.random.default_rng(0).permutation(512)]
+    out2 = um.uniform_a8_matmul(x, qw, s, z, jnp.asarray(g_perm), 4)
+    ref2 = um.uniform_matmul_reference(x, qw, s, z, jnp.asarray(g_perm), 4)
+    np.testing.assert_allclose(np.asarray(out2), np.asarray(ref2), rtol=1e-5)

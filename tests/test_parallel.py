@@ -197,16 +197,18 @@ def test_expert_stacking_quantized_w8(rng):
     np.testing.assert_allclose(out, ref, atol=1e-3, rtol=1e-4)
 
 
-def test_expert_stacking_preserves_shared_and_rejects_uniform(rng):
+def test_expert_stacking_preserves_shared_and_recodes_uniform(rng):
     from ganq_tpu.models import synthetic
     from ganq_tpu.parallel import expert_parallel
+    # uniform (GPTQ-format) experts stack via the int8 recode (recode_w8
+    # covers uniform since the W4A8 work) — previously a loud rejection
     params = synthetic.make_model(synthetic.llama_config(
         hidden=64, inter=128, layers=1), kind="uniform", seed=0)
     mlp = params["layers"][0]["mlp"]
     exp = {"gate": mlp["gate"], "up": mlp["up"], "down": mlp["down"]}
-    lp = {"moe": {"router": mlp["down"], "experts": [exp], "shared": exp}}
-    with pytest.raises(ValueError, match="dense/w8/lut"):
-        expert_parallel.stack_layer_experts(lp)
+    lp = expert_parallel.stack_layer_experts(
+        {"moe": {"router": mlp["down"], "experts": [exp], "shared": exp}})
+    assert "stacked" in lp["moe"]
     # dense stacking keeps the shared-expert entries (qwen2_moe/deepseek)
     params2 = synthetic.make_model(synthetic.llama_config(
         hidden=64, inter=128, layers=1), kind="dense", seed=0)

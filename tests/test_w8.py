@@ -67,3 +67,30 @@ def test_w8a8_matmul_parity(rng):
     # activation int8 adds ~0.4% relative error per row
     denom = np.abs(ref).max()
     assert np.abs(out - ref).max() / denom < 0.02
+
+
+def test_recode_uniform_to_w8(rng):
+    """optimize()-path recode for GPTQ-format checkpoints: uniform -> per-row
+    int8, error bounded by rowrange/254 per element."""
+    from ganq_tpu.ops import qlinear
+    from ganq_tpu.ops.packing import pack_int_rows
+
+    M, K, gs = 64, 256, 32
+    qidx = jnp.asarray(rng.integers(0, 16, size=(M, K)), jnp.int32)
+    scales = jnp.asarray(rng.uniform(0.01, 0.1, size=(M, K // gs)).astype(np.float32))
+    zeros = jnp.asarray(rng.integers(0, 16, size=(M, K // gs)).astype(np.float32))
+    g_idx = jnp.arange(K, dtype=jnp.int32) // gs
+    p = qlinear.uniform_linear(qidx, scales, zeros, g_idx, 4)
+    w_exact = np.asarray(qlinear.dequantize_weight(p))
+
+    p8 = qlinear.recode_w8(p)
+    assert p8.kind == "w8" and p8["w8"].dtype == jnp.int8
+    w_rec = np.asarray(p8["w8"], np.float32) * np.asarray(p8["scale"])
+    bound = (np.abs(w_exact).max(axis=1) / 127.0) * 0.51
+    assert np.all(np.abs(w_rec - w_exact).max(axis=1) <= bound + 1e-7)
+
+    x = jnp.asarray(rng.normal(size=(4, K)).astype(np.float32))
+    y_exact = np.asarray(qlinear.apply(p, x))
+    y_rec = np.asarray(qlinear.apply(p8, x))
+    rms = float(np.sqrt(np.mean(y_exact ** 2)))
+    assert np.max(np.abs(y_rec - y_exact)) / rms < 0.02
