@@ -291,6 +291,48 @@ class GanqModel:
         api.create_repo(repo_id, exist_ok=True, **kw)
         api.upload_folder(folder_path=save_dir, repo_id=repo_id)
 
+    # ------------------------------------------------------------------ eora
+    def eora_generate(self, fp_model, calibration_dataset: Sequence[Any],
+                      rank: int = 64, batch_size: int = 1,
+                      save_adapter_to: Optional[str] = None) -> List[str]:
+        """Post-quant EoRA accuracy-recovery adapters (reference
+        ``GPTQModel.adapter.generate``, auto.py:566-618 — the
+        Dequantize+Eora pipeline, base.py:461-524).
+
+        ``fp_model``: the ORIGINAL fp checkpoint this quantized model came
+        from (a local HF-layout directory or a live transformers model).
+        Attaches rank-``rank`` lora_a/lora_b to every quantized linear
+        (applied fused in-dispatch) and, with ``save_adapter_to``, writes
+        PEFT-style ``adapter_model.safetensors`` + ``adapter_config.json``
+        that :meth:`load` re-attaches automatically."""
+        if not self.quantized:
+            raise RuntimeError("eora_generate needs a quantized model; "
+                               "load a quantized checkpoint first")
+        if isinstance(fp_model, str):
+            fcfg, fparams = hf_import.params_from_dir(fp_model)
+        else:
+            fcfg, fparams = hf_import.params_from_torch_model(fp_model)
+        if (fcfg.model_type, fcfg.hidden_size) != (self.cfg.model_type,
+                                                   self.cfg.hidden_size):
+            raise ValueError(
+                f"fp model {fcfg.model_type}/{fcfg.hidden_size} does not "
+                f"match quantized {self.cfg.model_type}/{self.cfg.hidden_size}")
+        from .models.registry import resolve_spec
+        spec = resolve_spec(get_spec(self.cfg.model_type),
+                            self._hf_config_dict())
+        spec = spec.expand(self.cfg.num_experts)
+        from .quant.eora_flow import generate_eora
+        batches = prepare_dataset(calibration_dataset, self.tokenizer,
+                                  batch_size)
+        done = generate_eora(self.cfg, fparams, self.params, spec, rank,
+                             batches)
+        log.info(f"attached EoRA rank-{rank} adapters to {len(done)} modules")
+        if save_adapter_to:
+            n = checkpoint.save_adapter(save_adapter_to, spec, self.params,
+                                        self.cfg.num_hidden_layers)
+            log.info(f"saved {n} adapters to {save_adapter_to}")
+        return done
+
     # ---------------------------------------------------------------- export
     def export_dequantized(self, save_dir: str) -> None:
         """Write a plain fp checkpoint with every quantized weight

@@ -176,13 +176,57 @@ def save_quantized(save_dir: str, hf_config: Dict[str, Any], qcfg: QuantizeConfi
 
     # ---- quant log csv (reference writer.py:134-139)
     if quant_log:
-        with open(os.path.join(save_dir, "quant_log.csv"), "w", newline="") as f:
-            w = csv.writer(f)
-            w.writerow(["layer", "module", "method", "loss", "damp", "time"])
-            for e in quant_log:
-                w.writerow([e.layer, e.module, e.method,
-                            f"{e.loss:.6f}", f"{e.damp:.5f}", f"{e.duration:.3f}"])
+        _write_quant_log(save_dir, quant_log)
     log.info(f"saved quantized checkpoint to {save_dir}")
+
+
+def save_adapter(save_dir: str, spec: ArchSpec, params: Dict[str, Any],
+                 num_layers: int) -> int:
+    """Write post-quant EoRA adapters attached to ``params`` (lora_a/lora_b
+    on QLinears) as PEFT-style safetensors (reference writer.py eora_save,
+    used by the post-quant `adapter.generate` flow, auto.py:566-618).
+    Returns the number of adapted modules."""
+    lora_state: Dict[str, np.ndarray] = {}
+    rank = 0
+    target_modules = set()
+    for li in range(num_layers):
+        for mod, slot in spec.module_slots.items():
+            p = hf_import.get_module(params, li, slot)
+            if p is None or "lora_a" not in getattr(p, "arrays", {}):
+                continue
+            prefix = _hf_module_prefix(spec, li, mod)
+            target_modules.add(mod.rsplit(".", 1)[-1])
+            lora_state[f"base_model.model.{prefix}.lora_A.weight"] = (
+                np.ascontiguousarray(np.asarray(p["lora_a"], np.float16)))
+            lora_state[f"base_model.model.{prefix}.lora_B.weight"] = (
+                np.ascontiguousarray(np.asarray(p["lora_b"], np.float16)))
+            rank = p["lora_a"].shape[0]
+    p = params.get("lm_head")
+    if p is not None and "lora_a" in getattr(p, "arrays", {}):
+        lora_state[f"base_model.model.{spec.lm_head_name}.lora_A.weight"] = (
+            np.ascontiguousarray(np.asarray(p["lora_a"], np.float16)))
+        lora_state[f"base_model.model.{spec.lm_head_name}.lora_B.weight"] = (
+            np.ascontiguousarray(np.asarray(p["lora_b"], np.float16)))
+        rank = p["lora_a"].shape[0]
+    if not lora_state:
+        return 0
+    os.makedirs(save_dir, exist_ok=True)
+    from safetensors.numpy import save_file
+    save_file(lora_state, os.path.join(save_dir, "adapter_model.safetensors"))
+    with open(os.path.join(save_dir, "adapter_config.json"), "w") as f:
+        json.dump({"peft_type": "LORA", "r": rank, "lora_alpha": rank,
+                   "target_modules": sorted(target_modules),
+                   "task_type": "CAUSAL_LM"}, f, indent=2)
+    return len(lora_state) // 2
+
+
+def _write_quant_log(save_dir: str, quant_log) -> None:
+    with open(os.path.join(save_dir, "quant_log.csv"), "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["layer", "module", "method", "loss", "damp", "time"])
+        for e in quant_log:
+            w.writerow([e.layer, e.module, e.method,
+                        f"{e.loss:.6f}", f"{e.damp:.5f}", f"{e.duration:.3f}"])
 
 
 def _write_sharded(save_dir: str, state: Dict[str, np.ndarray],
@@ -308,4 +352,5 @@ def load_quantized(model_dir: str, verify_hash: Optional[Dict[str, str]] = None
     return cfg, params, qcfg
 
 
-__all__ = ["save_quantized", "load_quantized", "sha256_file", "MAX_SHARD_BYTES"]
+__all__ = ["save_quantized", "load_quantized", "save_adapter",
+           "sha256_file", "MAX_SHARD_BYTES"]

@@ -125,3 +125,43 @@ def test_post_quant_eora(rng):
     assert len(done) == 14
     after = logits_mse(cfg, p_ref, qparams, ids)
     assert after < before
+
+
+def test_api_post_quant_eora_generate(rng, tmp_path):
+    """GanqModel.eora_generate (reference GPTQModel.adapter.generate): load a
+    quantized checkpoint, attach post-quant EoRA from the fp original, save
+    the PEFT adapter next to the checkpoint, and reload with auto-attach."""
+    import transformers
+    import torch
+    from ganq_tpu import GanqModel, QuantizeConfig
+
+    hf_cfg = transformers.LlamaConfig(
+        vocab_size=128, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=2, num_attention_heads=2, num_key_value_heads=1,
+        max_position_embeddings=64)
+    torch.manual_seed(50)
+    fp_model = transformers.LlamaForCausalLM(hf_cfg).eval().float()
+    calib = [rng.integers(1, 128, size=(24,)).astype(np.int32)
+             for _ in range(3)]
+
+    m = GanqModel.from_torch_model(
+        fp_model, QuantizeConfig(bits=4, quant_method="ganq",
+                                 ganq_iterations=2, act_sort="asc",
+                                 l_damp_style="ganq", dead="mean"))
+    m.quantize(calib, batch_size=1)
+    d = str(tmp_path / "q")
+    m.save(d)
+
+    q = GanqModel.load(d)
+    with pytest.raises(RuntimeError, match="quantized"):
+        GanqModel.from_torch_model(fp_model).eora_generate(fp_model, calib)
+    prompt = rng.integers(1, 128, size=(1, 8)).astype(np.int32)
+    done = q.eora_generate(fp_model, calib, rank=8, save_adapter_to=d)
+    assert len(done) == 14
+    assert "lora_a" in q.params["layers"][0]["attn"]["q"].arrays
+
+    q2 = GanqModel.load(d)        # adapter auto-attached on load
+    assert "lora_a" in q2.params["layers"][0]["attn"]["q"].arrays
+    a = q.generate(prompt, max_new_tokens=4, max_seq=32)
+    b = q2.generate(prompt, max_new_tokens=4, max_seq=32)
+    assert np.mean(a == b) >= 0.75
