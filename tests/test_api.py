@@ -242,3 +242,21 @@ def test_openai_server_sse_streaming(rng):
         assert text
     finally:
         srv.shutdown()
+
+
+def test_chat_cli_repl(rng, monkeypatch, capsys):
+    """Chat REPL smoke (reference chat/chat.py): template-free prompt
+    assembly, /reset, /exit, replies echoed."""
+    from ganq_tpu.chat import cli as chat_cli
+    from ganq_tpu import GanqModel
+
+    m = GanqModel.from_torch_model(tiny_model(60), tokenizer=CharTokenizer())
+    monkeypatch.setattr(GanqModel, "load", classmethod(lambda c, d: m))
+    lines = iter(["hello there", "/reset", "again", "/exit"])
+    monkeypatch.setattr("builtins.input", lambda _="": next(lines))
+    rc = chat_cli.main(["/fake/dir", "--max-new-tokens", "4",
+                        "--temperature", "0"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "ganq-tpu chat" in out
+    assert len(out.strip().splitlines()) >= 3   # banner + 2 replies
