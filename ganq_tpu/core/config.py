@@ -55,6 +55,10 @@ class FORMAT(str, Enum):
 class QUANT_METHOD(str, Enum):
     GPTQ = "gptq"
     GANQ = "ganq"
+    # native signed-gradient rounding optimization (the reference delegates
+    # this method to the external auto-round package, base.py:638-707;
+    # here it is a first-class jitted solver, quant/autoround.py)
+    AUTO_ROUND = "auto_round"
 
     def __str__(self) -> str:
         return self.value
@@ -63,6 +67,7 @@ class QUANT_METHOD(str, Enum):
 QUANT_METHOD_FORMAT_MAPPING = {
     QUANT_METHOD.GPTQ: {FORMAT.GPTQ, FORMAT.GPTQ_V2, FORMAT.FAKE},
     QUANT_METHOD.GANQ: {FORMAT.LUT, FORMAT.FAKE},
+    QUANT_METHOD.AUTO_ROUND: {FORMAT.GPTQ, FORMAT.GPTQ_V2, FORMAT.FAKE},
 }
 
 # HF/ecosystem synonyms accepted when parsing quantize_config.json
@@ -160,6 +165,15 @@ class QuantizeConfig:
     # LeanQuant-style weighting exponent: kmeans weights = diag(Hinv)^-exp
     # (reference ganq.py:427).
     codebook_weight_exp: float = 4.0
+
+    # AutoRound-specific (reference AutoRoundQuantizeConfig fields
+    # iters/lr/minmax_lr/enable_minmax_tuning/not_use_best_mse,
+    # config.py:511-531; defaults match the external package)
+    autoround_iters: int = 200
+    autoround_lr: Optional[float] = None          # default 1/iters
+    autoround_minmax_lr: Optional[float] = None   # default = lr
+    autoround_minmax_tuning: bool = True
+    autoround_keep_best: bool = True              # inverse of not_use_best_mse
 
     # dynamic per-module overrides: {"+:regex": {...}, "-:regex": {}}
     dynamic: Optional[Dict[str, Dict[str, Any]]] = None
@@ -283,6 +297,15 @@ class QuantizeConfig:
             "adapter": self.adapter,
             "meta": self.meta,
         }
+        if self.quant_method == QUANT_METHOD.AUTO_ROUND:
+            # the artifact is pure uniform-GPTQ format: advertise it as such
+            # for ecosystem compat and keep provenance in meta (reference
+            # config.py:565 does the same for vllm/sglang)
+            out[QUANT_METHOD_FIELD] = str(QUANT_METHOD.GPTQ)
+            out["meta"] = {**(self.meta or {}),
+                           "true_quant_method": str(QUANT_METHOD.AUTO_ROUND),
+                           "autoround_iters": self.autoround_iters,
+                           "autoround_minmax_tuning": self.autoround_minmax_tuning}
         return {k: v for k, v in out.items() if v is not None}
 
     @classmethod

@@ -118,6 +118,13 @@ def _quantize_one(W: jax.Array, H: jax.Array, eff_cfg: QuantizeConfig,
         art = QuantizedModule(method=QUANT_METHOD.GANQ, bits=eff_cfg.bits,
                               group_size=eff_cfg.group_size, lut=r.lut, idx=r.idx)
         return r.Q, art, r.avg_loss, r.damp_used
+    if eff_cfg.quant_method == QUANT_METHOD.AUTO_ROUND:
+        from .autoround import autoround_quantize
+        r = autoround_quantize(W, H, eff_cfg, nsamples)
+        art = QuantizedModule(method=QUANT_METHOD.AUTO_ROUND, bits=eff_cfg.bits,
+                              group_size=eff_cfg.group_size, qidx=r.qidx,
+                              scale=r.scale, zero=r.zero, g_idx=r.g_idx)
+        return r.Q, art, r.avg_loss, r.damp_used
     r = gptq_quantize(W, H, eff_cfg, nsamples)
     art = QuantizedModule(method=QUANT_METHOD.GPTQ, bits=eff_cfg.bits,
                           group_size=eff_cfg.group_size, qidx=r.qidx,
