@@ -179,6 +179,25 @@ def _uniform_a8_kernel(x_ref, qw_ref, s_ref, z_ref, o_ref, codes_s, x8_s,
     # reuses buffers. gs is a 128-multiple (capability gate), so the
     # minor-dim slices stay lane-aligned. Scale and scale*zero arrive
     # pre-transposed [G, TM] so group rows slice without a transpose.
+    # The zero-point correction Σ_g sz_g * sumx_g is hoisted out of the
+    # loop into two small MXU dots — the in-loop epilogue was the VPU
+    # bottleneck (it ran O(TB*TM) work per group against the dot's
+    # O(TB*TM*gs) MXU MACs). Group sums come from one masked dot
+    # ([TB,K] x block-diagonal [K,G] of ones); Mosaic has no lane-unaligned
+    # dynamic vector store, so a per-group scratch-column write is out.
+    x8f = x8.astype(jnp.float32)
+    kk = jax.lax.broadcasted_iota(jnp.int32, (K, G), 0)
+    gg = jax.lax.broadcasted_iota(jnp.int32, (K, G), 1)
+    seg_mask = (kk // gs == gg).astype(jnp.float32)
+    sumx = jax.lax.dot_general(
+        x8f, seg_mask, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)                # [TB, G]
+    zcorr = jax.lax.dot_general(
+        sumx, z_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)                # [TB, TM]
+
     def body(g, acc):
         qg = codes_s[:, pl.ds(g * gs, gs)]
         xs = x8_s[:, pl.ds(g * gs, gs)]
@@ -186,14 +205,10 @@ def _uniform_a8_kernel(x_ref, qw_ref, s_ref, z_ref, o_ref, codes_s, x8_s,
             xs, qg, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.int32,
             precision=jax.lax.Precision.DEFAULT)            # [TB, TM]
-        sum_x = jnp.sum(xs.astype(jnp.int32), axis=1,
-                        keepdims=True).astype(jnp.float32)  # [TB, 1]
         s_g = s_ref[pl.ds(g, 1), :]
-        sz_g = z_ref[pl.ds(g, 1), :]
-        return acc + s_g * d.astype(jnp.float32) - sz_g * sum_x
+        return acc + s_g * d.astype(jnp.float32)
 
-    acc = jax.lax.fori_loop(0, G, body,
-                            jnp.zeros((tb, tm), jnp.float32))
+    acc = jax.lax.fori_loop(0, G, body, -zcorr)
     o_ref[:] = (acc * sx).astype(o_ref.dtype)
 
 
