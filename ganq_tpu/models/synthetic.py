@@ -101,13 +101,18 @@ def make_stacked_model(cfg: ModelConfig, kind: str = "lut", seed: int = 0,
         return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *lins)
 
     layer_keys = jax.random.split(next(ks), L * 4).reshape(L, 4, 2)
+    attn = {
+        "qkv": stacked_linear(layer_keys[:, 0], q + 2 * kv, h),
+        "o": stacked_linear(layer_keys[:, 1], h, q),
+    }
+    if getattr(attn["o"], "kind", None) == "w8":
+        # transposed o weight for the attention-half megakernel
+        attn["o_t_w8"] = jnp.transpose(attn["o"]["w8"], (0, 2, 1))
+        attn["o_t_scale"] = jnp.transpose(attn["o"]["scale"], (0, 2, 1))
     stacked = {
         "input_norm": {"weight": jnp.ones((L, h), dtype)},
         "post_norm": {"weight": jnp.ones((L, h), dtype)},
-        "attn": {
-            "qkv": stacked_linear(layer_keys[:, 0], q + 2 * kv, h),
-            "o": stacked_linear(layer_keys[:, 1], h, q),
-        },
+        "attn": attn,
         "mlp": {
             "gateup": stacked_linear(layer_keys[:, 2], 2 * it, h),
             "down": stacked_linear(layer_keys[:, 3], h, it),

@@ -771,6 +771,60 @@ def layer_forward(cfg: ModelConfig, lp: Dict[str, Any], x: jax.Array,
                      and getattr(cache_pos, "ndim", None) == 0
                      and cfg.pos != "alibi" and cfg.attn_softcap is None
                      and window is None and cfg.head_dim <= 128)
+    # Fully-fused decode layer: ONE attention-half megakernel
+    # (norm+qkv+rope+flash+o+residual, ops/fused_layer.py) + ONE fused-MLP
+    # kernel — 2 pallas calls per layer. OPT-IN (GANQ_FUSED_LAYER=1): on
+    # this environment's runtime the megakernel's sequential ("arbitrary")
+    # 24-step grid costs more than the 3 parallel-grid kernels it replaces
+    # (~267 vs ~183 us/layer, PERF.md round-1 addendum); it exists for
+    # directly-attached hardware, where removing the qkv/attention HBM
+    # intermediates is the same win the fused MLP delivered.
+    if (_plain_decode and b <= 8 and backend == "pallas_a8"
+            and cfg.pos == "rope"
+            and cfg.head_dim == 128 and cfg.gated_mlp and "moe" not in lp
+            and "gateup" in lp.get("mlp", {}) and "o_t_w8" in lp.get("attn", {})
+            and lp["mlp"]["gateup"].kind == "w8"
+            and lp["mlp"]["down"].kind == "w8"
+            and "lora_a" not in lp["mlp"]["gateup"].arrays
+            and "lora_a" not in lp["mlp"]["down"].arrays
+            and os.environ.get("GANQ_FUSED_LAYER", "0") == "1"):
+        from ..ops.fused_layer import attn_half_decode_w8a8, attn_half_fusable
+        if attn_half_fusable(cfg, lp):
+            from ..ops.fused_mlp import fused_mlp_w8a8
+            ap = lp["attn"]["qkv"]
+            kvd = (ap["w8"].shape[0] - cfg.q_dim) // 2
+            rd = cfg.rotary_dim or cfg.head_dim
+            cos, sin = rope
+            if cfg.rope_interleaved:
+                cos_h, sin_h = cos[0, 0, 0::2], sin[0, 0, 0::2]
+            else:
+                cos_h, sin_h = cos[0, 0, :rd // 2], sin[0, 0, :rd // 2]
+            y, k_new, v_new = attn_half_decode_w8a8(
+                x[:, 0, :], lp["input_norm"]["weight"], ap["w8"], ap["scale"],
+                ap.arrays.get("bias"), lp["attn"]["o_t_w8"],
+                lp["attn"]["o_t_scale"], cos_h, sin_h,
+                cache["k"], cache["v"], cache_pos,
+                q_dim=cfg.q_dim, kv_dim=kvd, head_dim=cfg.head_dim,
+                rotary_dim=rd, interleaved=cfg.rope_interleaved,
+                eps=cfg.norm_eps, rms_offset=cfg.rms_offset, scale=scale)
+            new_cache = {
+                "k": jax.lax.dynamic_update_slice(
+                    cache["k"], k_new[:, None].astype(cache["k"].dtype),
+                    (0, cache_pos, 0, 0)),
+                "v": jax.lax.dynamic_update_slice(
+                    cache["v"], v_new[:, None].astype(cache["v"].dtype),
+                    (0, cache_pos, 0, 0)),
+            }
+            gu, dn = lp["mlp"]["gateup"], lp["mlp"]["down"]
+            act_kind = "silu" if cfg.act == "silu" else (
+                "gelu_tanh" if "tanh" in cfg.act or cfg.act == "gelu_new"
+                else "gelu")
+            out = fused_mlp_w8a8(y[:, None, :], gu["w8"], gu["scale"],
+                                 dn["w8"], dn["scale"], act=act_kind,
+                                 norm_w=lp["post_norm"]["weight"],
+                                 eps=cfg.norm_eps, rms_offset=cfg.rms_offset)
+            return out, new_cache, taps
+
     # fused norm+qkv+rope kernel: measured perf-NEUTRAL-to-slightly-negative
     # on this tunneled chip (XLA already fuses the small ops it absorbs;
     # see PERF.md round-1 addendum) — parity-complete, opt-in via env

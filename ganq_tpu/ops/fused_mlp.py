@@ -106,6 +106,13 @@ def fused_mlp_w8a8(x: jax.Array,
     ti = block_i
     while I % ti:
         ti //= 2
+    # scoped-VMEM budget: the three streamed weight tiles (gate, up, down)
+    # are double-buffered by Mosaic — 2 * 3 * ti * Hp bytes. At H=3072,
+    # ti=1024 that is 18 MB, over the 16 MB scoped-vmem stack (observed OOM
+    # on v5e at llama-3B shapes when the kernel is the whole program). Keep
+    # tiles under a conservative 13 MB so resident x/out/acc + padding fit.
+    while ti > 256 and 6 * ti * Hp > 13 * 2**20:
+        ti //= 2
     fold_norm = norm_w is not None
     # decode-shaped only: at prefill token counts the x/acc buffers plus the
     # weight tiles exceed VMEM; the unfused w8a8 path serves prefill

@@ -204,14 +204,31 @@ def quantize_model(
     qlog: List[ModuleQuantLog] = []
 
     # ---- stage 0: layer-0 inputs (the reference's cache_inputs)
+    # Integer batches [b, s] are token ids (embedded here); float batches
+    # [b, s, hidden] are PRE-EMBEDDED layer-0 inputs — the multimodal
+    # calibration path (vision towers run outside this framework, e.g. via
+    # models/vl_calib.capture_decoder_inputs; the reference captures the
+    # same tensor with a pre-forward hook, module_looper.py:54-117).
     acts: List[jax.Array] = []
     ropes: List[Any] = []
     masks: List[jax.Array] = []
-    for ids in calib_batches:
-        ids = jnp.asarray(ids)
-        b, s = ids.shape
-        positions = jnp.broadcast_to(jnp.arange(s), (b, s))
-        acts.append(_embed_fwd(cfg, params, ids, positions))
+    embed_dtype = params["embed_tokens"]["weight"].dtype
+    for batch in calib_batches:
+        arr = np.asarray(batch)
+        if np.issubdtype(arr.dtype, np.floating):
+            if arr.ndim != 3 or arr.shape[-1] != (
+                    cfg.word_embed_proj_dim or cfg.hidden_size):
+                raise ValueError(
+                    "pre-embedded calibration batches must be "
+                    f"[batch, seq, {cfg.hidden_size}] floats, got {arr.shape}")
+            b, s = arr.shape[:2]
+            positions = jnp.broadcast_to(jnp.arange(s), (b, s))
+            acts.append(jnp.asarray(arr, embed_dtype))
+        else:
+            ids = jnp.asarray(arr)
+            b, s = ids.shape
+            positions = jnp.broadcast_to(jnp.arange(s), (b, s))
+            acts.append(_embed_fwd(cfg, params, ids, positions))
         ropes.append(rope_tables_all(cfg, positions)
                      if cfg.pos == "rope" else None)
         masks.append(causal_mask(s, s))

@@ -33,6 +33,14 @@ def fuse_layer(lp: Dict[str, Any]) -> Dict[str, Any]:
         for extra in ("q_norm", "k_norm"):  # qwen3/gemma3 norms ride along
             if extra in a:
                 fused[extra] = a[extra]
+        if (getattr(a["o"], "kind", None) == "w8"
+                and "lora_a" not in a["o"].arrays
+                and "bias" not in a["o"].arrays):
+            # transposed o weight for the attention-half megakernel
+            # (ops/fused_layer.py): [H, Dq] int8 -> [Dq, H], per-row scale
+            # [H, 1] -> lane row [1, H]
+            fused["o_t_w8"] = a["o"]["w8"].T
+            fused["o_t_scale"] = a["o"]["scale"].reshape(1, -1)
         out["attn"] = fused
     m = lp["mlp"]
     if "gate" in m and "up" in m:
