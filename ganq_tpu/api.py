@@ -422,24 +422,37 @@ def prepare_dataset(dataset: Sequence[Any], tokenizer, batch_size: int = 1,
     ``calibration_dataset_concat_size`` mode (base.py:243-307).
     """
     rows: List[np.ndarray] = []
+    embed_rows: List[np.ndarray] = []
     for item in dataset:
         if isinstance(item, str):
             if tokenizer is None:
                 raise ValueError("string calibration data requires a tokenizer")
             ids = np.asarray(tokenizer(item)["input_ids"], np.int32)
         elif isinstance(item, dict):
+            if "inputs_embeds" in item:
+                # pre-embedded multimodal calibration row [seq, hidden]
+                # (models/vl_calib.capture_decoder_inputs output)
+                embed_rows.append(np.asarray(item["inputs_embeds"],
+                                             np.float32).reshape(
+                    -1, np.asarray(item["inputs_embeds"]).shape[-1]))
+                continue
             ids = np.asarray(item["input_ids"], np.int32).reshape(-1)
         else:
-            ids = np.asarray(item, np.int32).reshape(-1)
+            arr = np.asarray(item)
+            if np.issubdtype(arr.dtype, np.floating):
+                embed_rows.append(arr.reshape(-1, arr.shape[-1]))
+                continue
+            ids = arr.astype(np.int32).reshape(-1)
         if ids.size:
             rows.append(ids)
-    if not rows:
+    if not rows and not embed_rows:
         raise ValueError("empty calibration dataset")
-    if len(rows) < 256:
-        log.warning(f"calibration dataset is small ({len(rows)} rows); the "
+    if len(rows) + len(embed_rows) < 256:
+        log.warning(f"calibration dataset is small "
+                    f"({len(rows) + len(embed_rows)} rows); the "
                     "reference recommends >=256 (loop_processor.py:95-127)")
 
-    if concat_size is not None:
+    if concat_size is not None and rows:
         stream = np.concatenate(rows)
         n = (len(stream) // concat_size) * concat_size
         rows = list(stream[:n].reshape(-1, concat_size))
@@ -450,6 +463,12 @@ def prepare_dataset(dataset: Sequence[Any], tokenizer, batch_size: int = 1,
         by_len.setdefault(len(r), []).append(r)
     batches: List[np.ndarray] = []
     for ln, group in by_len.items():
+        for i in range(0, len(group), batch_size):
+            batches.append(np.stack(group[i:i + batch_size]))
+    by_len_e: Dict[int, List[np.ndarray]] = {}
+    for r in embed_rows:
+        by_len_e.setdefault(len(r), []).append(r)
+    for ln, group in by_len_e.items():
         for i in range(0, len(group), batch_size):
             batches.append(np.stack(group[i:i + batch_size]))
     return batches
