@@ -9,9 +9,11 @@ MXU contraction stays inside one quantization group, so scale/zero are
 rank-1 broadcasts and no interleave reshape is needed.
 
 Pallas-path capability (mirroring the reference's per-kernel ``SUPPORTS_*``
-validation, ``qlinear/__init__.py:33-372``): bits=4, sequential group
-boundaries (``g_idx[k] == k // group_size``), and group size either -1 or
-aligned to the planar plane width. desc_act checkpoints (permuted g_idx)
+validation, ``qlinear/__init__.py:33-372``): bits 2/3/4/8 (the reference's
+exllama/triton kernel bit range), sequential group boundaries
+(``g_idx[k] == k // group_size``), and group size either -1 or aligned to
+the planar plane width. 8-bit codes feed the int8 MXU centered by 128 with
+the offset folded into the zero-point side (exact). desc_act checkpoints (permuted g_idx)
 fall back to the XLA reference path — the same trade the exllama kernel makes
 with its column remap (``gptqmodel_ext/exllama/cuda_func/column_remap.cu``).
 """
@@ -45,7 +47,8 @@ def _pick_b_tile(B: int, block_b: int) -> int:
     return B
 
 
-def _uniform_kernel(x_ref, qw_ref, s_ref, z_ref, o_ref, *, width: int, gs: int):
+def _uniform_kernel(x_ref, qw_ref, s_ref, z_ref, o_ref, *, width: int, gs: int,
+                    bits: int, pf: int):
     """Full-K step for one (B tile, M tile). Group scale/zero expand to
     per-column via segment concat (group-aligned, so each segment's params
     are a rank-1 [TM, 1] broadcast); one MXU dot per plane."""
@@ -53,8 +56,8 @@ def _uniform_kernel(x_ref, qw_ref, s_ref, z_ref, o_ref, *, width: int, gs: int):
     acc = jnp.zeros(o_ref.shape, jnp.float32)
     segs_per_plane = max(width // gs, 1)
     seg = min(gs, width)
-    for p in range(8):
-        codes = unpack_plane(packed, 4, p).astype(jnp.float32)   # [TM, width]
+    for p in range(pf):
+        codes = unpack_plane(packed, bits, p).astype(jnp.float32)  # [TM, width]
         ws = []
         for si in range(segs_per_plane):
             g = (p * width + si * seg) // gs
@@ -86,15 +89,17 @@ def _sequential_groups(g_idx, gs: int, K: int) -> bool:
 
 @functools.partial(jax.jit, static_argnames=("bits", "tb", "tm"))
 def _uniform_matmul_pallas(x2, qweight, scales, zeros, bits, tb, tm):
+    from .packing import pack_factor
     K = x2.shape[-1]
     M = qweight.shape[0]
     B = x2.shape[0]
     n_groups = scales.shape[1]
     gs = K // n_groups
-    width = K // 8
-
+    pf = pack_factor(bits)
+    width = K // pf
     return pl.pallas_call(
-        functools.partial(_uniform_kernel, width=width, gs=min(gs, K)),
+        functools.partial(_uniform_kernel, width=width, gs=min(gs, K),
+                          bits=bits, pf=pf),
         grid=(B // tb, M // tm),
         in_specs=[
             pl.BlockSpec((tb, K), lambda b, m: (b, 0), memory_space=pltpu.VMEM),
@@ -108,7 +113,7 @@ def _uniform_matmul_pallas(x2, qweight, scales, zeros, bits, tb, tm):
             dimension_semantics=("parallel", "parallel")),
         cost_estimate=pl.CostEstimate(
             flops=2 * B * M * K,
-            bytes_accessed=B * K * x2.dtype.itemsize + M * K // 2,
+            bytes_accessed=B * K * x2.dtype.itemsize + M * width * 4,
             transcendentals=0,
         ),
     )(x2, qweight, scales, zeros)
@@ -118,14 +123,16 @@ def uniform_matmul(x: jax.Array, qweight: jax.Array, scales: jax.Array,
                    zeros: jax.Array, g_idx: jax.Array, bits: int = 4,
                    block_b: int = 256, block_m: int = 512) -> jax.Array:
     """x [..., K] @ dequant(W)[M, K]^T for the uniform format (planar packing)."""
+    from .packing import pack_factor
     K = x.shape[-1]
     n_groups = scales.shape[1]
     gs = K // n_groups if n_groups else K
     M = qweight.shape[0]
-    width = K // 8
+    pf = pack_factor(bits)
+    width = K // pf
     tm = _pick_tile(M, (block_m, 512, 256, 128, 64, 32, 16, 8))
     seg = min(gs, width)
-    ok = (bits == 4 and K % 8 == 0 and K % max(n_groups, 1) == 0
+    ok = (bits in (2, 3, 4, 8) and K % pf == 0 and K % max(n_groups, 1) == 0
           and _sequential_groups(g_idx, gs, K)
           and M % tm == 0
           and (width % 128 == 0 or M <= 8)
@@ -142,7 +149,7 @@ def uniform_matmul(x: jax.Array, qweight: jax.Array, scales: jax.Array,
 
 # ------------------------------------------------------------------- W4A8
 def _uniform_a8_kernel(x_ref, qw_ref, s_ref, z_ref, o_ref, codes_s, x8_s,
-                       *, width: int, gs: int):
+                       *, width: int, gs: int, bits: int, pf: int):
     """True W4A8 GEMM (the QQQ-kernel equivalent, ``gptqmodel_ext/qqq/``):
     int4 codes stream PACKED from HBM (half the bytes of the w8 path),
     unpack to int8 with one shift+mask, and feed the int8xint8 MXU per
@@ -160,15 +167,18 @@ def _uniform_a8_kernel(x_ref, qw_ref, s_ref, z_ref, o_ref, codes_s, x8_s,
     packed = qw_ref[:]
     tb = x.shape[0]
     tm = packed.shape[0]
-    K = 8 * width
+    K = pf * width
     # one shift+mask per plane; planar planes are contiguous column spans,
     # so writing them side by side rebuilds original column order. The
     # unpacked codes and quantized activations land in VMEM SCRATCH so the
     # group loop can slice them dynamically (Mosaic supports pl.ds on refs,
     # not lax.dynamic_slice on values).
-    for p in range(8):
-        codes_s[:, p * width:(p + 1) * width] = unpack_plane(
-            packed, 4, p).astype(jnp.int8)
+    # 8-bit codes (0..255) are centered by 128 so they fit the int8 MXU;
+    # the wrapper folds the 128 offset into the zero-point side exactly
+    center = 128 if bits == 8 else 0
+    for p in range(pf):
+        codes_s[:, p * width:(p + 1) * width] = (
+            unpack_plane(packed, bits, p) - center).astype(jnp.int8)
     x8_s[:] = x8
     G = max(K // gs, 1)
 
@@ -212,20 +222,26 @@ def _uniform_a8_kernel(x_ref, qw_ref, s_ref, z_ref, o_ref, codes_s, x8_s,
     o_ref[:] = (acc * sx).astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("tb", "tm"))
-def _uniform_a8_pallas(x2, qweight, scales, zeros, tb, tm):
+@functools.partial(jax.jit, static_argnames=("bits", "tb", "tm"))
+def _uniform_a8_pallas(x2, qweight, scales, zeros, bits, tb, tm):
+    from .packing import pack_factor
     K = x2.shape[-1]
     M = qweight.shape[0]
     B = x2.shape[0]
     n_groups = scales.shape[1]
     gs = K // n_groups
-    width = K // 8
+    pf = pack_factor(bits)
+    width = K // pf
     # kernel expects scale and scale*zero pre-transposed [G, M] (no Mosaic
-    # in-kernel transpose); XLA does this once per call — negligible
+    # in-kernel transpose); XLA does this once per call — negligible.
+    # For 8-bit the in-kernel codes are centered (q-128): fold the offset
+    # into the zero side, z' = z - 128, keeping the affine math exact.
+    zoff = 128.0 if bits == 8 else 0.0
     s_t = scales.T.astype(jnp.float32)
-    sz_t = (scales * zeros).T.astype(jnp.float32)
+    sz_t = (scales * (zeros - zoff)).T.astype(jnp.float32)
     return pl.pallas_call(
-        functools.partial(_uniform_a8_kernel, width=width, gs=min(gs, K)),
+        functools.partial(_uniform_a8_kernel, width=width, gs=min(gs, K),
+                          bits=bits, pf=pf),
         grid=(B // tb, M // tm),
         in_specs=[
             pl.BlockSpec((tb, K), lambda b, m: (b, 0), memory_space=pltpu.VMEM),
@@ -247,7 +263,7 @@ def _uniform_a8_pallas(x2, qweight, scales, zeros, tb, tm):
             dimension_semantics=("parallel", "parallel")),
         cost_estimate=pl.CostEstimate(
             flops=2 * B * M * K,
-            bytes_accessed=B * K * x2.dtype.itemsize + M * K // 2,
+            bytes_accessed=B * K * x2.dtype.itemsize + M * width * 4,
             transcendentals=0,
         ),
     )(x2, qweight, s_t, sz_t)
@@ -256,18 +272,20 @@ def _uniform_a8_pallas(x2, qweight, scales, zeros, tb, tm):
 def uniform_a8_matmul(x: jax.Array, qweight: jax.Array, scales: jax.Array,
                       zeros: jax.Array, g_idx, bits: int = 4,
                       block_b: int = 256, block_m: int = 512) -> jax.Array:
-    """W4A8-dynamic matmul for the uniform format. Falls back to the
-    full-precision XLA reference at unsupported configs (permuted g_idx,
-    non-4-bit, misaligned groups) — same capability gate as uniform_matmul."""
+    """W{2,3,4,8}A8-dynamic matmul for the uniform format. Falls back to
+    the full-precision XLA reference at unsupported configs (permuted
+    g_idx, misaligned groups) — same capability gate as uniform_matmul."""
+    from .packing import pack_factor
     K = x.shape[-1]
     n_groups = scales.shape[1]
     gs = K // n_groups if n_groups else K
     M = qweight.shape[0]
-    width = K // 8
+    pf = pack_factor(bits)
+    width = K // pf
     tm = _pick_tile(M, (block_m, 512, 256, 128, 64, 32, 16, 8))
     # the batched-dot kernel splits the minor dim [K] -> [G, gs]: gs must be
     # a 128-lane multiple (or one group spanning all of K)
-    ok = (bits == 4 and K % 8 == 0 and K % max(n_groups, 1) == 0
+    ok = (bits in (2, 3, 4, 8) and K % pf == 0 and K % max(n_groups, 1) == 0
           and _sequential_groups(g_idx, gs, K)
           and M % tm == 0
           and (width % 128 == 0 or M <= 8)
@@ -278,7 +296,7 @@ def uniform_a8_matmul(x: jax.Array, qweight: jax.Array, scales: jax.Array,
     x2 = x.reshape(-1, K)
     B = x2.shape[0]
     tb = _pick_b_tile(B, block_b)
-    out = _uniform_a8_pallas(x2, qweight, scales, zeros, tb, tm)
+    out = _uniform_a8_pallas(x2, qweight, scales, zeros, bits, tb, tm)
     return out.reshape(*x.shape[:-1], M)
 
 

@@ -85,14 +85,15 @@ def test_select_tree_dequant_exact(rng, interp):
     np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-6, atol=1e-6)
 
 
-def make_uniform_problem(rng, B, M, K, gs):
+def make_uniform_problem(rng, B, M, K, gs, bits=4):
     n_groups = K // gs if gs != -1 else 1
+    maxq = 2 ** bits - 1
     x = rng.normal(size=(B, K)).astype(np.float32)
-    qidx = rng.integers(0, 16, size=(M, K)).astype(np.int32)
+    qidx = rng.integers(0, maxq + 1, size=(M, K)).astype(np.int32)
     scales = (rng.random(size=(M, n_groups)).astype(np.float32) + 0.05)
-    zeros = rng.integers(0, 16, size=(M, n_groups)).astype(np.float32)
+    zeros = rng.integers(0, maxq + 1, size=(M, n_groups)).astype(np.float32)
     g_idx = (np.arange(K) // (gs if gs != -1 else K)).astype(np.int32)
-    packed = pack_int_rows(jnp.asarray(qidx), 4)
+    packed = pack_int_rows(jnp.asarray(qidx), bits)
     return (jnp.asarray(x), packed, jnp.asarray(scales), jnp.asarray(zeros),
             jnp.asarray(g_idx))
 
@@ -124,6 +125,30 @@ def test_lut_matmul_low_bits(rng, interp, bits):
     out = lm.lut_matmul(x, lut, packed, bits)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=2e-2, atol=2e-2)
+
+
+@pytest.mark.parametrize("bits", [2, 3, 8])
+def test_uniform_matmul_other_bits(rng, interp, bits):
+    """The reference's kernels cover 2-8 bit (exllamav2 qdq_2..8); the
+    pallas uniform kernel serves 2/3/4/8 via the planar packing."""
+    K = 2048 if bits == 2 else 1024   # width must be 128-aligned
+    x, qw, s, z, g = make_uniform_problem(rng, 8, 256, K, 128, bits)
+    ref = um.uniform_matmul_reference(x, qw, s, z, g, bits)
+    out = um.uniform_matmul(x, qw, s, z, g, bits)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-2, atol=2e-2)
+
+
+@pytest.mark.parametrize("bits", [2, 3, 8])
+def test_uniform_a8_other_bits(rng, interp, bits):
+    """W{2,3,8}A8: centered int8 codes + zero-side offset keep the affine
+    math exact vs the a8 oracle."""
+    K = 2048 if bits == 2 else 1024
+    x, qw, s, z, g = make_uniform_problem(rng, 8, 256, K, 128, bits)
+    ref = um.uniform_a8_reference(x, qw, s, z, g, bits)
+    out = um.uniform_a8_matmul(x, qw, s, z, g, bits)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-3, atol=2e-3)
 
 
 @pytest.mark.parametrize("gs", [128, 256, -1])
