@@ -333,6 +333,20 @@ class GanqModel:
             log.info(f"saved {n} adapters to {save_adapter_to}")
         return done
 
+    def export_mlx(self, save_dir: str) -> Dict[str, int]:
+        """Write an mlx-lm-loadable checkpoint (reference
+        ``GPTQModel.export(format="mlx")``, auto.py:496-523 — which
+        dequantizes and lets mlx requantize). Uniform-format modules map
+        LOSSLESSLY onto mlx's affine layout (scales/biases/packed uint32);
+        everything mlx cannot represent is written fp16. Needs no mlx
+        installation (formats/mlx_export.py)."""
+        from .formats.mlx_export import export_mlx as _export
+        from .models.registry import get_spec as _gs
+
+        spec = _gs(self.cfg.model_type).expand(self.cfg.num_experts)
+        return _export(save_dir, self._hf_config_dict(), spec, self.params,
+                       self.cfg.num_hidden_layers, tokenizer=self.tokenizer)
+
     # ---------------------------------------------------------------- export
     def export_dequantized(self, save_dir: str) -> None:
         """Write a plain fp checkpoint with every quantized weight
