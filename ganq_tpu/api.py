@@ -343,6 +343,18 @@ class GanqModel:
         from .formats.mlx_export import export_mlx as _export
         from .models.registry import get_spec as _gs
 
+        if self._quant_output is not None:
+            # freshly quantized params hold fake-quant DENSE weights; the
+            # packed QLinear modules the exporter reads only exist after a
+            # save/load round trip — do it through a temp dir
+            import shutil
+            import tempfile
+            tmp = tempfile.mkdtemp(prefix="ganq_mlx_")
+            try:
+                self.save(tmp)
+                return GanqModel.load(tmp).export_mlx(save_dir)
+            finally:
+                shutil.rmtree(tmp, ignore_errors=True)
         spec = _gs(self.cfg.model_type).expand(self.cfg.num_experts)
         return _export(save_dir, self._hf_config_dict(), spec, self.params,
                        self.cfg.num_hidden_layers, tokenizer=self.tokenizer)

@@ -46,22 +46,32 @@ def _mlx_pack(q: np.ndarray, bits: int) -> np.ndarray:
     return np.bitwise_or.reduce(q << shifts, axis=-1).astype(np.uint32)
 
 
-def _mlx_quantized(p: QLinear) -> Optional[Dict[str, np.ndarray]]:
-    """Exact mlx mapping for a uniform-format QLinear, or None."""
-    if p.kind != "uniform" or p.bits not in MLX_BITS:
+def _mlx_qparams(p) -> Optional[Dict[str, int]]:
+    """(group_size, bits) if this QLinear maps exactly onto mlx, else None
+    (cheap gate — no code unpacking)."""
+    if not isinstance(p, QLinear) or p.kind != "uniform"             or p.bits not in MLX_BITS:
         return None
-    qweight, scales, zeros = p["qweight"], p["scales"], p["zeros"]
-    g_idx = p.arrays.get("g_idx")
-    n_groups = scales.shape[1]
+    n_groups = p["scales"].shape[1]
     K = p.in_features
     if K % max(n_groups, 1):
         return None
     gs = K // n_groups
     if gs not in MLX_GROUP_SIZES:
         return None
+    g_idx = p.arrays.get("g_idx")
     if g_idx is not None and not np.array_equal(
             np.asarray(g_idx), np.arange(K) // gs):
         return None  # desc_act permutation has no mlx analog
+    return {"group_size": gs, "bits": p.bits}
+
+
+def _mlx_quantized(p: QLinear) -> Optional[Dict[str, np.ndarray]]:
+    """Exact mlx mapping for a uniform-format QLinear, or None."""
+    meta = _mlx_qparams(p)
+    if meta is None:
+        return None
+    qweight, scales, zeros = p["qweight"], p["scales"], p["zeros"]
+    gs, K = meta["group_size"], p.in_features
     q = np.asarray(unpack_int_rows(qweight, p.bits, K))
     s = np.asarray(scales, np.float32)
     z = np.asarray(zeros, np.float32)
@@ -69,7 +79,6 @@ def _mlx_quantized(p: QLinear) -> Optional[Dict[str, np.ndarray]]:
         "weight": _mlx_pack(q, p.bits),
         "scales": s.astype(np.float16),
         "biases": (-s * z).astype(np.float16),
-        "_gs": gs, "_bits": p.bits,  # stripped by the caller
     }
 
 
@@ -80,7 +89,6 @@ def export_mlx(save_dir: str, hf_config: Dict[str, Any], spec, params,
 
     state: Dict[str, np.ndarray] = {}
     stats = {"quantized": 0, "fp16": 0}
-    qparams: Optional[Dict[str, int]] = None
 
     def node(ours: str):
         cur: Any = params
@@ -99,29 +107,51 @@ def export_mlx(save_dir: str, hf_config: Dict[str, Any], spec, params,
                 return None
         return cur
 
+    def each_name():
+        for ours_tpl, theirs_tpl in spec.name_map.items():
+            if "{i}" in ours_tpl:
+                for i in range(n_layers):
+                    yield ours_tpl.format(i=i), theirs_tpl.format(i=i)
+            else:
+                yield ours_tpl, theirs_tpl
+
+    # mlx's config carries ONE (group_size, bits) pair for the whole model:
+    # pick the MAJORITY config across mappable modules (first-encountered
+    # order would let an outlier like the 8-bit/g32 lm_head demote the
+    # entire body to fp16) and log every module demoted by the choice.
+    from collections import Counter
+    votes = Counter()
+    for ours, _ in each_name():
+        v = node(ours)
+        meta = _mlx_qparams(v) if isinstance(v, QLinear) else None
+        if meta is not None:
+            votes[(meta["group_size"], meta["bits"])] += 1
+    qparams: Optional[Dict[str, int]] = None
+    if votes:
+        gs, bits = votes.most_common(1)[0][0]
+        qparams = {"group_size": gs, "bits": bits}
+
     def put(ours: str, theirs: str):
-        nonlocal qparams
         v = node(ours)
         if v is None:
             return
         if isinstance(v, QLinear):
             prefix = theirs[:-len(".weight")] if theirs.endswith(".weight") \
                 else theirs
-            m = _mlx_quantized(v)
-            if m is not None:
-                gs, bits = m.pop("_gs"), m.pop("_bits")
-                if qparams is None:
-                    qparams = {"group_size": gs, "bits": bits}
-                if qparams == {"group_size": gs, "bits": bits}:
-                    for k, arr in m.items():
-                        state[f"{prefix}.{k}"] = arr
-                    if "bias" in v.arrays:
-                        state[f"{prefix}.bias"] = np.asarray(
-                            v["bias"], np.float16)
-                    stats["quantized"] += 1
-                    return
-                # per-module bits/gs differ from the first module: mlx's
-                # config carries ONE (gs, bits) pair — write fp16 instead
+            meta = _mlx_qparams(v)
+            if meta is not None and meta == qparams:
+                m = _mlx_quantized(v)
+                for k, arr in m.items():
+                    state[f"{prefix}.{k}"] = arr
+                if "bias" in v.arrays:
+                    state[f"{prefix}.bias"] = np.asarray(
+                        v["bias"], np.float16)
+                stats["quantized"] += 1
+                return
+            if meta is not None:
+                log.info(f"mlx export: {prefix} ({meta['bits']}b/g"
+                         f"{meta['group_size']}) differs from the model-wide "
+                         f"{qparams} — written fp16")
             state[theirs] = np.asarray(dequantize_weight(v), np.float16)
             if "bias" in v.arrays:
                 state[f"{prefix}.bias"] = np.asarray(v["bias"], np.float16)
@@ -130,17 +160,17 @@ def export_mlx(save_dir: str, hf_config: Dict[str, Any], spec, params,
             state[theirs] = np.asarray(v, np.float16)
             stats["fp16"] += 1
 
-    for ours_tpl, theirs_tpl in spec.name_map.items():
-        if "{i}" in ours_tpl:
-            for i in range(n_layers):
-                put(ours_tpl.format(i=i), theirs_tpl.format(i=i))
-        else:
-            put(ours_tpl, theirs_tpl)
+    for ours, theirs in each_name():
+        put(ours, theirs)
 
     os.makedirs(save_dir, exist_ok=True)
     _write_sharded(save_dir, state, 4 * 1024**3)
     cfg_out = dict(hf_config)
-    if qparams is not None:
+    # never carry the SOURCE checkpoint's quantization metadata into an
+    # export whose tensors may be fp16
+    cfg_out.pop("quantization_config", None)
+    cfg_out.pop("quantization", None)
+    if qparams is not None and stats["quantized"]:
         # mlx-lm reads config["quantization"]; modules without .scales keys
         # load as fp automatically (mlx_lm.utils class_predicate probing)
         cfg_out["quantization"] = dict(qparams)

@@ -738,6 +738,26 @@ def _cache_write_vec(buf: jax.Array, new: jax.Array, pos: jax.Array,
                      gathered.astype(buf.dtype), buf)
 
 
+
+def _rope_half_tables(cfg: ModelConfig, rope):
+    """Half-dim cos/sin rows at the current decode position for the fused
+    kernels (rotate-half uses the first half; interleaved uses even lanes)."""
+    rd = cfg.rotary_dim or cfg.head_dim
+    cos, sin = rope
+    if cfg.rope_interleaved:
+        return rd, cos[0, 0, 0::2], sin[0, 0, 0::2]
+    return rd, cos[0, 0, :rd // 2], sin[0, 0, :rd // 2]
+
+
+def _fused_act_kind(cfg: ModelConfig) -> str:
+    """cfg.act -> the fused-MLP kernel's activation name."""
+    if cfg.act == "silu":
+        return "silu"
+    if "tanh" in cfg.act or cfg.act == "gelu_new":
+        return "gelu_tanh"
+    return "gelu"
+
+
 def layer_forward(cfg: ModelConfig, lp: Dict[str, Any], x: jax.Array,
                   mask: Optional[jax.Array],
                   rope: Optional[Tuple[jax.Array, jax.Array]] = None,
@@ -793,12 +813,7 @@ def layer_forward(cfg: ModelConfig, lp: Dict[str, Any], x: jax.Array,
             from ..ops.fused_mlp import fused_mlp_w8a8
             ap = lp["attn"]["qkv"]
             kvd = (ap["w8"].shape[0] - cfg.q_dim) // 2
-            rd = cfg.rotary_dim or cfg.head_dim
-            cos, sin = rope
-            if cfg.rope_interleaved:
-                cos_h, sin_h = cos[0, 0, 0::2], sin[0, 0, 0::2]
-            else:
-                cos_h, sin_h = cos[0, 0, :rd // 2], sin[0, 0, :rd // 2]
+            rd, cos_h, sin_h = _rope_half_tables(cfg, rope)
             y, k_new, v_new = attn_half_decode_w8a8(
                 x[:, 0, :], lp["input_norm"]["weight"], ap["w8"], ap["scale"],
                 ap.arrays.get("bias"), lp["attn"]["o_t_w8"],
@@ -816,9 +831,7 @@ def layer_forward(cfg: ModelConfig, lp: Dict[str, Any], x: jax.Array,
                     (0, cache_pos, 0, 0)),
             }
             gu, dn = lp["mlp"]["gateup"], lp["mlp"]["down"]
-            act_kind = "silu" if cfg.act == "silu" else (
-                "gelu_tanh" if "tanh" in cfg.act or cfg.act == "gelu_new"
-                else "gelu")
+            act_kind = _fused_act_kind(cfg)
             out = fused_mlp_w8a8(y[:, None, :], gu["w8"], gu["scale"],
                                  dn["w8"], dn["scale"], act=act_kind,
                                  norm_w=lp["post_norm"]["weight"],
@@ -861,12 +874,7 @@ def layer_forward(cfg: ModelConfig, lp: Dict[str, Any], x: jax.Array,
     if use_fused_attn:
         from ..ops.fused_attention import fused_qkv_rope_w8a8
         ap = lp["attn"]["qkv"]
-        rd = cfg.rotary_dim or cfg.head_dim
-        cos, sin = rope
-        if cfg.rope_interleaved:
-            cos_h, sin_h = cos[0, 0, 0::2], sin[0, 0, 0::2]
-        else:
-            cos_h, sin_h = cos[0, 0, :rd // 2], sin[0, 0, :rd // 2]
+        rd, cos_h, sin_h = _rope_half_tables(cfg, rope)
         qkv_flat = fused_qkv_rope_w8a8(
             x[:, 0, :], lp["input_norm"]["weight"], ap["w8"], ap["scale"],
             ap.arrays.get("bias"), cos_h, sin_h,
@@ -1012,9 +1020,7 @@ def layer_forward(cfg: ModelConfig, lp: Dict[str, Any], x: jax.Array,
             # in one op instead of ~eight (ops/fused_mlp.py)
             from ..ops.fused_mlp import fused_mlp_w8a8
             gu, dn = lp["mlp"]["gateup"], lp["mlp"]["down"]
-            act_kind = "silu" if cfg.act == "silu" else (
-                "gelu_tanh" if "tanh" in cfg.act or cfg.act == "gelu_new"
-                else "gelu")
+            act_kind = _fused_act_kind(cfg)
             if cfg.do_layer_norm_before and cfg.norm == "rmsnorm":
                 # h was not consumed: fold norm + residual into the kernel
                 x = fused_mlp_w8a8(residual, gu["w8"], gu["scale"],

@@ -42,11 +42,21 @@ def _find_decoder_layers(model) -> Any:
     import torch.nn as nn
 
     best = None
+    best_key = (-1, -1)
     for _, mod in model.named_modules():
         if isinstance(mod, nn.ModuleList) and len(mod) > 1:
             kinds = {type(m).__name__ for m in mod}
-            if len(kinds) == 1 and (best is None or len(mod) > len(best)):
-                best = mod
+            if len(kinds) != 1:
+                continue
+            # prefer language DECODER stacks over vision towers: qwen2-vl's
+            # 32 Qwen2VLVisionBlocks outnumber its 28 Qwen2VLDecoderLayers,
+            # so size alone picks the wrong stack
+            name = next(iter(kinds)).lower()
+            is_decoder = int("decoderlayer" in name
+                             or ("decoder" in name and "vision" not in name))
+            key = (is_decoder, len(mod))
+            if key > best_key:
+                best, best_key = mod, key
     if best is None:
         raise ValueError("no decoder-layer ModuleList found; pass layers")
     return best

@@ -62,7 +62,10 @@ def _qdq(Wg, V, alpha, beta, *, maxq: int, sym: bool):
     if sym:
         zero = jnp.full_like(scale, (maxq + 1) / 2)
     else:
-        zero = _round_ste(-wmin / scale)
+        # clamp into the representable grid: minmax tuning can push the
+        # range past zero, and a zero outside [0, maxq] would wrap in the
+        # packed uint bitfield at export (formats/gptq_compat.pack_gptq)
+        zero = jnp.clip(_round_ste(-wmin / scale), 0, maxq)
     v = jnp.clip(V, -0.5, 0.5)
     q = jnp.clip(_round_ste(Wg / scale[..., None] + v) + zero[..., None], 0, maxq)
     return scale[..., None] * (q - zero[..., None]), scale, zero, q
@@ -103,28 +106,36 @@ def _autoround_core(Wg, H, *, maxq: int, sym: bool, n: int, iters: int,
     def step(i, carry):
         V, a, b, mV, ma, mb, best, best_loss = carry
         loss, (gV, ga, gb) = grad_fn(V, a, b)
+        if keep_best:
+            # snapshot the CURRENT params with THEIR loss before updating —
+            # pairing post-update params with the pre-update loss would
+            # return params the selection never evaluated
+            better = loss < best_loss
+            best = jax.tree.map(
+                lambda new, old: jnp.where(better, new, old), (V, a, b), best)
+            best_loss = jnp.minimum(loss, best_loss)
         decay = 1.0 - i / iters
         mV = 0.9 * mV + jnp.sign(gV)
         V = jnp.clip(V - lr * decay * mV, -0.5, 0.5)
         if minmax_tuning:
             ma = 0.9 * ma + jnp.sign(ga)
             mb = 0.9 * mb + jnp.sign(gb)
-            a = a - minmax_lr * decay * ma
-            b = b - minmax_lr * decay * mb
-        if keep_best:
-            better = loss < best_loss
-            best = jax.tree.map(
-                lambda new, old: jnp.where(better, new, old), (V, a, b), best)
-            best_loss = jnp.minimum(loss, best_loss)
-        else:
-            best, best_loss = (V, a, b), loss
+            # keep the range multipliers positive (a collapsed/negative
+            # range degenerates the grid and the zero-point)
+            a = jnp.clip(a - minmax_lr * decay * ma, 1e-3, 4.0)
+            b = jnp.clip(b - minmax_lr * decay * mb, 1e-3, 4.0)
         return V, a, b, mV, ma, mb, best, best_loss
 
     V, a, b, mV, ma, mb, best, best_loss = jax.lax.fori_loop(
         0, iters, step, (V0, a0, b0, mV, ma, mb, best, best_loss))
-    if not keep_best:
-        # evaluate the final params (the loop stored the pre-update loss)
-        best, best_loss = (V, a, b), loss_fn(V, a, b)
+    final_loss = loss_fn(V, a, b)
+    if keep_best:
+        better = final_loss < best_loss
+        best = jax.tree.map(
+            lambda new, old: jnp.where(better, new, old), (V, a, b), best)
+        best_loss = jnp.minimum(final_loss, best_loss)
+    else:
+        best, best_loss = (V, a, b), final_loss
     return best, best_loss
 
 

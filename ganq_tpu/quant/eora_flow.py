@@ -37,11 +37,19 @@ def generate_eora(cfg: ModelConfig, fp_params: Dict[str, Any],
     model's own activations drive the covariance (dequantize-processor
     semantics, reference dequantize_processor.py:40-52)."""
     acts, ropes, masks = [], [], []
-    for ids in calib_batches:
-        ids = jnp.asarray(ids)
-        b, s = ids.shape
-        positions = jnp.broadcast_to(jnp.arange(s), (b, s))
-        acts.append(_embed_fwd(cfg, q_params, ids, positions))
+    for batch in calib_batches:
+        arr = np.asarray(batch)
+        if np.issubdtype(arr.dtype, np.floating):
+            # pre-embedded [b, s, hidden] calibration (looper.py semantics)
+            b, s = arr.shape[:2]
+            positions = jnp.broadcast_to(jnp.arange(s), (b, s))
+            acts.append(jnp.asarray(
+                arr, q_params["embed_tokens"]["weight"].dtype))
+        else:
+            ids = jnp.asarray(arr)
+            b, s = ids.shape
+            positions = jnp.broadcast_to(jnp.arange(s), (b, s))
+            acts.append(_embed_fwd(cfg, q_params, ids, positions))
         ropes.append(rope_tables(cfg, positions) if cfg.pos == "rope" else None)
         masks.append(causal_mask(s, s))
     nsamples = sum(int(a.shape[0]) for a in acts)

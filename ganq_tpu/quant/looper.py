@@ -216,8 +216,9 @@ def quantize_model(
     for batch in calib_batches:
         arr = np.asarray(batch)
         if np.issubdtype(arr.dtype, np.floating):
-            if arr.ndim != 3 or arr.shape[-1] != (
-                    cfg.word_embed_proj_dim or cfg.hidden_size):
+            # layer-0 inputs are POST-project_in: always hidden_size wide
+            # (OPT-350m's word_embed_proj_dim applies before project_in)
+            if arr.ndim != 3 or arr.shape[-1] != cfg.hidden_size:
                 raise ValueError(
                     "pre-embedded calibration batches must be "
                     f"[batch, seq, {cfg.hidden_size}] floats, got {arr.shape}")
