@@ -76,4 +76,25 @@ except urllib.error.HTTPError as e:
     print(f"server returned {e.code} for string prompt without tokenizer "
           f"(clean error): {e.read()[:80]}", flush=True)
 srv.shutdown()
+
+# --- AutoRound method + lossless mlx export (round-1 additions)
+torch.manual_seed(1)
+tm2 = transformers.LlamaForCausalLM(hf_cfg)
+m2 = GanqModel.from_torch_model(
+    tm2, QuantizeConfig(bits=4, group_size=64, quant_method="auto_round",
+                        autoround_iters=40))
+t0 = time.time()
+m2.quantize([rng.integers(1, 512, size=(48,)).astype(np.int32)
+             for _ in range(3)], batch_size=1)
+print(f"autoround quantized in {time.time()-t0:.1f}s", flush=True)
+d2 = tempfile.mkdtemp()
+m2.save(d2)
+q2 = GanqModel.load(d2)
+out_ar = q2.generate(prompt, max_new_tokens=6, max_seq=64)
+print(f"autoround generate ({q2.backend}): {out_ar.tolist()}", flush=True)
+mlx_dir = tempfile.mkdtemp()
+stats = q2.export_mlx(mlx_dir)
+print(f"mlx export: {stats}", flush=True)
+assert stats["quantized"] > 0
+
 print("E2E OK", flush=True)
