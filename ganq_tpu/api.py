@@ -98,9 +98,14 @@ class GanqModel:
     # -------------------------------------------------------------- quantize
     def quantize(self, calibration_dataset: Sequence[Any],
                  batch_size: int = 1,
-                 calibration_concat_size: Optional[int] = None) -> List[Any]:
+                 calibration_concat_size: Optional[int] = None,
+                 resume_dir: Optional[str] = None) -> List[Any]:
         """Run layer-wise PTQ. ``calibration_dataset``: token-id arrays,
-        {"input_ids": ...} dicts, or strings (tokenizer required)."""
+        {"input_ids": ...} dicts, {"inputs_embeds": ...} pre-embedded rows,
+        or strings (tokenizer required). ``resume_dir``: checkpoint each
+        layer's artifacts there and resume a crashed run after the last
+        completed layer (net-new vs the reference, which restarts from
+        scratch — SURVEY.md §5.4)."""
         if self.quantized:
             raise RuntimeError("model is already quantized")
         qcfg = self.qcfg or QuantizeConfig()
@@ -117,7 +122,8 @@ class GanqModel:
         spec = get_spec(self.cfg.model_type).expand(self.cfg.num_experts)
         batches = prepare_dataset(calibration_dataset, self.tokenizer,
                                   batch_size, calibration_concat_size)
-        out = quantize_model(self.cfg, self.params, spec, qcfg, batches)
+        out = quantize_model(self.cfg, self.params, spec, qcfg, batches,
+                             resume_dir=resume_dir)
         self._quant_output = out
         self.params = out.params
         self.quantized = True

@@ -174,6 +174,10 @@ class QuantizeConfig:
     autoround_minmax_lr: Optional[float] = None   # default = lr
     autoround_minmax_tuning: bool = True
     autoround_keep_best: bool = True              # inverse of not_use_best_mse
+    # "module": per-linear Hessian-weighted objective (cheap, no layer
+    # replays); "block": jointly tune each decoder layer against its output
+    # MSE - the external package default granularity (nblocks=1)
+    autoround_scope: str = "module"
 
     # dynamic per-module overrides: {"+:regex": {...}, "-:regex": {}}
     dynamic: Optional[Dict[str, Dict[str, Any]]] = None
@@ -220,6 +224,9 @@ class QuantizeConfig:
             raise ValueError(f"QuantizeConfig: unknown `act_sort` {self.act_sort}")
         if self.l_damp_style not in ("gptq", "ganq"):
             raise ValueError(f"QuantizeConfig: unknown `l_damp_style` {self.l_damp_style}")
+        if self.autoround_scope not in ("module", "block"):
+            raise ValueError(
+                f"QuantizeConfig: unknown `autoround_scope` {self.autoround_scope}")
         if self.group_size != -1 and self.group_size <= 0:
             raise ValueError("QuantizeConfig: `group_size` must be -1 or positive.")
 

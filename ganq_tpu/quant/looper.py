@@ -259,7 +259,64 @@ def quantize_model(
 
         layer_arts: Dict[str, QuantizedModule] = {}
         layer_weights: Dict[str, np.ndarray] = {}
-        for subset in subsets:
+
+        # Block-scope AutoRound: one joint optimization per layer against
+        # the layer-output MSE (the external package's nblocks=1 default;
+        # quant/autoround_block.py). Every module of the layer must resolve
+        # to AUTO_ROUND with plain dict linears — MoE expert arrays and
+        # EoRA ranks fall back to module scope.
+        subsets_for_layer = subsets
+        if (qcfg.quant_method == QUANT_METHOD.AUTO_ROUND
+                and qcfg.autoround_scope == "block"):
+            todo_all: List[Tuple[str, str, QuantizeConfig]] = []
+            eligible = True
+            for sub in subsets:
+                for mod in sub:
+                    slot = spec.module_slots[mod]
+                    if any(part.isdigit() for part in slot.split(".")):
+                        eligible = False
+                        continue
+                    if hf_import.get_module(params, li, slot) is None:
+                        continue
+                    eff = qcfg.for_module(_full_name(spec, li, mod))
+                    if eff is None:
+                        continue
+                    if (eff.quant_method != QUANT_METHOD.AUTO_ROUND
+                            or _adapter_rank(qcfg, _full_name(spec, li, mod))):
+                        eligible = False
+                    todo_all.append((mod, slot, eff))
+            if eligible and todo_all:
+                from .autoround_block import autoround_block_quantize
+                t0 = time.perf_counter()
+                layer_rope = [rope_for_layer(cfg, r, li) for r in ropes]
+                new_w, results, block_loss = autoround_block_quantize(
+                    cfg, lp, todo_all, acts, masks, layer_rope,
+                    cfg.layer_window(li), qcfg, nsamples)
+                dur = time.perf_counter() - t0
+                for mod, slot, eff in todo_all:
+                    r = results[mod]
+                    lin = hf_import.get_module(params, li, slot)
+                    lin["weight"] = new_w[slot].astype(lin["weight"].dtype)
+                    full = _full_name(spec, li, mod)
+                    art = QuantizedModule(
+                        method=QUANT_METHOD.AUTO_ROUND, bits=eff.bits,
+                        group_size=eff.group_size, qidx=r.qidx,
+                        scale=r.scale, zero=r.zero, g_idx=r.g_idx)
+                    artifacts[full] = art
+                    layer_arts[full] = art
+                    layer_weights[slot] = np.asarray(lin["weight"])
+                    qlog.append(ModuleQuantLog(
+                        layer=li, module=mod, method="auto_round/block",
+                        loss=r.avg_loss, damp=0.0,
+                        duration=dur / max(len(todo_all), 1)))
+                log.info(f"layer {li:3d} block autoround "
+                         f"loss={block_loss:.6f} time={dur:5.1f}s")
+                subsets_for_layer = []
+            elif todo_all:
+                log.info(f"layer {li}: block autoround ineligible "
+                         "(experts/adapters/mixed methods) — module scope")
+
+        for subset in subsets_for_layer:
             # resolve modules that are quantizable under dynamic rules
             todo: List[Tuple[str, str, QuantizeConfig]] = []  # (module_name, slot, cfg)
             for mod in subset:

@@ -120,3 +120,43 @@ def test_autoround_end_to_end(tmp_path):
     b = m2.generate(prompt, max_new_tokens=4, max_seq=64)
     assert a.shape == b.shape == (1, 4)
     assert np.mean(a == b) >= 0.75
+
+
+def test_autoround_block_scope(rng, tmp_path):
+    """Block-scope AutoRound (layer-output MSE, the external package's
+    nblocks=1 default) quantizes end-to-end and reduces the layer-output
+    error vs plain RTN rounding (iters=1 baseline)."""
+    transformers = pytest.importorskip("transformers")
+    import torch
+
+    from ganq_tpu.api import GanqModel
+
+    hf_cfg = transformers.LlamaConfig(
+        vocab_size=128, hidden_size=48, intermediate_size=96,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=128)
+    torch.manual_seed(7)
+    tm = transformers.LlamaForCausalLM(hf_cfg)
+    calib = [np.random.default_rng(7).integers(
+        1, 128, size=(40,)).astype(np.int32) for _ in range(3)]
+
+    losses = {}
+    for iters in (1, 120):
+        torch.manual_seed(7)
+        m = GanqModel.from_torch_model(
+            transformers.LlamaForCausalLM(hf_cfg),
+            QuantizeConfig(bits=4, group_size=16, quant_method="auto_round",
+                           autoround_scope="block", autoround_iters=iters))
+        rows = m.quantize(calib, batch_size=1)
+        assert all(r.method == "auto_round/block" for r in rows)
+        losses[iters] = rows[-1].loss  # layer-1 block loss
+        if iters == 120:
+            d = str(tmp_path / "arb")
+            m.save(d)
+            m2 = GanqModel.load(d)
+            p = np.random.default_rng(7).integers(
+                1, 128, size=(1, 8)).astype(np.int32)
+            a = m.generate(p, max_new_tokens=4, max_seq=64)
+            b = m2.generate(p, max_new_tokens=4, max_seq=64)
+            assert np.mean(np.asarray(a) == np.asarray(b)) >= 0.75
+    assert losses[120] < losses[1]
