@@ -24,7 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def measure(cfg, kind, backend, batch, prompt_len, steps, max_seq, reps=3):
+def measure(cfg, kind, backend, batch, prompt_len, steps, max_seq, reps=6):
     from ganq_tpu.models import synthetic
     from ganq_tpu.serve import stacked
 
