@@ -133,17 +133,19 @@ class BatchingEngine:
         self.queue.append(r)
         return r.req_id
 
-    def step(self) -> Dict[int, int]:
-        """Admit from queue, run one decode step; returns {req_id: token}."""
-        self._admit()
+    def step(self) -> Dict[int, List[int]]:
+        """Admit from queue, run one decode step; returns the tokens emitted
+        THIS call per request — up to two for a request admitted this step
+        (exact-bucket admission samples its first token during prefill)."""
+        out: Dict[int, List[int]] = {rid: [t]
+                                     for rid, t in (self._admit() or {}).items()}
         active = [i for i, r in enumerate(self.slot_req) if r is not None]
         if not active:
-            return {}
+            return out
         logits, self.cache = _decode_slots_impl(
             self.cfg, self.params, self.cache,
             jnp.asarray(self.tokens), jnp.asarray(self.pos), self.backend)
         logits = np.asarray(logits, np.float32)
-        out: Dict[int, int] = {}
         for i in active:
             r = self.slot_req[i]
             tok = int(np.argmax(logits[i]))
@@ -152,7 +154,7 @@ class BatchingEngine:
                 tok = int(jax.random.categorical(
                     sub, jnp.asarray(logits[i]) / r.temperature))
             r.generated.append(tok)
-            out[r.req_id] = tok
+            out.setdefault(r.req_id, []).append(tok)
             self.pos[i] += 1
             self.tokens[i] = tok
             if ((self.eos_id >= 0 and tok == self.eos_id)
@@ -182,7 +184,9 @@ class BatchingEngine:
                 return b
         return self.max_seq
 
-    def _admit(self) -> None:
+    def _admit(self) -> Optional[Dict[int, int]]:
+        """Fill free slots; returns first tokens sampled during admission."""
+        emitted: Dict[int, int] = {}
         for i in range(self.slots):
             if self.slot_req[i] is not None or not self.queue:
                 continue
@@ -200,6 +204,7 @@ class BatchingEngine:
             if bucket == n:
                 first = int(np.argmax(np.asarray(logits)))
                 r.generated.append(first)
+                emitted[r.req_id] = first
                 self.tokens[i] = first
                 self.pos[i] = n
                 self.slot_req[i] = r
@@ -213,6 +218,7 @@ class BatchingEngine:
                 self.tokens[i] = int(r.prompt[-1])
                 self.pos[i] = n - 1
                 self.slot_req[i] = r
+        return emitted
 
 
 class ThreadedBatcher:

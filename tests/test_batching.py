@@ -217,3 +217,44 @@ def test_batching_alibi_bloom(rng):
         transformers.BloomForCausalLM(hf_cfg))
     assert cfg.pos == "alibi"
     _parity_vs_engine(cfg, params, rng, 128)
+
+
+def test_batching_fuzz_random_schedules(model, rng):
+    """Property fuzz: under randomized request lengths, generation budgets,
+    slot pressure and STAGGERED arrivals (new submissions interleaved with
+    decode steps), every request's greedy tokens must equal the
+    single-sequence engine's output."""
+    cfg, params = model
+    single = Engine(cfg, params, max_seq=96)
+
+    for trial in range(4):
+        trng = np.random.default_rng(1000 + trial)
+        n_req = int(trng.integers(3, 9))
+        prompts = [trng.integers(1, 128, size=(int(trng.integers(3, 30)),)
+                                 ).astype(np.int32) for _ in range(n_req)]
+        budgets = [int(trng.integers(1, 9)) for _ in range(n_req)]
+        expected = [single.generate(p, max_new_tokens=b)[0].tolist()
+                    for p, b in zip(prompts, budgets)]
+
+        eng = BatchingEngine(cfg, params, slots=int(trng.integers(1, 4)),
+                             max_seq=96, prompt_buckets=(8, 16, 32, 64))
+        rid_to_idx = {}
+        got = {}
+        pending = list(range(n_req))
+        trng.shuffle(pending)
+        for _ in range(10_000):
+            # staggered arrivals: a random number of submissions per tick
+            while pending and trng.random() < 0.6:
+                i = pending.pop()
+                rid = eng.submit(prompts[i], max_new_tokens=budgets[i])
+                rid_to_idx[rid] = i
+                got[rid] = []
+            for rid, toks in eng.step().items():
+                got[rid].extend(toks)
+            if (not pending and not eng.queue
+                    and all(s is None for s in eng.slot_req)):
+                break
+        assert len(got) == n_req
+        for rid, idx in rid_to_idx.items():
+            assert got[rid] == expected[idx], (trial, idx, got[rid],
+                                               expected[idx])
