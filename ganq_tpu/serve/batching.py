@@ -127,6 +127,8 @@ class BatchingEngine:
     def submit(self, prompt, max_new_tokens: int = 32,
                temperature: float = 0.0) -> int:
         prompt = np.asarray(prompt, np.int32).reshape(-1)
+        if max_new_tokens < 1:
+            raise ValueError("max_new_tokens must be >= 1")
         if len(prompt) + max_new_tokens > self.max_seq:
             raise ValueError("request exceeds max_seq")
         r = Request(next(self._ids), prompt, max_new_tokens, temperature)
@@ -138,7 +140,7 @@ class BatchingEngine:
         THIS call per request — up to two for a request admitted this step
         (exact-bucket admission samples its first token during prefill)."""
         out: Dict[int, List[int]] = {rid: [t]
-                                     for rid, t in (self._admit() or {}).items()}
+                                     for rid, t in self._admit().items()}
         active = [i for i, r in enumerate(self.slot_req) if r is not None]
         if not active:
             return out
@@ -184,40 +186,54 @@ class BatchingEngine:
                 return b
         return self.max_seq
 
-    def _admit(self) -> Optional[Dict[int, int]]:
+    def _sample_first(self, logits, temperature: float) -> int:
+        """First-token sampling at admission — same policy as decode steps
+        (deterministic PRNG chain, so multihost replicas stay lockstep)."""
+        if temperature > 0:
+            self._key, sub = jax.random.split(self._key)
+            return int(jax.random.categorical(
+                sub, jnp.asarray(logits, jnp.float32) / temperature))
+        return int(np.argmax(np.asarray(logits)))
+
+    def _admit_slot(self, i: int, r: Request) -> Optional[int]:
+        """Prefill ``r`` into slot ``i``. Returns the first token when the
+        prompt exactly fills its bucket (sampled from the prefill logits);
+        padded prompts re-decode token n-1 on the next step instead."""
+        n = len(r.prompt)
+        bucket = self._bucket(n)
+        padded = np.zeros(bucket, np.int32)
+        padded[:n] = r.prompt
+        logits, self.cache = prefill_into_slot(
+            self.cfg, self.params, self.cache,
+            jnp.asarray(padded[None, :]), i, self.backend)
+        if bucket == n:
+            first = self._sample_first(logits, r.temperature)
+            r.generated.append(first)
+            self.tokens[i] = first
+            self.pos[i] = n
+            self.slot_req[i] = r
+            if ((self.eos_id >= 0 and first == self.eos_id)
+                    or r.max_new_tokens <= 1):
+                r.done = True
+                self.slot_req[i] = None
+            return first
+        # padded prefill: position n-1 logits are internal; set up so the
+        # next decode step recomputes token n-1 -> samples token n
+        self.tokens[i] = int(r.prompt[-1])
+        self.pos[i] = n - 1
+        self.slot_req[i] = r
+        return None
+
+    def _admit(self) -> Dict[int, int]:
         """Fill free slots; returns first tokens sampled during admission."""
         emitted: Dict[int, int] = {}
         for i in range(self.slots):
             if self.slot_req[i] is not None or not self.queue:
                 continue
             r = self.queue.pop(0)
-            n = len(r.prompt)
-            bucket = self._bucket(n)
-            padded = np.zeros(bucket, np.int32)
-            padded[:n] = r.prompt
-            logits, self.cache = prefill_into_slot(
-                self.cfg, self.params, self.cache,
-                jnp.asarray(padded[None, :]), i, self.backend)
-            # logits at the true last prompt position come from a re-decode
-            # when padding occurred; simplest correct path: take the token
-            # from position n-1 by re-running the last token as a decode step
-            if bucket == n:
-                first = int(np.argmax(np.asarray(logits)))
-                r.generated.append(first)
+            first = self._admit_slot(i, r)
+            if first is not None:
                 emitted[r.req_id] = first
-                self.tokens[i] = first
-                self.pos[i] = n
-                self.slot_req[i] = r
-                if ((self.eos_id >= 0 and first == self.eos_id)
-                        or r.max_new_tokens <= 1):
-                    r.done = True
-                    self.slot_req[i] = None
-            else:
-                # padded prefill: position n-1 logits are internal; set up so
-                # the next decode step recomputes token n-1 -> samples token n
-                self.tokens[i] = int(r.prompt[-1])
-                self.pos[i] = n - 1
-                self.slot_req[i] = r
         return emitted
 
 

@@ -80,14 +80,13 @@ class MultiHostBatchingEngine(BatchingEngine):
                 prompts[i, :len(r.prompt)] = r.prompt
         return {"meta": meta, "prompts": prompts}
 
-    def _admit(self) -> None:
+    def _admit(self) -> Dict[int, int]:
         if not hasattr(self, "_planned"):
             self._planned: Dict[int, Request] = {}
         plan = _broadcast(self._plan())
         meta = np.asarray(plan["meta"])
         prompts = np.asarray(plan["prompts"])
-        import jax.numpy as jnp
-        from .batching import prefill_into_slot
+        emitted: Dict[int, int] = {}
         for i in range(self.slots):
             admit, req_id, n, mnt, temp_m = (int(v) for v in meta[i])
             if not admit:
@@ -98,26 +97,12 @@ class MultiHostBatchingEngine(BatchingEngine):
             r = self._planned.pop(req_id, None) if is_coordinator() else None
             if r is None:
                 r = Request(req_id, prompt.copy(), mnt, temp_m / 1000.0)
-            bucket = self._bucket(n)
-            padded = np.zeros(bucket, np.int32)
-            padded[:n] = prompt
-            logits, self.cache = prefill_into_slot(
-                self.cfg, self.params, self.cache,
-                jnp.asarray(padded[None, :]), i, self.backend)
-            if bucket == n:
-                first = int(np.argmax(np.asarray(logits)))
-                r.generated.append(first)
-                self.tokens[i] = first
-                self.pos[i] = n
-                self.slot_req[i] = r
-                if ((self.eos_id >= 0 and first == self.eos_id)
-                        or r.max_new_tokens <= 1):
-                    r.done = True
-                    self.slot_req[i] = None
-            else:
-                self.tokens[i] = int(prompt[-1])
-                self.pos[i] = n - 1
-                self.slot_req[i] = r
+            # shared admission path (batching.py _admit_slot): first-token
+            # sampling uses the deterministic PRNG chain -> lockstep replay
+            first = self._admit_slot(i, r)
+            if first is not None:
+                emitted[r.req_id] = first
+        return emitted
 
 
 __all__ = ["MultiHostBatchingEngine"]

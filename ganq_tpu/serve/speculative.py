@@ -272,11 +272,11 @@ class SpeculativeBatchingEngine:
         Returns {req_id: [tokens accepted this round]}."""
         from .batching import _decode_slots_impl
 
-        self._admit()
+        out = {rid: [t] for rid, t in self._admit().items()}
         tgt, dft = self.t, self.d
         active = [i for i, r in enumerate(tgt.slot_req) if r is not None]
         if not active:
-            return {}
+            return out
         g = self.gamma
         b = tgt.slots
         sampled = {i: tgt.slot_req[i].temperature for i in active}
@@ -331,7 +331,7 @@ class SpeculativeBatchingEngine:
             room = r.max_new_tokens - len(r.generated)
             new = new[:room]
             r.generated.extend(new)
-            out[r.req_id] = new
+            out[r.req_id] = out.get(r.req_id, []) + new
             tgt.pos[i] += len(new)
             dft.pos[i] = tgt.pos[i]
             tgt.tokens[i] = dft.tokens[i] = new[-1]
@@ -361,7 +361,10 @@ class SpeculativeBatchingEngine:
 
     # --------------------------------------------------------------- private
     def _admit(self):
-        """Admit queued requests into free slots, prefilling BOTH caches."""
+        """Admit queued requests into free slots, prefilling BOTH caches.
+        Returns {req_id: first_token} for exact-bucket admissions (the
+        base-engine contract, batching.py _admit)."""
+        emitted = {}
         tgt, dft = self.t, self.d
         for i in range(tgt.slots):
             if tgt.slot_req[i] is not None or not tgt.queue:
@@ -386,6 +389,7 @@ class SpeculativeBatchingEngine:
                 else:
                     first = int(np.argmax(np.asarray(logits)))
                 r.generated.append(first)
+                emitted[r.req_id] = first
                 tgt.tokens[i] = dft.tokens[i] = first
                 tgt.pos[i] = dft.pos[i] = n
                 tgt.slot_req[i] = dft.slot_req[i] = r
@@ -398,6 +402,7 @@ class SpeculativeBatchingEngine:
                 tgt.tokens[i] = dft.tokens[i] = int(r.prompt[-1])
                 tgt.pos[i] = dft.pos[i] = n - 1
                 tgt.slot_req[i] = dft.slot_req[i] = r
+        return emitted
 
 
 __all__ += ["SpeculativeBatchingEngine", "extend_slots"]

@@ -258,3 +258,24 @@ def test_batching_fuzz_random_schedules(model, rng):
         for rid, idx in rid_to_idx.items():
             assert got[rid] == expected[idx], (trial, idx, got[rid],
                                                expected[idx])
+
+
+def test_submit_validation_and_sampled_admission(model, rng):
+    cfg, params = model
+    eng = BatchingEngine(cfg, params, slots=1, max_seq=64,
+                         prompt_buckets=(8, 16))
+    with pytest.raises(ValueError):
+        eng.submit(rng.integers(1, 128, size=(4,)).astype(np.int32),
+                   max_new_tokens=0)
+    # exact-bucket admission with temperature: first token is SAMPLED via
+    # the same PRNG chain as decode (was always argmax before)
+    p = rng.integers(1, 128, size=(8,)).astype(np.int32)
+    rid = eng.submit(p, max_new_tokens=3, temperature=1.5)
+    got = []
+    for _ in range(20):
+        for r, toks in eng.step().items():
+            if r == rid:
+                got.extend(toks)
+        if all(s is None for s in eng.slot_req) and not eng.queue:
+            break
+    assert len(got) == 3
