@@ -375,3 +375,61 @@ def test_pipeline_decode_sampled(rng):
     assert (s1a != s2).any() and (s1a != greedy).any()
     assert s1a.shape == greedy.shape and (s1a >= 0).all()
     assert (s1a < cfg.vocab_size).all()
+
+
+def test_looper_quantization_row_sharded(rng):
+    """The full quantization looper runs with weights ROW-SHARDED over the
+    mesh (the 70B-scale quantization story, SURVEY.md §7.2): GPTQ's math is
+    row-parallel, so GSPMD shards the solver and results match the
+    unsharded run."""
+    import dataclasses
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ganq_tpu.core.config import QuantizeConfig
+    from ganq_tpu.models import synthetic
+    from ganq_tpu.models.registry import get_spec
+    from ganq_tpu.ops.qlinear import QLinear
+    from ganq_tpu.parallel import sharding
+    from ganq_tpu.quant.looper import quantize_model
+
+    cfg = synthetic.llama_config(hidden=64, inter=128, layers=2, heads=4,
+                                 kv_heads=2, vocab=128, max_pos=64)
+    spec = get_spec("llama")
+    qcfg = QuantizeConfig(bits=4, group_size=32, quant_method="gptq",
+                          act_sort="none", desc_act=False)
+    batches = [rng.integers(1, 128, size=(2, 24)).astype(np.int32)
+               for _ in range(2)]
+
+    base = quantize_model(cfg, synthetic.make_model(cfg, kind="dense", seed=5),
+                          spec, qcfg, batches)
+
+    mesh = sharding.make_mesh(data=1, model=4,
+                              devices=jax.devices()[:4])
+    params = synthetic.make_model(cfg, kind="dense", seed=5)
+
+    def shard_rows(node):
+        if isinstance(node, QLinear) and node.kind == "dense":
+            w = node["weight"]
+            if w.shape[0] % 4 == 0:
+                node["weight"] = jax.device_put(
+                    w, NamedSharding(mesh, P("model", None)))
+        return node
+
+    for lp in params["layers"]:
+        for grp in lp.values():
+            if isinstance(grp, dict):
+                for v in grp.values():
+                    shard_rows(v)
+
+    with jax.set_mesh(mesh):
+        out = quantize_model(cfg, params, spec,
+                             dataclasses.replace(qcfg), batches)
+
+    assert base.artifacts.keys() == out.artifacts.keys()
+    for k in base.artifacts:
+        a, b = base.artifacts[k], out.artifacts[k]
+        np.testing.assert_allclose(np.asarray(a.scale), np.asarray(b.scale),
+                                   rtol=1e-4, atol=1e-5)
+        agree = np.mean(np.asarray(a.qidx) == np.asarray(b.qidx))
+        assert agree > 0.999, (k, agree)
