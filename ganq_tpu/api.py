@@ -174,6 +174,21 @@ class GanqModel:
                 "tie_word_embeddings": c.tie_word_embeddings}
 
     # -------------------------------------------------------------- generate
+    def _get_engine(self, max_seq: int) -> Engine:
+        """Engine cache: the auto-stacked layout copies layer weights at
+        construction, so per-call construction would re-copy the model every
+        generate; reuse while (params, backend, max_seq) are unchanged."""
+        key = (self.backend, max_seq)
+        cached = getattr(self, "_engines", {}).get(key)
+        if cached is not None and cached[0] is self.params:
+            return cached[1]
+        eng = Engine(self.cfg, self.params, backend=self.backend,
+                     max_seq=max_seq)
+        engines = getattr(self, "_engines", {})
+        engines[key] = (self.params, eng)
+        self._engines = engines
+        return eng
+
     def generate(self, inputs: Union[str, Sequence[int], np.ndarray],
                  max_new_tokens: int = 64, temperature: float = 0.0,
                  top_k: int = 0, top_p: float = 1.0, max_seq: int = 2048,
@@ -191,8 +206,7 @@ class GanqModel:
         eos = -1
         if self.tokenizer is not None and self.tokenizer.eos_token_id is not None:
             eos = int(self.tokenizer.eos_token_id)
-        eng = Engine(self.cfg, self.params, backend=self.backend,
-                     max_seq=min(max_seq, self.cfg.max_position_embeddings))
+        eng = self._get_engine(min(max_seq, self.cfg.max_position_embeddings))
         out = eng.generate(ids, max_new_tokens=max_new_tokens,
                            temperature=temperature, top_k=top_k, top_p=top_p,
                            eos_id=eos, seed=seed)
@@ -221,8 +235,7 @@ class GanqModel:
         eos = -1
         if self.tokenizer is not None and self.tokenizer.eos_token_id is not None:
             eos = int(self.tokenizer.eos_token_id)
-        eng = Engine(self.cfg, self.params, backend=self.backend,
-                     max_seq=min(max_seq, self.cfg.max_position_embeddings))
+        eng = self._get_engine(min(max_seq, self.cfg.max_position_embeddings))
         produced: list = []
         prev_text = ""
         for t in eng.stream(ids, max_new_tokens=max_new_tokens,

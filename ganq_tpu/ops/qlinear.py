@@ -246,6 +246,10 @@ def concat_rows(linears) -> QLinear:
     bits = {p.bits for p in linears}
     if len(kinds) != 1 or len(bits) != 1:
         raise ValueError("cannot fuse linears of mixed kind/bits")
+    if any("lora_a" in p.arrays for p in linears):
+        # LoRA factors are rank-indexed, not output-row-indexed: fusing
+        # would need a block-diagonal A — callers fall back to per-layer
+        raise ValueError("cannot fuse linears carrying LoRA adapters")
     keys = linears[0].arrays.keys()
     arrays = {}
     for k in keys:

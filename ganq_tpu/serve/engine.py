@@ -159,6 +159,16 @@ def generate_tokens(cfg: ModelConfig, params, cache, input_ids, key,
     return jnp.concatenate([toks, last[:, None]], axis=1)
 
 
+def _single_device(layers) -> bool:
+    """True when every array leaf lives on at most one device — stacking
+    sharded TP/PP parameters would silently gather them."""
+    for leaf in jax.tree_util.tree_leaves(layers):
+        sh = getattr(leaf, "sharding", None)
+        if sh is not None and len(getattr(sh, "device_set", ())) > 1:
+            return False
+    return True
+
+
 @dataclass
 class Engine:
     """Convenience wrapper holding (cfg, params) with a chosen kernel backend.
@@ -172,12 +182,31 @@ class Engine:
     backend: str = "reference"
     max_seq: int = 2048
     mla_absorb: bool = True
+    # "auto": serve homogeneous single-device models through the
+    # stacked-layer scan (O(1) compile in depth, serve/stacked.py) and fall
+    # back to the per-layer path otherwise; "perlayer"/"stacked" force.
+    layout: str = "auto"
 
     def __post_init__(self):
         from ..models.transformer import absorb_mla_params
         self._absorbed = bool(self.mla_absorb and self.cfg.mla)
         if self._absorbed:
             self.params = absorb_mla_params(self.cfg, self.params)
+        self._sp = None
+        if (self.layout != "perlayer" and not self.cfg.mla
+                and self.cfg.kv_heads_per_layer is None):
+            layers = self.params.get("layers")
+            if isinstance(layers, list) and len(layers) > 1:
+                tds = {jax.tree_util.tree_structure(lp) for lp in layers}
+                if len(tds) == 1 and _single_device(layers):
+                    from . import stacked as _stacked
+                    try:
+                        self._sp = _stacked.stack_layers(self.params)
+                    except ValueError:
+                        self._sp = None  # mixed kinds/bits: per-layer path
+        if self.layout == "stacked" and self._sp is None:
+            raise ValueError("layout='stacked' requires homogeneous "
+                             "single-device layer parameters")
 
     def _init_cache(self, batch: int):
         return init_cache(self.cfg, batch, self.max_seq,
@@ -192,6 +221,15 @@ class Engine:
         total = ids.shape[1] + max_new_tokens
         if total > self.max_seq:
             raise ValueError(f"sequence {total} exceeds max_seq {self.max_seq}")
+        if self._sp is not None:
+            from . import stacked as _stacked
+            ck, cv = _stacked.init_cache(self.cfg, self.cfg.num_hidden_layers,
+                                         int(ids.shape[0]), self.max_seq)
+            out = _stacked.generate_tokens(
+                self.cfg, self._sp, ck, cv, ids, jax.random.PRNGKey(seed),
+                max_new_tokens, temperature, top_k, top_p, eos_id,
+                self.backend)
+            return np.asarray(out)
         cache = self._init_cache(ids.shape[0])
         out = generate_tokens(self.cfg, self.params, cache, ids,
                               jax.random.PRNGKey(seed), max_new_tokens,
@@ -214,10 +252,28 @@ class Engine:
         total = ids.shape[1] + max_new_tokens
         if total > self.max_seq:
             raise ValueError(f"sequence {total} exceeds max_seq {self.max_seq}")
-        cache = self._init_cache(1)
         key = jax.random.PRNGKey(seed)
-        logits, cache = prefill(self.cfg, self.params, cache, ids, self.backend)
         pos = ids.shape[1]
+        if self._sp is not None:
+            from . import stacked as _stacked
+            ck, cv = _stacked.init_cache(self.cfg, self.cfg.num_hidden_layers,
+                                         1, self.max_seq)
+            logits, ck, cv = _stacked.prefill(self.cfg, self._sp, ck, cv,
+                                              ids, self.backend)
+            for _ in range(max_new_tokens):
+                key, sub = jax.random.split(key)
+                tok = _sample(logits, sub, temperature, top_k, top_p)
+                t = int(tok[0])
+                if eos_id >= 0 and t == eos_id:
+                    return
+                yield t
+                logits, ck, cv = _stacked.decode_step(
+                    self.cfg, self._sp, ck, cv, tok, jnp.int32(pos),
+                    self.backend)
+                pos += 1
+            return
+        cache = self._init_cache(1)
+        logits, cache = prefill(self.cfg, self.params, cache, ids, self.backend)
         for _ in range(max_new_tokens):
             key, sub = jax.random.split(key)
             tok = _sample(logits, sub, temperature, top_k, top_p)

@@ -182,6 +182,47 @@ def greedy_decode(cfg: ModelConfig, sp, cache_k, cache_v, input_ids,
     return jnp.concatenate([jnp.moveaxis(toks, 0, 1), last[:, None]], axis=1)
 
 
+@functools.partial(jax.jit, static_argnames=("cfg", "backend", "max_new_tokens",
+                                             "temperature", "top_k", "top_p",
+                                             "eos_id"),
+                   donate_argnums=(2, 3))
+def generate_tokens(cfg: ModelConfig, sp, cache_k, cache_v, input_ids, key,
+                    max_new_tokens: int, temperature: float = 0.0,
+                    top_k: int = 0, top_p: float = 1.0, eos_id: int = -1,
+                    backend: str = "reference"):
+    """Sampled generation on the stacked path — the engine.generate_tokens
+    semantics (same _sample, same eos masking) at O(1) compile in depth."""
+    from .engine import _sample
+
+    b, s = input_ids.shape
+    logits0, cache_k, cache_v = prefill(cfg, sp, cache_k, cache_v, input_ids,
+                                        backend)
+    key, k0 = jax.random.split(key)
+    tok0 = _sample(logits0, k0, temperature, top_k, top_p)
+    done0 = (tok0 == eos_id) if eos_id >= 0 else jnp.zeros((b,), bool)
+
+    def body(carry, _):
+        ck, cv, tok, pos, key, done = carry
+        logits, ck, cv = _decode_one(cfg, sp, ck, cv, tok, pos, backend)
+        key, sub = jax.random.split(key)
+        nxt = _sample(logits, sub, temperature, top_k, top_p)
+        nxt = jnp.where(done, eos_id if eos_id >= 0 else 0, nxt)
+        done = done | ((nxt == eos_id) if eos_id >= 0 else False)
+        return (ck, cv, nxt, pos + 1, key, done), tok
+
+    (_, _, last, _, _, _), toks = jax.lax.scan(
+        body, (cache_k, cache_v, tok0, jnp.int32(s), key, done0), None,
+        length=max_new_tokens - 1)
+    toks = jnp.moveaxis(toks, 0, 1)
+    return jnp.concatenate([toks, last[:, None]], axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "backend"))
+def decode_step(cfg: ModelConfig, sp, cache_k, cache_v, token, pos,
+                backend: str = "reference"):
+    return _decode_one(cfg, sp, cache_k, cache_v, token, pos, backend)
+
+
 def init_cache(cfg: ModelConfig, n_layers: int, batch: int, max_seq: int,
                dtype=jnp.bfloat16) -> Tuple[jax.Array, jax.Array]:
     base = (n_layers, batch, max_seq, cfg.kv_cache_heads)
@@ -189,4 +230,5 @@ def init_cache(cfg: ModelConfig, n_layers: int, batch: int, max_seq: int,
             jnp.zeros((*base, cfg.v_cache_dim), dtype))
 
 
-__all__ = ["stack_layers", "prefill", "greedy_decode", "init_cache"]
+__all__ = ["stack_layers", "prefill", "greedy_decode",
+           "generate_tokens", "decode_step", "init_cache"]

@@ -170,3 +170,39 @@ def test_uniform_backends_agree_pallas_a8(rng):
     a8 = engine.Engine(cfg, params, backend="pallas_a8", max_seq=32).generate(
         prompt, max_new_tokens=6)
     assert np.mean(ref == a8) >= 0.8, (ref, a8)
+
+
+def test_stacked_layout_matches_perlayer(rng):
+    """Engine layout='auto' serves homogeneous models through the stacked
+    scan; outputs must match the per-layer path (greedy, sampled, eos,
+    streaming)."""
+    from ganq_tpu.models import synthetic
+
+    cfg = synthetic.llama_config(hidden=64, inter=128, layers=3, heads=4,
+                                 kv_heads=2, vocab=128, max_pos=64)
+    params = synthetic.make_model(cfg, kind="dense", seed=11)
+    prompt = rng.integers(1, 128, size=(2, 9)).astype(np.int32)
+
+    auto = engine.Engine(cfg, params, max_seq=48)
+    assert auto._sp is not None  # homogeneous llama stacks
+    per = engine.Engine(cfg, params, max_seq=48, layout="perlayer")
+    assert per._sp is None
+
+    a = auto.generate(prompt, max_new_tokens=6)
+    b = per.generate(prompt, max_new_tokens=6)
+    np.testing.assert_array_equal(a, b)
+
+    s1 = auto.generate(prompt, max_new_tokens=6, temperature=0.8, top_k=20,
+                       seed=5)
+    s2 = per.generate(prompt, max_new_tokens=6, temperature=0.8, top_k=20,
+                      seed=5)
+    np.testing.assert_array_equal(s1, s2)
+
+    eos = int(a[0, 2])
+    e1 = auto.generate(prompt[:1], max_new_tokens=6, eos_id=eos)
+    e2 = per.generate(prompt[:1], max_new_tokens=6, eos_id=eos)
+    np.testing.assert_array_equal(e1, e2)
+
+    t1 = list(auto.stream(prompt[:1], max_new_tokens=5, seed=2))
+    t2 = list(per.stream(prompt[:1], max_new_tokens=5, seed=2))
+    assert t1 == t2
