@@ -139,6 +139,14 @@ def _autoround_core(Wg, H, *, maxq: int, sym: bool, n: int, iters: int,
     return best, best_loss
 
 
+def autoround_lrs(qcfg: QuantizeConfig):
+    """(iters, lr, minmax_lr) with the package defaults (lr = 1/iters)."""
+    iters = max(int(qcfg.autoround_iters), 1)
+    lr = qcfg.autoround_lr if qcfg.autoround_lr else 1.0 / iters
+    minmax_lr = qcfg.autoround_minmax_lr if qcfg.autoround_minmax_lr else lr
+    return iters, float(lr), float(minmax_lr)
+
+
 def autoround_quantize(W: jax.Array, H: jax.Array, qcfg: QuantizeConfig,
                        nsamples: int) -> GPTQResult:
     """Full AutoRound pipeline for one linear. Artifact = uniform GPTQ format.
@@ -147,21 +155,13 @@ def autoround_quantize(W: jax.Array, H: jax.Array, qcfg: QuantizeConfig,
     preamble (reference gptq.py:269-276); there is no activation ordering or
     Cholesky — the method has no sequential error compensation.
     """
+    from .preamble import repair_dead
+
     W = W.astype(jnp.float32)
     H = H.astype(jnp.float32)
     m, n = W.shape
     maxq = 2 ** qcfg.bits - 1
-
-    diag = jnp.diag(H)
-    dead = diag == 0
-    H = jnp.where(jnp.diag(dead), 1.0, H)
-    if qcfg.dead == "zero":
-        W = jnp.where(dead[None, :], 0.0, W)
-    else:
-        n_live = jnp.maximum(jnp.sum(~dead), 1)
-        row_mean = jnp.sum(jnp.where(dead[None, :], 0.0, W), axis=1,
-                           keepdims=True) / n_live
-        W = jnp.where(dead[None, :], row_mean, W)
+    W, H, _ = repair_dead(W, H, qcfg.dead)
 
     gs = min(qcfg.group_size, n) if qcfg.group_size != -1 else n
     G = -(-n // gs)
@@ -170,9 +170,7 @@ def autoround_quantize(W: jax.Array, H: jax.Array, qcfg: QuantizeConfig,
     # padded columns are excluded from the loss
     Wg = jnp.pad(W, ((0, 0), (0, pad))).reshape(m, G, gs)
 
-    iters = max(int(qcfg.autoround_iters), 1)
-    lr = qcfg.autoround_lr if qcfg.autoround_lr else 1.0 / iters
-    minmax_lr = qcfg.autoround_minmax_lr if qcfg.autoround_minmax_lr else lr
+    iters, lr, minmax_lr = autoround_lrs(qcfg)
 
     (V, alpha, beta), loss = _autoround_core(
         Wg, H, maxq=maxq, sym=qcfg.sym, n=n, iters=iters,
@@ -181,9 +179,8 @@ def autoround_quantize(W: jax.Array, H: jax.Array, qcfg: QuantizeConfig,
         keep_best=bool(qcfg.autoround_keep_best))
 
     Wq, scale, zero, q = _qdq(Wg, V, alpha, beta, maxq=maxq, sym=qcfg.sym)
-    # integer zero-point for the packed format
-    zero = jnp.round(zero)
-    Wq = scale[..., None] * (q - zero[..., None])
+    # (zero is exactly integer-valued already: sym uses (maxq+1)/2 and the
+    # asym STE round is exact in fp32)
 
     Q = Wq.reshape(m, G * gs)[:, :n]
     qidx = q.reshape(m, G * gs)[:, :n].astype(jnp.int32)
@@ -199,4 +196,4 @@ def autoround_quantize(W: jax.Array, H: jax.Array, qcfg: QuantizeConfig,
                       qidx=qidx)
 
 
-__all__ = ["autoround_quantize"]
+__all__ = ["autoround_quantize", "autoround_lrs"]

@@ -81,9 +81,8 @@ def autoround_block_quantize(
         metas.append(meta)
         slots.append(slot)
 
-    iters = max(int(qcfg.autoround_iters), 1)
-    lr = qcfg.autoround_lr if qcfg.autoround_lr else 1.0 / iters
-    mmlr = qcfg.autoround_minmax_lr if qcfg.autoround_minmax_lr else lr
+    from .autoround import autoround_lrs
+    iters, lr, mmlr = autoround_lrs(qcfg)
     tune_mm = bool(qcfg.autoround_minmax_tuning)
 
     def fq_weight(i, V, a, b):
@@ -107,14 +106,22 @@ def autoround_block_quantize(
 
     grad_fn = jax.value_and_grad(loss_fn, argnums=(0, 1, 2))
 
+    nb_total = len(acts)
+
     @partial(jax.jit, static_argnames=("wv",))
-    def step_fn(carry, i, x, mask, rope, y_fp, wv=None):
-        Vs, As, Bs, mVs, mAs, mBs, best, best_loss = carry
+    def step_fn(carry, i, bi, x, mask, rope, y_fp, wv=None):
+        Vs, As, Bs, mVs, mAs, mBs, recent, best, best_loss = carry
         loss, (gV, gA, gB) = grad_fn(Vs, As, Bs, x, mask, rope, y_fp, wv)
-        better = loss < best_loss
+        # best-tracking compares MEANS over one full batch cycle: per-batch
+        # MSEs are not comparable (a small-magnitude batch would otherwise
+        # freeze an early iterate as "best" forever)
+        recent = recent.at[bi].set(loss)
+        cycle = jnp.mean(recent)
+        ready = i >= nb_total - 1
+        better = ready & (cycle < best_loss)
         best = jax.tree.map(lambda new, old: jnp.where(better, new, old),
                             (Vs, As, Bs), best)
-        best_loss = jnp.minimum(loss, best_loss)
+        best_loss = jnp.where(better, cycle, best_loss)
         decay = 1.0 - i / iters
         mVs = [0.9 * m + jnp.sign(g) for m, g in zip(mVs, gV)]
         Vs = [jnp.clip(V - lr * decay * m, -0.5, 0.5)
@@ -126,7 +133,7 @@ def autoround_block_quantize(
                   for a, m in zip(As, mAs)]
             Bs = [jnp.clip(b - mmlr * decay * m, 1e-3, 4.0)
                   for b, m in zip(Bs, mBs)]
-        return (Vs, As, Bs, mVs, mAs, mBs, best, best_loss), loss
+        return (Vs, As, Bs, mVs, mAs, mBs, recent, best, best_loss), loss
 
     Vs = [jnp.zeros_like(W) for W in Wgs]
     As = [jnp.ones(W.shape[:2], jnp.float32) for W in Wgs]
@@ -135,7 +142,8 @@ def autoround_block_quantize(
              [jnp.zeros_like(v) for v in Vs],
              [jnp.zeros_like(a) for a in As],
              [jnp.zeros_like(b) for b in Bs],
-             (Vs, As, Bs), jnp.float32(np.inf))
+             jnp.zeros((len(acts),), jnp.float32),
+             (list(Vs), list(As), list(Bs)), jnp.float32(np.inf))
 
     y_fps = [y_ref(x, mask, rope, wv=window)
              for x, mask, rope in zip(acts, masks, ropes)]
@@ -143,10 +151,10 @@ def autoround_block_quantize(
     nb = len(acts)
     for it in range(iters):
         bi = it % nb  # deterministic batch cycling (the package samples)
-        carry, loss = step_fn(carry, jnp.float32(it), acts[bi], masks[bi],
-                              ropes[bi], y_fps[bi], wv=window)
-    (bV, bA, bB) = carry[6]
-    best_loss = float(carry[7])
+        carry, loss = step_fn(carry, jnp.float32(it), bi, acts[bi],
+                              masks[bi], ropes[bi], y_fps[bi], wv=window)
+    (bV, bA, bB) = carry[7]
+    best_loss = float(carry[8])
 
     new_weights: Dict[str, jax.Array] = {}
     results: Dict[str, GPTQResult] = {}
@@ -154,8 +162,6 @@ def autoround_block_quantize(
         meta = metas[i]
         Wq, scale, zero, q = _qdq(Wgs[i], bV[i], bA[i], bB[i],
                                   maxq=meta["maxq"], sym=meta["sym"])
-        zero = jnp.round(zero)
-        Wq = scale[..., None] * (q - zero[..., None])
         m, n = Wq.shape[0], meta["n"]
         Q = Wq.reshape(m, -1)[:, :n]
         results[mod] = GPTQResult(

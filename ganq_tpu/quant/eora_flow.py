@@ -19,7 +19,8 @@ import numpy as np
 from ..adapter.eora import compute_eora
 from ..models import hf_import
 from ..models.registry import ArchSpec
-from ..models.transformer import ModelConfig, causal_mask, rope_tables
+from ..models.transformer import (ModelConfig, causal_mask,
+                                  rope_for_layer, rope_tables_all)
 from ..ops import qlinear
 from ..utils.logger import get_logger
 from .hessian import HessianAccumulator
@@ -50,7 +51,8 @@ def generate_eora(cfg: ModelConfig, fp_params: Dict[str, Any],
             b, s = ids.shape
             positions = jnp.broadcast_to(jnp.arange(s), (b, s))
             acts.append(_embed_fwd(cfg, q_params, ids, positions))
-        ropes.append(rope_tables(cfg, positions) if cfg.pos == "rope" else None)
+        ropes.append(rope_tables_all(cfg, positions)
+                     if cfg.pos == "rope" else None)
         masks.append(causal_mask(s, s))
     nsamples = sum(int(a.shape[0]) for a in acts)
 
@@ -59,9 +61,15 @@ def generate_eora(cfg: ModelConfig, fp_params: Dict[str, Any],
         lp = q_params["layers"][li]
         slots = [(mod, spec.module_slots[mod]) for sub in spec.layer_modules
                  for mod in sub]
+        win = cfg.layer_window(li)
         accs: Dict[str, HessianAccumulator] = {}
         for x, mask, rope in zip(acts, masks, ropes):
-            _, _, taps = _layer_fwd(cfg, lp, x, mask, rope, True)
+            # per-layer rope (dual-rope/NoPE models) + sliding window, like
+            # the quantization looper — the covariance must be computed for
+            # the function actually served
+            _, _, taps = _layer_fwd(cfg, lp, x, mask,
+                                    rope_for_layer(cfg, rope, li), True,
+                                    window=win)
             for _, slot in slots:
                 if slot in taps:
                     accs.setdefault(slot, HessianAccumulator(taps[slot].shape[-1]))
@@ -82,7 +90,8 @@ def generate_eora(cfg: ModelConfig, fp_params: Dict[str, Any],
 
         # re-forward with adapters attached so later layers see corrected acts
         acts = [
-            _layer_fwd(cfg, lp, x, mask, rope, False)[0]
+            _layer_fwd(cfg, lp, x, mask, rope_for_layer(cfg, rope, li),
+                       False, window=win)[0]
             for x, mask, rope in zip(acts, masks, ropes)
         ]
         log.info(f"eora: layer {li} done")

@@ -83,8 +83,12 @@ def _gptq_core(W: jax.Array, Hinv: jax.Array, perm: Optional[jax.Array], *,
         scales = p.scale
         zeros = p.zero
     elif static_groups:
-        # Precompute per-group params from the block-start W (reference
-        # gptq.py:174-184; W here is post-perm, pre-update).
+        # Precompute per-group params from the block-start W. NOTE: W here
+        # is POST-PERM, matching the reference exactly — its
+        # _perform_quantization_loop receives the permuted W and computes
+        # groups from it, then (with desc_act) indexes them by the ORIGINAL
+        # column id (gptq.py:174-184, 208-213). Original GPTQ computed
+        # static groups pre-permutation; our contract is the reference.
         for g in range(n_groups):
             s, z = _masked_find_params(W, g * gs, gs, n, bits=bits, sym=sym, mse=mse)
             scales = scales.at[:, g].set(s[:, 0])

@@ -112,9 +112,11 @@ def _adapter_rank(qcfg: QuantizeConfig, full_name: str) -> int:
 
 
 def _quantize_one(W: jax.Array, H: jax.Array, eff_cfg: QuantizeConfig,
-                  nsamples: int) -> Tuple[jax.Array, QuantizedModule, float, float]:
+                  nsamples: int, codebook_init_fn=None,
+                  ) -> Tuple[jax.Array, QuantizedModule, float, float]:
     if eff_cfg.quant_method == QUANT_METHOD.GANQ:
-        r = ganq_quantize(W, H, eff_cfg, nsamples)
+        r = ganq_quantize(W, H, eff_cfg, nsamples,
+                          codebook_init_fn=codebook_init_fn)
         art = QuantizedModule(method=QUANT_METHOD.GANQ, bits=eff_cfg.bits,
                               group_size=eff_cfg.group_size, lut=r.lut, idx=r.idx)
         return r.Q, art, r.avg_loss, r.damp_used
@@ -202,6 +204,13 @@ def quantize_model(
 
     artifacts: Dict[str, QuantizedModule] = {}
     qlog: List[ModuleQuantLog] = []
+
+    if qcfg.lm_head and "lm_head" not in params:
+        # reference module_looper.py:131-135: tied lm_head cannot be
+        # quantized independently of the embedding — fail before any work
+        raise NotImplementedError(
+            "lm_head quantization requires untied weights "
+            "(tie_word_embeddings=False)")
 
     # ---- stage 0: layer-0 inputs (the reference's cache_inputs)
     # Integer batches [b, s] are token ids (embedded here); float batches
@@ -357,7 +366,8 @@ def quantize_model(
                 lin = hf_import.get_module(params, li, slot)
                 W = lin["weight"]
                 Wq, art, avg_loss, damp = _quantize_one(
-                    W, H_by_slot[slot], eff, nsamples)
+                    W, H_by_slot[slot], eff, nsamples,
+                    codebook_init_fn=codebook_init_fn)
                 full = _full_name(spec, li, mod)
                 rank = _adapter_rank(qcfg, full)
                 if rank:
@@ -395,12 +405,6 @@ def quantize_model(
 
     # ---- optional lm_head pass (inputs go through the final norm,
     #      reference base.py:1300-1310)
-    if qcfg.lm_head and "lm_head" not in params:
-        # reference module_looper.py:131-135: tied lm_head cannot be
-        # quantized independently of the embedding — fail loudly
-        raise NotImplementedError(
-            "lm_head quantization requires untied weights "
-            "(tie_word_embeddings=False)")
     if qcfg.lm_head and "lm_head" in params:
         if qcfg.for_module(spec.lm_head_name) is qcfg:
             # no dynamic rule matched: the reference injects (and PERSISTS
@@ -426,7 +430,9 @@ def quantize_model(
         lin = params["lm_head"]
         W = lin["weight"]
         t0 = time.perf_counter()
-        Wq, art, avg_loss, damp = _quantize_one(W, acc.finalize(), eff, nsamples)
+        Wq, art, avg_loss, damp = _quantize_one(W, acc.finalize(), eff,
+                                                nsamples,
+                                                codebook_init_fn=codebook_init_fn)
         lin["weight"] = Wq.astype(W.dtype)
         artifacts[spec.lm_head_name] = art
         qlog.append(ModuleQuantLog(layer=-1, module=spec.lm_head_name,

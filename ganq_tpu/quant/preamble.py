@@ -44,18 +44,26 @@ class Prepared:
     dead: jax.Array         # [n] bool mask of dead columns (permuted order)
 
 
-@partial(jax.jit, static_argnames=("dead_mode", "act_sort"))
-def _fix_and_sort(W, H, dead_mode: str, act_sort: str):
+def repair_dead(W: jax.Array, H: jax.Array, dead_mode: str):
+    """Dead (never-activated) input columns: fix H's diagonal to 1 and zero
+    or mean-fill the weight columns (reference gptq.py:269-276). Shared by
+    the GPTQ/GANQ preamble and the AutoRound solvers."""
     diag = jnp.diag(H)
     dead = diag == 0
     H = jnp.where(jnp.diag(dead), 1.0, H)
-
     if dead_mode == "zero":
         W = jnp.where(dead[None, :], 0.0, W)
     else:  # "mean" — row mean over live columns (reference gptq.py:274)
         n_live = jnp.maximum(jnp.sum(~dead), 1)
-        row_mean = jnp.sum(jnp.where(dead[None, :], 0.0, W), axis=1, keepdims=True) / n_live
+        row_mean = jnp.sum(jnp.where(dead[None, :], 0.0, W), axis=1,
+                           keepdims=True) / n_live
         W = jnp.where(dead[None, :], row_mean, W)
+    return W, H, dead
+
+
+@partial(jax.jit, static_argnames=("dead_mode", "act_sort"))
+def _fix_and_sort(W, H, dead_mode: str, act_sort: str):
+    W, H, dead = repair_dead(W, H, dead_mode)
 
     if act_sort != "none":
         perm = jnp.argsort(jnp.diag(H), descending=(act_sort == "desc"), stable=True)
@@ -145,4 +153,4 @@ def prepare(W: jax.Array, H: jax.Array, qcfg: QuantizeConfig,
     )
 
 
-__all__ = ["Prepared", "prepare"]
+__all__ = ["Prepared", "prepare", "repair_dead"]

@@ -20,6 +20,7 @@ def numpy_gptq(W, H, cfg: QuantizeConfig, blocksize=128):
     # gs=-1 quantizer params from raw W (reference gptq.py:265)
     if cfg.group_size == -1:
         g_scale, g_zero = numpy_find_params(W, cfg.bits, cfg.sym, cfg.mse)
+    static_groups = getattr(cfg, "static_groups", False)
 
     dead = np.diag(H) == 0
     H[dead, dead] = 1
@@ -36,6 +37,18 @@ def numpy_gptq(W, H, cfg: QuantizeConfig, blocksize=128):
         W = W[:, perm]
         H = H[perm][:, perm]
         invperm = np.argsort(perm)
+
+    # static groups: per-group params from the POST-PERM W before the loop,
+    # looked up by the ORIGINAL column index when desc_act (exactly the
+    # reference's semantics: _perform_quantization_loop receives the
+    # permuted W and indexes groups[perm[idx] // gs], gptq.py:174-213)
+    sg_scales, sg_zeros = [], []
+    if static_groups and cfg.group_size != -1:
+        for i in range(0, n, cfg.group_size):
+            ss, zz = numpy_find_params(W[:, i:i + cfg.group_size], cfg.bits,
+                                       cfg.sym, cfg.mse)
+            sg_scales.append(ss)
+            sg_zeros.append(zz)
 
     damp = cfg.damp_percent * np.mean(np.diag(H))
     H[np.arange(n), np.arange(n)] += damp
@@ -56,7 +69,10 @@ def numpy_gptq(W, H, cfg: QuantizeConfig, blocksize=128):
         Err1 = np.zeros_like(W1)
         for i in range(i2 - i1):
             col = i1 + i
-            if cfg.group_size != -1 and col % gs == 0:
+            if cfg.group_size != -1 and static_groups:
+                idx = perm[col] if (cfg.desc_act and perm is not None) else col
+                cur_s, cur_z = sg_scales[idx // gs], sg_zeros[idx // gs]
+            elif cfg.group_size != -1 and col % gs == 0:
                 cur_s, cur_z = numpy_find_params(W[:, col:col + gs], cfg.bits, cfg.sym, cfg.mse)
                 scales.append(cur_s)
                 zeros.append(cur_z)
@@ -95,6 +111,22 @@ def test_gptq_matches_numpy_oracle(rng, group_size, sym, act_sort):
     W, H, nsamples = make_problem(rng)
     cfg = QuantizeConfig(bits=4, group_size=group_size, sym=sym,
                          act_sort=act_sort, desc_act=False)
+    _run_oracle_case(rng, W, H, nsamples, cfg)
+
+
+@pytest.mark.parametrize("desc_act", [False, True])
+def test_gptq_static_groups_matches_oracle(rng, desc_act):
+    """static_groups (+ desc_act permutation lookup) vs the oracle — the
+    reference computes group params from the PERMUTED W and indexes them by
+    the original column (gptq.py:174-213); parity is with that behavior."""
+    W, H, nsamples = make_problem(rng)
+    cfg = QuantizeConfig(bits=4, group_size=32, sym=False,
+                         static_groups=True, desc_act=desc_act,
+                         act_sort="desc" if desc_act else "none")
+    _run_oracle_case(rng, W, H, nsamples, cfg)
+
+
+def _run_oracle_case(rng, W, H, nsamples, cfg):
     res = gptq_quantize(W, H, cfg, nsamples)
     Qref, Lref = numpy_gptq(W, H, cfg)
 
