@@ -59,6 +59,9 @@ class GanqModel:
         self.model_dir = model_dir
         self.quantized = quantized
         self._quant_output: Optional[QuantizeOutput] = None
+        # VL models: raw visual.* HF tensors (vision tower stays fp; kept for
+        # serving + checkpoint passthrough). Populated by load/from_torch_model.
+        self.vision_state: Optional[Dict[str, np.ndarray]] = None
         if quantized:
             self.backend = str(select_backend(params))
         else:
@@ -77,15 +80,28 @@ class GanqModel:
             cfg, params, qcfg = checkpoint.load_quantized(model_dir)
             log.info(f"loaded quantized checkpoint ({qcfg.quant_method}/"
                      f"{qcfg.format}) from {model_dir}")
-            return cls(cfg, params, qcfg, tokenizer, model_dir, quantized=True)
-        cfg, params = hf_import.params_from_dir(model_dir, dtype=dtype)
-        return cls(cfg, params, quantize_config, tokenizer, model_dir)
+            m = cls(cfg, params, qcfg, tokenizer, model_dir, quantized=True)
+        else:
+            cfg, params = hf_import.params_from_dir(model_dir, dtype=dtype)
+            m = cls(cfg, params, quantize_config, tokenizer, model_dir)
+        if cfg.model_type == "qwen2_vl":
+            from .models.qwen2_vl_vision import extract_vision_state
+            m.vision_state = extract_vision_state(
+                dict(hf_import.iter_safetensors(model_dir))) or None
+        return m
 
     @classmethod
     def from_torch_model(cls, model, quantize_config: Optional[QuantizeConfig] = None,
                          tokenizer=None) -> "GanqModel":
         cfg, params = hf_import.params_from_torch_model(model)
-        return cls(cfg, params, quantize_config, tokenizer)
+        m = cls(cfg, params, quantize_config, tokenizer)
+        if cfg.model_type == "qwen2_vl":
+            from .models.qwen2_vl_vision import extract_vision_state
+            state = {k: v.detach().cpu().numpy()
+                     for k, v in model.state_dict().items()}
+            m.vision_state = extract_vision_state(state) or None
+            m._hf_config_cache = model.config.to_dict()
+        return m
 
     @staticmethod
     def _try_tokenizer(model_dir: str):
@@ -139,7 +155,8 @@ class GanqModel:
         checkpoint.save_quantized(save_dir, hf_config, self.qcfg,
                                   self._quant_output.params,
                                   self._quant_output.artifacts,
-                                  self._quant_output.log)
+                                  self._quant_output.log,
+                                  extra_state=self.vision_state)
         if self.tokenizer is not None:
             try:
                 self.tokenizer.save_pretrained(save_dir)
@@ -147,6 +164,8 @@ class GanqModel:
                 pass
 
     def _hf_config_dict(self) -> Dict[str, Any]:
+        if getattr(self, "_hf_config_cache", None) is not None:
+            return self._hf_config_cache
         if self.model_dir and os.path.isfile(os.path.join(self.model_dir, "config.json")):
             return hf_import.load_hf_config(self.model_dir)
         c = self.cfg
@@ -189,11 +208,39 @@ class GanqModel:
         self._engines = engines
         return eng
 
+    def _get_vl_engine(self, max_seq: int):
+        """Lazy multimodal engine (qwen2_vl): fp vision tower + the quantized
+        text decoder under M-RoPE (serve/vl.py)."""
+        if self.vision_state is None:
+            raise ValueError(
+                "no vision tower loaded: multimodal generate requires a "
+                "qwen2_vl checkpoint whose visual.* weights are present")
+        cached = getattr(self, "_vl_engine", None)
+        if (cached is not None and cached.params is self.params
+                and cached.backend == self.backend
+                and cached.max_seq == max_seq):
+            return cached
+        from .models.qwen2_vl_vision import (import_vision_params,
+                                             vision_config_from_hf)
+        from .serve.vl import VLEngine
+        vcfg, toks = vision_config_from_hf(self._hf_config_dict())
+        vparams = import_vision_params(self.vision_state, vcfg)
+        eng = VLEngine(self.cfg, self.params, vcfg, vparams, toks,
+                       backend=self.backend, max_seq=max_seq)
+        self._vl_engine = eng
+        return eng
+
     def generate(self, inputs: Union[str, Sequence[int], np.ndarray],
                  max_new_tokens: int = 64, temperature: float = 0.0,
                  top_k: int = 0, top_p: float = 1.0, max_seq: int = 2048,
-                 seed: int = 0) -> Union[str, np.ndarray]:
-        """String-aware generate (reference base.py:1164-1177)."""
+                 seed: int = 0,
+                 pixel_values: Optional[np.ndarray] = None,
+                 image_grid_thw: Optional[np.ndarray] = None,
+                 pixel_values_videos: Optional[np.ndarray] = None,
+                 video_grid_thw: Optional[np.ndarray] = None) -> Union[str, np.ndarray]:
+        """String-aware generate (reference base.py:1164-1177). Passing
+        processor outputs (``pixel_values`` + ``image_grid_thw``, and/or the
+        video pair) routes through the multimodal engine (serve/vl.py)."""
         is_str = isinstance(inputs, str)
         if is_str:
             if self.tokenizer is None:
@@ -206,6 +253,20 @@ class GanqModel:
         eos = -1
         if self.tokenizer is not None and self.tokenizer.eos_token_id is not None:
             eos = int(self.tokenizer.eos_token_id)
+        if pixel_values is not None or pixel_values_videos is not None:
+            vl = self._get_vl_engine(min(max_seq,
+                                         self.cfg.max_position_embeddings))
+            out = vl.generate(ids, pixel_values=pixel_values,
+                              image_grid_thw=image_grid_thw,
+                              pixel_values_videos=pixel_values_videos,
+                              video_grid_thw=video_grid_thw,
+                              max_new_tokens=max_new_tokens,
+                              temperature=temperature, top_k=top_k,
+                              top_p=top_p, eos_id=eos, seed=seed)
+            if is_str:
+                return self.tokenizer.decode(
+                    [t for t in out[0].tolist() if t != eos])
+            return out
         eng = self._get_engine(min(max_seq, self.cfg.max_position_embeddings))
         out = eng.generate(ids, max_new_tokens=max_new_tokens,
                            temperature=temperature, top_k=top_k, top_p=top_p,

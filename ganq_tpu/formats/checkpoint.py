@@ -53,8 +53,13 @@ def _hf_module_prefix(spec: ArchSpec, layer_idx: int, module_name: str) -> str:
 def save_quantized(save_dir: str, hf_config: Dict[str, Any], qcfg: QuantizeConfig,
                    params: Dict[str, Any], artifacts: Dict[str, Any],
                    quant_log: Optional[List[Any]] = None,
-                   max_shard_bytes: int = MAX_SHARD_BYTES) -> None:
-    """Write a self-contained quantized checkpoint directory."""
+                   max_shard_bytes: int = MAX_SHARD_BYTES,
+                   extra_state: Optional[Dict[str, np.ndarray]] = None) -> None:
+    """Write a self-contained quantized checkpoint directory.
+
+    ``extra_state``: verbatim HF-named tensors to carry through unquantized —
+    e.g. a VL model's ``visual.*`` vision tower (the reference keeps those fp
+    in the checkpoint too, definitions/qwen2_vl.py quant_override_files)."""
     spec = resolve_spec(get_spec(hf_config["model_type"]), hf_config)
     cfg = spec.make_config(hf_config)
     spec = spec.expand(cfg.num_experts)
@@ -134,6 +139,9 @@ def save_quantized(save_dir: str, hf_config: Dict[str, Any], qcfg: QuantizeConfi
                 state[f"{prefix}.{k}"] = v
 
     # ---- shard + write safetensors
+    if extra_state:
+        for k, v in extra_state.items():
+            state.setdefault(k, np.asarray(v))
     _write_sharded(save_dir, state, max_shard_bytes)
 
     # ---- configs
