@@ -88,6 +88,11 @@ class GanqModel:
             from .models.qwen2_vl_vision import extract_vision_state
             m.vision_state = extract_vision_state(
                 dict(hf_import.iter_safetensors(model_dir))) or None
+        elif cfg.model_type == "mllama":
+            from .serve.mllama_vl import extract_vl_state
+            m.vision_state = extract_vl_state(
+                dict(hf_import.iter_safetensors(model_dir)),
+                hf_import.load_hf_config(model_dir))
         return m
 
     @classmethod
@@ -101,6 +106,12 @@ class GanqModel:
                      for k, v in model.state_dict().items()}
             m.vision_state = extract_vision_state(state) or None
             m._hf_config_cache = model.config.to_dict()
+        elif cfg.model_type == "mllama":
+            from .serve.mllama_vl import extract_vl_state
+            state = {k: v.detach().cpu().numpy()
+                     for k, v in model.state_dict().items()}
+            m._hf_config_cache = model.config.to_dict()
+            m.vision_state = extract_vl_state(state, m._hf_config_cache)
         return m
 
     @staticmethod
@@ -209,24 +220,31 @@ class GanqModel:
         return eng
 
     def _get_vl_engine(self, max_seq: int):
-        """Lazy multimodal engine (qwen2_vl): fp vision tower + the quantized
-        text decoder under M-RoPE (serve/vl.py)."""
+        """Lazy multimodal engine: fp vision tower + the quantized text
+        decoder — qwen2_vl under M-RoPE (serve/vl.py), mllama under gated
+        cross-attention (serve/mllama_vl.py)."""
         if self.vision_state is None:
             raise ValueError(
                 "no vision tower loaded: multimodal generate requires a "
-                "qwen2_vl checkpoint whose visual.* weights are present")
+                "VL checkpoint whose vision weights are present")
         cached = getattr(self, "_vl_engine", None)
         if (cached is not None and cached.params is self.params
                 and cached.backend == self.backend
                 and cached.max_seq == max_seq):
             return cached
-        from .models.qwen2_vl_vision import (import_vision_params,
-                                             vision_config_from_hf)
-        from .serve.vl import VLEngine
-        vcfg, toks = vision_config_from_hf(self._hf_config_dict())
-        vparams = import_vision_params(self.vision_state, vcfg)
-        eng = VLEngine(self.cfg, self.params, vcfg, vparams, toks,
-                       backend=self.backend, max_seq=max_seq)
+        if self.cfg.model_type == "mllama":
+            from .serve.mllama_vl import MllamaVLEngine
+            eng = MllamaVLEngine.build(
+                self.cfg, self.params, self._hf_config_dict(),
+                self.vision_state, backend=self.backend, max_seq=max_seq)
+        else:
+            from .models.qwen2_vl_vision import (import_vision_params,
+                                                 vision_config_from_hf)
+            from .serve.vl import VLEngine
+            vcfg, toks = vision_config_from_hf(self._hf_config_dict())
+            vparams = import_vision_params(self.vision_state, vcfg)
+            eng = VLEngine(self.cfg, self.params, vcfg, vparams, toks,
+                           backend=self.backend, max_seq=max_seq)
         self._vl_engine = eng
         return eng
 
@@ -237,10 +255,16 @@ class GanqModel:
                  pixel_values: Optional[np.ndarray] = None,
                  image_grid_thw: Optional[np.ndarray] = None,
                  pixel_values_videos: Optional[np.ndarray] = None,
-                 video_grid_thw: Optional[np.ndarray] = None) -> Union[str, np.ndarray]:
+                 video_grid_thw: Optional[np.ndarray] = None,
+                 aspect_ratio_ids: Optional[np.ndarray] = None,
+                 aspect_ratio_mask: Optional[np.ndarray] = None,
+                 cross_attention_mask: Optional[np.ndarray] = None
+                 ) -> Union[str, np.ndarray]:
         """String-aware generate (reference base.py:1164-1177). Passing
-        processor outputs (``pixel_values`` + ``image_grid_thw``, and/or the
-        video pair) routes through the multimodal engine (serve/vl.py)."""
+        processor outputs (``pixel_values`` + ``image_grid_thw`` for
+        qwen2-vl / the aspect-ratio triple for mllama, and/or the video
+        pair) routes through the multimodal engines (serve/vl.py,
+        serve/mllama_vl.py)."""
         is_str = isinstance(inputs, str)
         if is_str:
             if self.tokenizer is None:
@@ -256,13 +280,25 @@ class GanqModel:
         if pixel_values is not None or pixel_values_videos is not None:
             vl = self._get_vl_engine(min(max_seq,
                                          self.cfg.max_position_embeddings))
-            out = vl.generate(ids, pixel_values=pixel_values,
-                              image_grid_thw=image_grid_thw,
-                              pixel_values_videos=pixel_values_videos,
-                              video_grid_thw=video_grid_thw,
-                              max_new_tokens=max_new_tokens,
-                              temperature=temperature, top_k=top_k,
-                              top_p=top_p, eos_id=eos, seed=seed)
+            if self.cfg.model_type == "mllama":
+                if aspect_ratio_ids is None or cross_attention_mask is None:
+                    raise ValueError(
+                        "mllama multimodal generate needs aspect_ratio_ids, "
+                        "aspect_ratio_mask and cross_attention_mask "
+                        "(processor outputs)")
+                out = vl.generate(ids, pixel_values, aspect_ratio_ids,
+                                  aspect_ratio_mask, cross_attention_mask,
+                                  max_new_tokens=max_new_tokens,
+                                  temperature=temperature, top_k=top_k,
+                                  top_p=top_p, eos_id=eos, seed=seed)
+            else:
+                out = vl.generate(ids, pixel_values=pixel_values,
+                                  image_grid_thw=image_grid_thw,
+                                  pixel_values_videos=pixel_values_videos,
+                                  video_grid_thw=video_grid_thw,
+                                  max_new_tokens=max_new_tokens,
+                                  temperature=temperature, top_k=top_k,
+                                  top_p=top_p, eos_id=eos, seed=seed)
             if is_str:
                 return self.tokenizer.decode(
                     [t for t in out[0].tolist() if t != eos])
