@@ -30,3 +30,17 @@ RAND_SEED = 898  # same test seed as the reference (SURVEY.md §4)
 @pytest.fixture
 def rng():
     return np.random.default_rng(RAND_SEED)
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Free compiled executables after each test module. A full-suite run
+    in one process accumulates hundreds of XLA CPU compilations; letting
+    that state grow unboundedly has produced a segfault inside
+    backend_compile_and_load near the end of the suite (every test passes
+    file-by-file). Each module compiles its own tiny shapes anyway, so
+    clearing between modules costs nothing."""
+    yield
+    import gc
+    jax.clear_caches()
+    gc.collect()
