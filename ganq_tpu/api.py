@@ -93,6 +93,10 @@ class GanqModel:
             m.vision_state = extract_vl_state(
                 dict(hf_import.iter_safetensors(model_dir)),
                 hf_import.load_hf_config(model_dir))
+        elif cfg.model_type == "ovis2":
+            from .models.ovis2_vision import extract_vision_state
+            m.vision_state = extract_vision_state(
+                dict(hf_import.iter_safetensors(model_dir)))
         return m
 
     @classmethod
@@ -112,6 +116,12 @@ class GanqModel:
                      for k, v in model.state_dict().items()}
             m._hf_config_cache = model.config.to_dict()
             m.vision_state = extract_vl_state(state, m._hf_config_cache)
+        elif cfg.model_type == "ovis2":
+            from .models.ovis2_vision import extract_vision_state
+            state = {k: v.detach().cpu().numpy()
+                     for k, v in model.state_dict().items()}
+            m._hf_config_cache = model.config.to_dict()
+            m.vision_state = extract_vision_state(state) or None
         return m
 
     @staticmethod
@@ -237,6 +247,11 @@ class GanqModel:
             eng = MllamaVLEngine.build(
                 self.cfg, self.params, self._hf_config_dict(),
                 self.vision_state, backend=self.backend, max_seq=max_seq)
+        elif self.cfg.model_type == "ovis2":
+            from .serve.ovis2_vl import Ovis2VLEngine
+            eng = Ovis2VLEngine.build(
+                self.cfg, self.params, self._hf_config_dict(),
+                self.vision_state, backend=self.backend, max_seq=max_seq)
         else:
             from .models.qwen2_vl_vision import (import_vision_params,
                                                  vision_config_from_hf)
@@ -288,6 +303,11 @@ class GanqModel:
                         "(processor outputs)")
                 out = vl.generate(ids, pixel_values, aspect_ratio_ids,
                                   aspect_ratio_mask, cross_attention_mask,
+                                  max_new_tokens=max_new_tokens,
+                                  temperature=temperature, top_k=top_k,
+                                  top_p=top_p, eos_id=eos, seed=seed)
+            elif self.cfg.model_type == "ovis2":
+                out = vl.generate(ids, pixel_values=pixel_values,
                                   max_new_tokens=max_new_tokens,
                                   temperature=temperature, top_k=top_k,
                                   top_p=top_p, eos_id=eos, seed=seed)
