@@ -12,13 +12,16 @@ dim and rebuilds the node with its static (kind, bits, in_features) aux.
 from __future__ import annotations
 
 import functools
+import math
+import os
 from typing import Any, Dict, Tuple
 
 import jax
 import jax.numpy as jnp
 
 from ..models.transformer import (ModelConfig, causal_mask, embed,
-                                  layer_forward, rope_tables_all, unembed)
+                                  layer_forward, rope_tables,
+                                  rope_tables_all, unembed)
 
 
 def fuse_layer(lp: Dict[str, Any]) -> Dict[str, Any]:
@@ -161,6 +164,61 @@ def _decode_one(cfg, sp, cache_k, cache_v, token, pos, backend):
     return logits, cache_k, cache_v
 
 
+# ------------------------------------------------------------ megastep path
+def mega_enabled(cfg: ModelConfig, sp, backend: str, batch: int) -> bool:
+    """Whole-decode-step megakernel gate (ops/megastep.py): all layers in
+    ONE pallas_call, weight-streaming at the HBM roofline. Default ON for
+    the w8a8 backend on eligible models; GANQ_MEGASTEP=0 disables,
+    GANQ_MEGASTEP=1 forces it on CPU (interpret mode, tests)."""
+    env = os.environ.get("GANQ_MEGASTEP", "")
+    if env == "0" or batch > 8:
+        return False
+    # default-on only for the w8a8 backend on a real TPU; GANQ_MEGASTEP=1
+    # forces the decode path under any backend (CPU tests run it in
+    # interpret mode against a reference-backend prefill)
+    if env != "1" and (backend != "pallas_a8"
+                       or jax.default_backend() == "cpu"):
+        return False
+    from ..ops.megastep import megastep_fusable
+    return megastep_fusable(cfg, sp)
+
+
+def _mega_cache(cfg, cache_k, cache_v):
+    """[L, B, T, Hkv, d] -> the megakernel's [L, B*Hkv, T, d] layout."""
+    L, B, T, Hkv, d = cache_k.shape
+    to = lambda c: c.transpose(0, 1, 3, 2, 4).reshape(L, B * Hkv, T, d)
+    return to(cache_k), to(cache_v)
+
+
+def _decode_one_mega(cfg: ModelConfig, sp, mp, ck, cv, token, pos):
+    """One decode step through the megakernel. ck/cv in mega layout;
+    returns (logits, ck, cv)."""
+    from ..ops.megastep import megastep_decode_w8a8
+    from ..models.transformer import _fused_act_kind, _rope_half_tables
+
+    b = token.shape[0]
+    L = ck.shape[0]
+    d = cfg.head_dim
+    kv_dim = (mp["qkv_w8"].shape[1] - cfg.q_dim) // 2
+    positions = jnp.broadcast_to(pos, (b, 1))
+    x = embed(cfg, sp, token[:, None], positions)[:, 0, :]
+    rd, cos_h, sin_h = _rope_half_tables(cfg, rope_tables(cfg, positions))
+    scale = (cfg.attn_scale if cfg.attn_scale is not None
+             else 1.0 / math.sqrt(d))
+    y, kn, vn = megastep_decode_w8a8(
+        x, mp, ck, cv, pos, cos_h, sin_h,
+        q_dim=cfg.q_dim, kv_dim=kv_dim, head_dim=d, rotary_dim=rd,
+        interleaved=cfg.rope_interleaved, eps=cfg.norm_eps,
+        rms_offset=cfg.rms_offset, scale=scale, act=_fused_act_kind(cfg),
+        interpret=jax.default_backend() == "cpu")
+    kn4 = kn.reshape(L, b * (kv_dim // d), 1, d).astype(ck.dtype)
+    vn4 = vn.reshape(L, b * (kv_dim // d), 1, d).astype(cv.dtype)
+    ck = jax.lax.dynamic_update_slice(ck, kn4, (0, 0, pos, 0))
+    cv = jax.lax.dynamic_update_slice(cv, vn4, (0, 0, pos, 0))
+    logits = unembed(cfg, sp, y[:, None, :])[:, 0, :]
+    return logits, ck, cv
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "backend", "steps"),
                    donate_argnums=(2, 3))
 def greedy_decode(cfg: ModelConfig, sp, cache_k, cache_v, input_ids,
@@ -170,6 +228,22 @@ def greedy_decode(cfg: ModelConfig, sp, cache_k, cache_v, input_ids,
     b, s = input_ids.shape
     logits, cache_k, cache_v = prefill(cfg, sp, cache_k, cache_v, input_ids, backend)
     tok0 = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+    if mega_enabled(cfg, sp, backend, b):
+        from ..ops.megastep import megapack
+        mp = megapack(cfg, sp)
+        ck, cv = _mega_cache(cfg, cache_k, cache_v)
+
+        def mbody(carry, _):
+            ck, cv, tok, pos = carry
+            logits, ck, cv = _decode_one_mega(cfg, sp, mp, ck, cv, tok, pos)
+            nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            return (ck, cv, nxt, pos + 1), tok
+
+        (_, _, last, _), toks = jax.lax.scan(
+            mbody, (ck, cv, tok0, jnp.int32(s)), None, length=steps - 1)
+        return jnp.concatenate([jnp.moveaxis(toks, 0, 1), last[:, None]],
+                               axis=1)
 
     def body(carry, _):
         ck, cv, tok, pos = carry
