@@ -121,7 +121,7 @@ class GanqModel:
             state = {k: v.detach().cpu().numpy()
                      for k, v in model.state_dict().items()}
             m._hf_config_cache = model.config.to_dict()
-            m.vision_state = extract_vision_state(state) or None
+            m.vision_state = extract_vision_state(state)
         return m
 
     @staticmethod
@@ -301,12 +301,22 @@ class GanqModel:
                         "mllama multimodal generate needs aspect_ratio_ids, "
                         "aspect_ratio_mask and cross_attention_mask "
                         "(processor outputs)")
+                if pixel_values_videos is not None or video_grid_thw is not None:
+                    raise ValueError(
+                        "mllama multimodal generate supports images only; "
+                        "video inputs are not supported for this architecture")
                 out = vl.generate(ids, pixel_values, aspect_ratio_ids,
                                   aspect_ratio_mask, cross_attention_mask,
                                   max_new_tokens=max_new_tokens,
                                   temperature=temperature, top_k=top_k,
                                   top_p=top_p, eos_id=eos, seed=seed)
             elif self.cfg.model_type == "ovis2":
+                if (pixel_values_videos is not None or video_grid_thw is not None
+                        or image_grid_thw is not None):
+                    raise ValueError(
+                        "ovis2 multimodal generate supports pixel_values only; "
+                        "video inputs (pixel_values_videos/video_grid_thw) and "
+                        "image_grid_thw are not supported for this architecture")
                 out = vl.generate(ids, pixel_values=pixel_values,
                                   max_new_tokens=max_new_tokens,
                                   temperature=temperature, top_k=top_k,

@@ -57,6 +57,14 @@ class Ovis2VLEngine:
         vcfg = vision_config_from_hf(hf_config)
         vparams = import_vision_params(vision_state)
         img, ind = vl_tokens_from_hf(hf_config)
+        if len(ind) != vcfg.num_visual_indicator_tokens:
+            # embed_multimodal indexes indicators[i] with JAX (clamping)
+            # semantics; a silent mismatch would map extra indicator tokens
+            # onto the last learned row instead of failing.
+            raise ValueError(
+                f"wrapper config lists {len(ind)} visual_indicator_token_ids "
+                f"but the vision config has "
+                f"{vcfg.num_visual_indicator_tokens} indicator rows")
         return cls(cfg, params, vcfg, vparams, img, ind,
                    backend=backend, max_seq=max_seq)
 
