@@ -142,13 +142,63 @@ def rotate(cfg: ModelConfig, params: Dict[str, Any], Q: jax.Array) -> None:
     # handled by fuse_norms materialization order (lm_head rotated via in_rot).
 
 
+def rotate_ov(cfg: ModelConfig, params: Dict[str, Any],
+              mode: str = "hadamard", seed: int = 0) -> jax.Array:
+    """R2: the per-head ov rotation (reference ``rotation.py:161-166``
+    ``rotate_ov_proj`` / ``apply_exact_had_to_linear(had_dim=head_dim)``).
+
+    Every head's value vector is rotated by one orthogonal H [d, d]:
+    v output row-chunks become ``H @ W_chunk`` and o input column-chunks
+    ``W_chunk @ H^T``, so per head ``(W_o H^T)(H v) = W_o v`` — function
+    preserved without touching the residual stream. Because attention
+    output is a convex combination of v's, the same H propagates through
+    softmax, which is why this is where QuaRot suppresses *activation*
+    outliers entering o (serves the W4A8 path). Works under GQA: each of
+    the query head's d-chunks of o's input carries the shared kv head's H.
+    """
+    d = cfg.v_cache_dim  # head_dim (v_head_dim only under MLA)
+    if mode == "hadamard" and d & (d - 1):
+        log.warning(f"head_dim={d} not a power of 2; using random orthogonal")
+        mode = "random"
+    H = make_rotation(d, mode, seed)
+    f32 = jnp.float32
+
+    def out_heads(lin: QLinear) -> None:   # row-chunks: W' = H @ W_chunk
+        W = lin["weight"].astype(f32)
+        out, inn = W.shape
+        Wr = W.reshape(out // d, d, inn)
+        lin["weight"] = jnp.einsum("ij,hjk->hik", H, Wr).reshape(
+            out, inn).astype(lin["weight"].dtype)
+        if "bias" in lin:
+            b = lin["bias"].astype(f32).reshape(out // d, d)
+            lin["bias"] = (b @ H.T).reshape(out).astype(lin["bias"].dtype)
+
+    def in_heads(lin: QLinear) -> None:    # col-chunks: W' = W_chunk @ H^T
+        W = lin["weight"].astype(f32)
+        out, inn = W.shape
+        Wr = W.reshape(out, inn // d, d)
+        lin["weight"] = jnp.einsum("ohj,ij->ohi", Wr, H).reshape(
+            out, inn).astype(lin["weight"].dtype)
+
+    for lp in params["layers"]:
+        out_heads(lp["attn"]["v"])
+        in_heads(lp["attn"]["o"])
+    return H
+
+
 def rotate_model(cfg: ModelConfig, params: Dict[str, Any],
-                 mode: str = "hadamard", seed: int = 0) -> jax.Array:
-    """fuse_norms + R1 rotation. Returns Q (also useful for tests)."""
+                 mode: str = "hadamard", seed: int = 0,
+                 ov: bool = True) -> jax.Array:
+    """fuse_norms + R1 rotation (+ R2 per-head ov rotation when the
+    attention path is a plain rotation-commuting map: no qk-norm on v, no
+    MLA). Returns Q (also useful for tests)."""
     fuse_norms(cfg, params)
     Q = make_rotation(cfg.hidden_size, mode, seed)
     rotate(cfg, params, Q)
+    if ov and not cfg.mla:
+        rotate_ov(cfg, params, mode, seed + 1)
     return Q
 
 
-__all__ = ["fuse_norms", "rotate", "rotate_model", "make_rotation"]
+__all__ = ["fuse_norms", "rotate", "rotate_ov", "rotate_model",
+           "make_rotation"]

@@ -85,3 +85,40 @@ def test_quantize_with_rotation_api(rng):
     m.quantize([rng.integers(1, 256, size=(32,)).astype(np.int32)
                 for _ in range(2)])
     assert m.quantized and "lm_head" in m.params
+
+
+def test_rotate_ov_preserves_function(rng):
+    """R2 alone (reference rotation.py:161-166 rotate_ov_proj): per-head
+    H on v outputs / o inputs must not change the network function."""
+    from ganq_tpu.quant.rotation import rotate_ov
+
+    for mode in ("hadamard", "random"):
+        model = tiny(4)
+        cfg, params = hf_import.params_from_torch_model(model)
+        _, p_ref = hf_import.params_from_torch_model(model)
+        ids = jnp.asarray(rng.integers(0, 256, size=(2, 16)))
+        ref = np.asarray(transformer.forward(cfg, p_ref, ids), np.float32)
+        rotate_ov(cfg, params, mode=mode)
+        out = np.asarray(transformer.forward(cfg, params, ids), np.float32)
+        np.testing.assert_allclose(out, ref, atol=5e-3, rtol=5e-3)
+
+
+def test_rotate_ov_suppresses_v_activation_outliers(rng):
+    """R2's purpose: outliers in the per-head v activations entering o
+    (the W4A8 activation-quantization hazard) spread across the head dim."""
+    from ganq_tpu.quant.rotation import rotate_ov
+
+    model = tiny(5)
+    cfg, params = hf_import.params_from_torch_model(model)
+    # single-row outlier in v -> one hot channel in o's input activations
+    v = np.array(params["layers"][0]["attn"]["v"]["weight"])
+    v[3, :] *= 30.0
+    params["layers"][0]["attn"]["v"]["weight"] = jnp.asarray(v)
+    def row_ratio(w):  # per-output-channel (row) energy concentration
+        norms = np.linalg.norm(np.asarray(w, np.float64), axis=1)
+        return norms.max() / np.median(norms)
+
+    before = row_ratio(params["layers"][0]["attn"]["v"]["weight"])
+    rotate_ov(cfg, params, mode="hadamard")
+    after = row_ratio(params["layers"][0]["attn"]["v"]["weight"])
+    assert after < before * 0.5, (before, after)
