@@ -47,6 +47,10 @@ class FORMAT(str, Enum):
     GPTQ_V2 = "gptq_v2"
     LUT = "lut"
     FAKE = "fake"
+    # W4A8 QQQ format: B (marlin-tiled int4) + s_group (relative fp16) +
+    # s_channel (calibrated per-channel fp32), reference
+    # nn_modules/qlinear/qqq.py:131-156 (formats/qqq_compat.py)
+    QQQ = "qqq"
 
     def __str__(self) -> str:  # json-friendly
         return self.value
@@ -59,6 +63,9 @@ class QUANT_METHOD(str, Enum):
     # this method to the external auto-round package, base.py:638-707;
     # here it is a first-class jitted solver, quant/autoround.py)
     AUTO_ROUND = "auto_round"
+    # W4A8: GPTQ solver (sym) + calibrated per-channel int8 scale_extra
+    # (reference quantization/qqq.py:9-36)
+    QQQ = "qqq"
 
     def __str__(self) -> str:
         return self.value
@@ -68,6 +75,7 @@ QUANT_METHOD_FORMAT_MAPPING = {
     QUANT_METHOD.GPTQ: {FORMAT.GPTQ, FORMAT.GPTQ_V2, FORMAT.FAKE},
     QUANT_METHOD.GANQ: {FORMAT.LUT, FORMAT.FAKE},
     QUANT_METHOD.AUTO_ROUND: {FORMAT.GPTQ, FORMAT.GPTQ_V2, FORMAT.FAKE},
+    QUANT_METHOD.QQQ: {FORMAT.QQQ, FORMAT.GPTQ_V2, FORMAT.FAKE},
 }
 
 # HF/ecosystem synonyms accepted when parsing quantize_config.json
@@ -205,7 +213,9 @@ class QuantizeConfig:
             self.quant_method = QUANT_METHOD(self.quant_method)
         if self.format is None:
             self.format = (
-                FORMAT.LUT if self.quant_method == QUANT_METHOD.GANQ else FORMAT.GPTQ
+                FORMAT.LUT if self.quant_method == QUANT_METHOD.GANQ
+                else FORMAT.QQQ if self.quant_method == QUANT_METHOD.QQQ
+                else FORMAT.GPTQ
             )
         if isinstance(self.format, str):
             self.format = FORMAT(self.format)
@@ -224,6 +234,17 @@ class QuantizeConfig:
             raise ValueError(f"QuantizeConfig: unknown `act_sort` {self.act_sort}")
         if self.l_damp_style not in ("gptq", "ganq"):
             raise ValueError(f"QuantizeConfig: unknown `l_damp_style` {self.l_damp_style}")
+        if self.quant_method == QUANT_METHOD.QQQ:
+            # QQQQuantizer is groupwise-sym (reference quantizer.py:179-181);
+            # the QQQ artifact is 4-bit (kernel + format contract)
+            if not self.sym:
+                raise ValueError("QuantizeConfig: QQQ requires sym=True")
+            if self.format == FORMAT.QQQ and self.bits != 4:
+                raise ValueError("QuantizeConfig: the QQQ format is 4-bit only")
+            if self.format == FORMAT.QQQ and self.desc_act:
+                # the QQQ artifact has no g_idx tensor; the reference
+                # normalizes this away too (qlinear/qqq.py:112-115)
+                self.desc_act = False
         if self.autoround_scope not in ("module", "block"):
             raise ValueError(
                 f"QuantizeConfig: unknown `autoround_scope` {self.autoround_scope}")

@@ -28,7 +28,7 @@ from ..models.transformer import ModelConfig
 from ..ops import qlinear
 from ..ops.packing import pack_int_rows
 from ..utils.logger import get_logger
-from . import gptq_compat
+from . import gptq_compat, qqq_compat
 
 log = get_logger(__name__)
 
@@ -130,6 +130,22 @@ def save_quantized(save_dir: str, hf_config: Dict[str, Any], qcfg: QuantizeConfi
             state[f"{prefix}.lut"] = np.take_along_axis(lut, order, axis=1)
             state[f"{prefix}.idx_packed"] = np.asarray(
                 pack_int_rows(jnp.asarray(idx_sorted), art.bits))
+        elif qcfg.format == FORMAT.QQQ:
+            qidx = np.asarray(art.qidx)
+            scales = np.asarray(art.scale, np.float32)
+            se = art.scale_extra
+            if scales.shape[1] > 1:
+                if se is None:
+                    raise ValueError(
+                        f"{full_name}: grouped QQQ needs scale_extra "
+                        "(quantize with quant_method='qqq')")
+                packed = qqq_compat.pack_qqq(qidx, scales,
+                                             np.asarray(se, np.float32))
+            else:
+                # channel-only layout stores signed codes (zero point 8)
+                packed = qqq_compat.pack_qqq(qidx - 8, None, scales[:, 0])
+            for k, v in packed.items():
+                state[f"{prefix}.{k}"] = v
         else:
             v1 = qcfg.format == FORMAT.GPTQ
             packed = gptq_compat.pack_gptq(
@@ -313,6 +329,24 @@ def load_quantized(model_dir: str, verify_hash: Optional[Dict[str, str]] = None
                                  in_features=packed.shape[1] * pack_factor(bits))
             if bias is not None:
                 ql["bias"] = bias
+            return ql
+        if f"{prefix}.B" in state:
+            # QQQ format (formats/qqq_compat.py): rebuild a uniform QLinear
+            q4, gsc, se = qqq_compat.unpack_qqq(
+                {"B": state[f"{prefix}.B"],
+                 "s_group": state.get(f"{prefix}.s_group"),
+                 "s_channel": state[f"{prefix}.s_channel"]})
+            out = q4.shape[0]
+            if gsc is not None:
+                qidx, scales = q4, gsc
+            else:
+                qidx, scales = q4 + 8, se.reshape(out, 1)
+            zeros = np.full_like(scales, 8.0, dtype=np.float32)
+            ql = qlinear.uniform_linear(
+                jnp.asarray(qidx), jnp.asarray(scales, jnp.float32),
+                jnp.asarray(zeros), None, 4, bias)
+            if gsc is not None:
+                ql["scale_extra"] = jnp.asarray(se, jnp.float32)
             return ql
         if f"{prefix}.qweight" in state:
             v1 = qcfg.format == FORMAT.GPTQ

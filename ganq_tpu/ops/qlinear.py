@@ -134,7 +134,9 @@ def uniform_linear(qidx: jax.Array, scale: jax.Array, zero: jax.Array,
         "scales": scale.astype(jnp.float32),
         "zeros": zero.astype(jnp.float32),
     }
-    if isinstance(g_idx, jax.core.Tracer):
+    if g_idx is None:
+        pass                                        # sequential, structural
+    elif isinstance(g_idx, jax.core.Tracer):
         arrays["g_idx"] = g_idx.astype(jnp.int32)   # unknown: keep dynamic
     else:
         K = qidx.shape[1]
@@ -227,8 +229,15 @@ def recode_w8(p: QLinear) -> QLinear:
                                        p.in_features)
     elif p.kind == "uniform":
         w = dequantize_weight(p)                     # [out, in] f32
-        amax = jnp.max(jnp.abs(w), axis=1, keepdims=True)
-        scale = jnp.maximum(amax, 1e-12) / 127.0
+        if "scale_extra" in p:
+            # QQQ's calibrated per-channel 8-bit scale of the ORIGINAL
+            # weight (reference quantization/qqq.py:21-35) — the two-level
+            # W4A8 scheme's int8 recode, instead of a post-hoc max-abs
+            scale = p["scale_extra"].reshape(-1, 1).astype(jnp.float32)
+            scale = jnp.maximum(scale, 1e-12)
+        else:
+            amax = jnp.max(jnp.abs(w), axis=1, keepdims=True)
+            scale = jnp.maximum(amax, 1e-12) / 127.0
         w8 = jnp.clip(jnp.round(w / scale), -127, 127).astype(jnp.int8)
     else:
         return p

@@ -71,6 +71,9 @@ class QuantizedModule:
     scale: Optional[jax.Array] = None
     zero: Optional[jax.Array] = None
     g_idx: Optional[jax.Array] = None
+    # QQQ: calibrated per-channel 8-bit sym scale of the ORIGINAL weight
+    # (reference quantization/qqq.py:21-35), for the W4A8 two-level scheme
+    scale_extra: Optional[jax.Array] = None  # [out]
     # EoRA adapter (optional)
     lora_a: Optional[jax.Array] = None       # [rank, in]
     lora_b: Optional[jax.Array] = None       # [out, rank]
@@ -128,9 +131,18 @@ def _quantize_one(W: jax.Array, H: jax.Array, eff_cfg: QuantizeConfig,
                               scale=r.scale, zero=r.zero, g_idx=r.g_idx)
         return r.Q, art, r.avg_loss, r.damp_used
     r = gptq_quantize(W, H, eff_cfg, nsamples)
-    art = QuantizedModule(method=QUANT_METHOD.GPTQ, bits=eff_cfg.bits,
+    scale_extra = None
+    if (eff_cfg.quant_method == QUANT_METHOD.QQQ
+            and eff_cfg.group_size not in (-1, W.shape[1])):
+        # grouped W4A8: calibrated per-channel 8-bit sym scale of the
+        # ORIGINAL weight (reference qqq.py:21-35 runs an 8-bit sym
+        # per-channel find_params with mse=0 -> scale = 2*max|w|/255)
+        amax = jnp.max(jnp.abs(W), axis=1)
+        scale_extra = 2.0 * amax / 255.0
+    art = QuantizedModule(method=eff_cfg.quant_method, bits=eff_cfg.bits,
                           group_size=eff_cfg.group_size, qidx=r.qidx,
-                          scale=r.scale, zero=r.zero, g_idx=r.g_idx)
+                          scale=r.scale, zero=r.zero, g_idx=r.g_idx,
+                          scale_extra=scale_extra)
     return r.Q, art, r.avg_loss, r.damp_used
 
 
