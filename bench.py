@@ -29,6 +29,7 @@ def measure(cfg, kind, backend, batch, prompt_len, steps, max_seq, reps=6):
     from ganq_tpu.serve import stacked
 
     sp = synthetic.make_stacked_model(cfg, kind=kind, seed=0)
+    sp = stacked.prepack(cfg, sp, backend, batch)
     rng = np.random.default_rng(0)
     ids = jnp.asarray(rng.integers(0, cfg.vocab_size, size=(batch, prompt_len)),
                       jnp.int32)
@@ -46,6 +47,26 @@ def measure(cfg, kind, backend, batch, prompt_len, steps, max_seq, reps=6):
     del sp
     gc.collect()
     return batch * steps / best
+
+
+def measure_8b_shape(reps=3):
+    """Llama-3-8B-shape quantized-only decode (VERDICT r1 #9): no bf16 twin
+    fits at this scale, so the W4A8 path is measured alone against its own
+    weight-read roofline (HBM spec 819 GB/s, v5e)."""
+    from ganq_tpu.models import synthetic
+    from ganq_tpu.serve import stacked
+
+    cfg = synthetic.llama_config(
+        hidden=4096, inter=14336, layers=32, heads=32, kv_heads=8,
+        vocab=32768, max_pos=2048)
+    batch, prompt, steps, max_seq = 8, 64, 64, 256
+    tps = measure(cfg, "uniform", "pallas_a8", batch, prompt, steps,
+                  max_seq, reps=reps)
+    h, i = 4096, 14336
+    w4_bytes = 32 * (3 * h * h + 2 * (h // 4) * h + 3 * i * h) // 2
+    roofline_tps = batch / (w4_bytes / 819e9)
+    return {"tokens_per_s": round(tps, 1),
+            "weight_roofline_frac": round(tps / roofline_tps, 4)}
 
 
 def main():
@@ -78,14 +99,25 @@ def main():
     # measurement order: the headline pair first, so a driver-side timeout
     # after partial progress still leaves the informative paths compiled
     tps_dense = safe("bf16", "dense", "reference", batch, prompt, steps, max_seq)
+    # true W4A8: uniform sym artifacts through the pair-nibble megastep
+    # (ops/megastep4.py) — half the weight HBM bytes of the w8 path
+    tps_w4a8 = safe("w4a8", "uniform", "pallas_a8" if on_tpu else "reference",
+                    batch, prompt, steps, max_seq)
     tps_w8a8 = safe("w8a8", "w8", "pallas_a8" if on_tpu else "reference",
                     batch, prompt, steps, max_seq)
     tps_lut = safe("lut", "lut", backend, batch, prompt, steps, max_seq)
     if tps_dense <= 0:
         tps_dense = 1e-9
 
-    best = max(tps_lut, tps_w8a8)
+    best = max(tps_lut, tps_w8a8, tps_w4a8)
     speedup = best / tps_dense
+    b8 = {}
+    if on_tpu:
+        try:
+            b8 = measure_8b_shape()
+        except Exception as e:
+            import sys
+            print(f"8B-shape bench failed: {e}", file=sys.stderr)
     print(json.dumps({
         "metric": "ganq_w4_decode_speedup_vs_bf16",
         "value": round(speedup, 4),
@@ -93,10 +125,12 @@ def main():
         "vs_baseline": round(speedup / 2.11, 4),
         "detail": {
             "tokens_per_s_best": round(best, 1),
+            "tokens_per_s_w4a8_pairmega": round(tps_w4a8, 1),
             "tokens_per_s_lut_exact": round(tps_lut, 1),
             "tokens_per_s_w8a8_dynamic": round(tps_w8a8, 1),
             "tokens_per_s_bf16": round(tps_dense, 1),
             "reference_baseline": "GANQ paper Table 5: 2.11x W4 vs fp16 decode (RTX 4090)",
+            "w4a8_8b_shape": b8,
         },
     }))
 

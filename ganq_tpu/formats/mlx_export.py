@@ -70,7 +70,8 @@ def _mlx_quantized(p: QLinear) -> Optional[Dict[str, np.ndarray]]:
     meta = _mlx_qparams(p)
     if meta is None:
         return None
-    qweight, scales, zeros = p["qweight"], p["scales"], p["zeros"]
+    from ..ops.qlinear import uniform_zeros
+    qweight, scales, zeros = p["qweight"], p["scales"], uniform_zeros(p)
     gs, K = meta["group_size"], p.in_features
     q = np.asarray(unpack_int_rows(qweight, p.bits, K))
     s = np.asarray(scales, np.float32)

@@ -28,6 +28,47 @@ def llama_config(hidden: int = 2048, inter: int = 5504, layers: int = 16,
         tie_word_embeddings=True)
 
 
+import functools
+
+
+@functools.partial(jax.jit, static_argnames=("out_f", "in_f", "kind",
+                                             "dtype"))
+def _rand_arrays(key, out_f: int, in_f: int, kind: str, dtype=jnp.bfloat16):
+    """Array leaves for one random linear, as ONE jitted dispatch — eager
+    per-op dispatch through the tunneled runtime costs ~25ms each, which
+    made multi-GB synthetic model builds take minutes."""
+    from ..ops.packing import pack_int_rows
+
+    if kind == "dense":
+        return {"weight": jax.random.normal(key, (out_f, in_f), dtype) * 0.02}
+    if kind == "lut":
+        k1, k2 = jax.random.split(key)
+        lut = jnp.sort(jax.random.normal(k1, (out_f, 16), jnp.float32) * 0.02,
+                       axis=1).astype(jnp.bfloat16)
+        idx = jax.random.randint(k2, (out_f, in_f), 0, 16, jnp.int32)
+        return {"lut": lut, "idx_packed": pack_int_rows(idx, 4)}
+    if kind == "w8":
+        k1, k2 = jax.random.split(key)
+        w8 = jax.random.randint(k1, (out_f, in_f), -127, 128,
+                                jnp.int32).astype(jnp.int8)
+        scale = jax.random.uniform(k2, (out_f, 1), jnp.float32, 1e-4, 4e-4)
+        return {"w8": w8, "scale": scale}
+    if kind == "uniform":
+        k1, k2 = jax.random.split(key)
+        gs = 128 if in_f % 128 == 0 else in_f
+        ng = in_f // gs
+        qidx = jax.random.randint(k1, (out_f, in_f), 0, 16, jnp.int32)
+        scales = jax.random.uniform(k2, (out_f, ng), jnp.float32, 0.001, 0.004)
+        # sym (zero point 8), sequential groups: both structural (omitted)
+        return {"qweight": pack_int_rows(qidx, 4), "scales": scales}
+    raise ValueError(kind)
+
+
+def _linear_from_arrays(arrays, kind: str, in_f: int) -> qlinear.QLinear:
+    bits = {"dense": 16, "w8": 8}.get(kind, 4)
+    return qlinear.QLinear(kind, dict(arrays), bits=bits, in_features=in_f)
+
+
 def _rand_linear(key, out_f: int, in_f: int, kind: str, dtype=jnp.bfloat16):
     if kind == "dense":
         w = jax.random.normal(key, (out_f, in_f), dtype) * 0.02
@@ -97,8 +138,10 @@ def make_stacked_model(cfg: ModelConfig, kind: str = "lut", seed: int = 0,
     L = cfg.num_hidden_layers
 
     def stacked_linear(keys, out_f, in_f):
-        lins = [_rand_linear(k, out_f, in_f, kind, dtype) for k in keys]
-        return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *lins)
+        arrays = [_rand_arrays(k, out_f, in_f, kind, dtype) for k in keys]
+        stacked_arrays = jax.tree_util.tree_map(
+            lambda *xs: jnp.stack(xs), *arrays)
+        return _linear_from_arrays(stacked_arrays, kind, in_f)
 
     layer_keys = jax.random.split(next(ks), L * 4).reshape(L, 4, 2)
     attn = {

@@ -132,8 +132,15 @@ def uniform_linear(qidx: jax.Array, scale: jax.Array, zero: jax.Array,
     arrays = {
         "qweight": pack_int_rows(qidx, bits),
         "scales": scale.astype(jnp.float32),
-        "zeros": zero.astype(jnp.float32),
     }
+    # symmetric artifacts (every zero point == 2^(b-1)) omit the zeros
+    # array: symmetry becomes pytree-STRUCTURAL, so sym-only fused kernels
+    # (ops/megastep4.py) stay decidable under jit (same design as the
+    # sequential-g_idx omission below)
+    center = float(1 << (bits - 1))
+    if isinstance(zero, jax.core.Tracer) or not bool(
+            np.all(np.asarray(zero) == center)):
+        arrays["zeros"] = zero.astype(jnp.float32)
     if g_idx is None:
         pass                                        # sequential, structural
     elif isinstance(g_idx, jax.core.Tracer):
@@ -147,6 +154,14 @@ def uniform_linear(qidx: jax.Array, scale: jax.Array, zero: jax.Array,
     if bias is not None:
         arrays["bias"] = bias
     return QLinear("uniform", arrays, bits=bits, in_features=qidx.shape[1])
+
+
+def uniform_zeros(p: QLinear) -> jax.Array:
+    """The zero points for a uniform linear (the symmetric center when the
+    array was omitted at construction)."""
+    if "zeros" in p.arrays:
+        return p["zeros"]
+    return jnp.full_like(p["scales"], float(1 << (p.bits - 1)))
 
 
 def uniform_g_idx(p: QLinear) -> jax.Array:
@@ -173,7 +188,7 @@ def dequantize_weight(p: QLinear) -> jax.Array:
         qidx = unpack_int_rows(p["qweight"], p.bits, p.in_features)
         gi = uniform_g_idx(p)
         scale = p["scales"][:, gi]                  # [out, in]
-        zero = p["zeros"][:, gi]
+        zero = uniform_zeros(p)[:, gi]
         return scale * (qidx.astype(jnp.float32) - zero)
     if p.kind == "w8":
         w = p["w8"].astype(jnp.float32) * p["scale"]
@@ -201,11 +216,11 @@ def apply(p: QLinear, x: jax.Array, backend: str = "reference") -> jax.Array:
             # true W4A8: packed int4 straight to the int8 MXU (QQQ-kernel
             # equivalent) — half the weight HBM traffic of the w8 path
             y = uniform_matmul.uniform_a8_matmul(
-                x, p["qweight"], p["scales"], p["zeros"],
+                x, p["qweight"], p["scales"], uniform_zeros(p),
                 p.arrays.get("g_idx"), p.bits)
         else:
             y = uniform_matmul.uniform_matmul(
-                x, p["qweight"], p["scales"], p["zeros"],
+                x, p["qweight"], p["scales"], uniform_zeros(p),
                 p.arrays.get("g_idx"), p.bits)
     else:
         raise ValueError(f"unknown backend: {backend}")

@@ -202,6 +202,9 @@ class Engine:
                     from . import stacked as _stacked
                     try:
                         self._sp = _stacked.stack_layers(self.params)
+                        # one-time megakernel pre-pack (ops/megastep4.py)
+                        self._sp = _stacked.prepack(
+                            self.cfg, self._sp, self.backend, 1)
                     except ValueError:
                         self._sp = None  # mixed kinds/bits: per-layer path
         if self.layout == "stacked" and self._sp is None:

@@ -165,22 +165,41 @@ def _decode_one(cfg, sp, cache_k, cache_v, token, pos, backend):
 
 
 # ------------------------------------------------------------ megastep path
-def mega_enabled(cfg: ModelConfig, sp, backend: str, batch: int) -> bool:
-    """Whole-decode-step megakernel gate (ops/megastep.py): all layers in
-    ONE pallas_call, weight-streaming at the HBM roofline. Default ON for
-    the w8a8 backend on eligible models; GANQ_MEGASTEP=0 disables,
-    GANQ_MEGASTEP=1 forces it on CPU (interpret mode, tests)."""
+def mega_enabled(cfg: ModelConfig, sp, backend: str, batch: int):
+    """Whole-decode-step megakernel gate: all layers in ONE pallas_call,
+    weight-streaming at the HBM roofline. Returns "w4" (uniform W4 pair-
+    nibble kernel, ops/megastep4.py), "w8" (int8 kernel, ops/megastep.py)
+    or None. Default ON for the w8a8 backend on eligible models;
+    GANQ_MEGASTEP=0 disables, GANQ_MEGASTEP=1 forces it on CPU (interpret
+    mode, tests)."""
     env = os.environ.get("GANQ_MEGASTEP", "")
     if env == "0" or batch > 8:
-        return False
+        return None
     # default-on only for the w8a8 backend on a real TPU; GANQ_MEGASTEP=1
     # forces the decode path under any backend (CPU tests run it in
     # interpret mode against a reference-backend prefill)
     if env != "1" and (backend != "pallas_a8"
                        or jax.default_backend() == "cpu"):
-        return False
+        return None
     from ..ops.megastep import megastep_fusable
-    return megastep_fusable(cfg, sp)
+    from ..ops.megastep4 import megastep4_fusable
+    if megastep4_fusable(cfg, sp):
+        return "w4"
+    if megastep_fusable(cfg, sp):
+        return "w8"
+    return None
+
+
+def prepack(cfg: ModelConfig, sp, backend: str, batch: int):
+    """Pre-pack megakernel operands ONCE (outside jit) and attach them to
+    the params pytree; greedy_decode picks them up instead of re-packing
+    per call. No-op when the megastep path would not engage."""
+    if mega_enabled(cfg, sp, backend, batch) == "w4" \
+            and "megapack4" not in sp:
+        from ..ops.megastep4 import megapack4
+        sp = dict(sp)
+        sp["megapack4"] = jax.device_put(megapack4(cfg, sp))
+    return sp
 
 
 def _mega_cache(cfg, cache_k, cache_v):
@@ -190,22 +209,28 @@ def _mega_cache(cfg, cache_k, cache_v):
     return to(cache_k), to(cache_v)
 
 
-def _decode_one_mega(cfg: ModelConfig, sp, mp, ck, cv, token, pos):
+def _decode_one_mega(cfg: ModelConfig, sp, mp, ck, cv, token, pos,
+                     variant: str = "w8"):
     """One decode step through the megakernel. ck/cv in mega layout;
     returns (logits, ck, cv)."""
     from ..ops.megastep import megastep_decode_w8a8
+    from ..ops.megastep4 import megastep4_decode
     from ..models.transformer import _fused_act_kind, _rope_half_tables
 
     b = token.shape[0]
     L = ck.shape[0]
     d = cfg.head_dim
-    kv_dim = (mp["qkv_w8"].shape[1] - cfg.q_dim) // 2
+    if variant == "w4":
+        kv_dim = (mp["qkv_p4"].shape[1] * 2 - cfg.q_dim) // 2
+    else:
+        kv_dim = (mp["qkv_w8"].shape[1] - cfg.q_dim) // 2
     positions = jnp.broadcast_to(pos, (b, 1))
     x = embed(cfg, sp, token[:, None], positions)[:, 0, :]
     rd, cos_h, sin_h = _rope_half_tables(cfg, rope_tables(cfg, positions))
     scale = (cfg.attn_scale if cfg.attn_scale is not None
              else 1.0 / math.sqrt(d))
-    y, kn, vn = megastep_decode_w8a8(
+    step_fn = megastep4_decode if variant == "w4" else megastep_decode_w8a8
+    y, kn, vn = step_fn(
         x, mp, ck, cv, pos, cos_h, sin_h,
         q_dim=cfg.q_dim, kv_dim=kv_dim, head_dim=d, rotary_dim=rd,
         interleaved=cfg.rope_interleaved, eps=cfg.norm_eps,
@@ -229,14 +254,22 @@ def greedy_decode(cfg: ModelConfig, sp, cache_k, cache_v, input_ids,
     logits, cache_k, cache_v = prefill(cfg, sp, cache_k, cache_v, input_ids, backend)
     tok0 = jnp.argmax(logits, axis=-1).astype(jnp.int32)
 
-    if mega_enabled(cfg, sp, backend, b):
-        from ..ops.megastep import megapack
-        mp = megapack(cfg, sp)
+    variant = mega_enabled(cfg, sp, backend, b)
+    if variant:
+        if variant == "w4":
+            from ..ops.megastep4 import megapack4
+            mp = sp.get("megapack4")
+            if mp is None:
+                mp = megapack4(cfg, sp)
+        else:
+            from ..ops.megastep import megapack
+            mp = megapack(cfg, sp)
         ck, cv = _mega_cache(cfg, cache_k, cache_v)
 
         def mbody(carry, _):
             ck, cv, tok, pos = carry
-            logits, ck, cv = _decode_one_mega(cfg, sp, mp, ck, cv, tok, pos)
+            logits, ck, cv = _decode_one_mega(cfg, sp, mp, ck, cv, tok, pos,
+                                              variant)
             nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
             return (ck, cv, nxt, pos + 1), tok
 
@@ -274,6 +307,34 @@ def generate_tokens(cfg: ModelConfig, sp, cache_k, cache_v, input_ids, key,
     key, k0 = jax.random.split(key)
     tok0 = _sample(logits0, k0, temperature, top_k, top_p)
     done0 = (tok0 == eos_id) if eos_id >= 0 else jnp.zeros((b,), bool)
+
+    variant = mega_enabled(cfg, sp, backend, b)
+    if variant:
+        if variant == "w4":
+            from ..ops.megastep4 import megapack4
+            mp = sp.get("megapack4")
+            if mp is None:
+                mp = megapack4(cfg, sp)
+        else:
+            from ..ops.megastep import megapack
+            mp = megapack(cfg, sp)
+        ck, cv = _mega_cache(cfg, cache_k, cache_v)
+
+        def mbody(carry, _):
+            ck, cv, tok, pos, key, done = carry
+            logits, ck, cv = _decode_one_mega(cfg, sp, mp, ck, cv, tok, pos,
+                                              variant)
+            key, sub = jax.random.split(key)
+            nxt = _sample(logits, sub, temperature, top_k, top_p)
+            nxt = jnp.where(done, eos_id if eos_id >= 0 else 0, nxt)
+            done = done | ((nxt == eos_id) if eos_id >= 0 else False)
+            return (ck, cv, nxt, pos + 1, key, done), tok
+
+        (_, _, last, _, _, _), toks = jax.lax.scan(
+            mbody, (ck, cv, tok0, jnp.int32(s), key, done0), None,
+            length=max_new_tokens - 1)
+        toks = jnp.moveaxis(toks, 0, 1)
+        return jnp.concatenate([toks, last[:, None]], axis=1)
 
     def body(carry, _):
         ck, cv, tok, pos, key, done = carry

@@ -56,10 +56,17 @@ def estimate_model_bytes(params: Dict[str, Any]) -> int:
 def estimate_serving_bytes(cfg, batch: int, max_seq: int,
                            params: Dict[str, Any],
                            kv_dtype_bytes: int = 2) -> Dict[str, int]:
-    """Weights + KV cache + activation headroom for a serving config."""
+    """Weights + KV cache + activation headroom for a serving config.
+
+    Honors per-layer KV head counts (decilm variable GQA,
+    ``cfg.layer_kv_heads``) and MLA cache widths (k at nope+rope, v at
+    v_head_dim) — the models where the estimate actually matters."""
     weights = estimate_model_bytes(params)
-    kv = (cfg.num_hidden_layers * 2 * batch * max_seq *
-          cfg.num_key_value_heads * cfg.head_dim * kv_dtype_bytes)
+    kv = 0
+    for li in range(cfg.num_hidden_layers):
+        heads = cfg.layer_kv_heads(li)
+        kv += (batch * max_seq * heads *
+               (cfg.k_cache_dim + cfg.v_cache_dim) * kv_dtype_bytes)
     act = batch * max_seq * cfg.hidden_size * 4 * 4  # rough headroom
     return {"weights": weights, "kv_cache": kv, "activations": act,
             "total": weights + kv + act}
