@@ -93,6 +93,8 @@ def main():
             import sys, traceback
             print(f"bench path {label} failed: {e}", file=sys.stderr)
             traceback.print_exc()
+            sys.last_traceback = None  # drop frames pinning device arrays
+            gc.collect()
             return 0.0
 
     backend = "pallas" if on_tpu else "reference"

@@ -68,21 +68,23 @@ def _qkv_tile4(Dqkv: int, d: int) -> int | None:
 def _rope_rows(Dqkv: int, tile: int, d: int, rotary_dim: int,
                interleaved: bool, n_roped_rows: int,
                cos_half, sin_half):
-    """Per-tile cos/sin lane rows [NT, tile] with identity (cos 1, sin 0)
-    on rows >= n_roped_rows (the v section), plus the shared sign-perm R."""
+    """Per-tile per-ROW cos/sin lanes [NT, B, tile] with identity (cos 1,
+    sin 0) on rows >= n_roped_rows (the v section), plus the shared
+    sign-perm R. cos/sin_half are per-batch-row [B, half] so every slot can
+    sit at its own decode position (continuous batching)."""
     R, cmap, smap = rope_tile_operands(tile, d, rotary_dim, interleaved)
     NT = Dqkv // tile
     cos_np = np.where(cmap < 0, 0, cmap)
+    sin_np = np.where(smap < 0, 0, smap)
+    ch = cos_half.astype(jnp.float32)[:, np.asarray(cos_np)]   # [B, tile]
+    sh = sin_half.astype(jnp.float32)[:, np.asarray(sin_np)]
     coss, sins = [], []
-    ch = cos_half.astype(jnp.float32)
-    sh = sin_half.astype(jnp.float32)
     for t in range(NT):
         rows_roped = (np.arange(tile) + t * tile) < n_roped_rows
-        cmask = (cmap >= 0) & rows_roped
-        smask = (smap >= 0) & rows_roped
-        coss.append(jnp.where(jnp.asarray(cmask), ch[np.asarray(cos_np)], 1.0))
-        sins.append(jnp.where(jnp.asarray(smask),
-                              sh[np.where(smap < 0, 0, smap)], 0.0))
+        cmask = jnp.asarray((cmap >= 0) & rows_roped)[None, :]
+        smask = jnp.asarray((smap >= 0) & rows_roped)[None, :]
+        coss.append(jnp.where(cmask, ch, 1.0))
+        sins.append(jnp.where(smask, sh, 0.0))
     return jnp.asarray(R, jnp.bfloat16), jnp.stack(coss), jnp.stack(sins)
 
 
@@ -127,7 +129,7 @@ def _megastep4_kernel(pos_ref, x_ref, anw_ref, mnw_ref,
                       scale: float, act: str):
     lix = pl.program_id(0)
     p = pl.program_id(1)
-    pos = pos_ref[0]
+    pos = pos_ref[B]                 # max over slots (phase/stream gating)
     f32 = jnp.float32
     O_STEP = NQ + NT
     H = x_ref.shape[1]
@@ -217,8 +219,8 @@ def _megastep4_kernel(pos_ref, x_ref, anw_ref, mnw_ref,
     @pl.when(in_flash & (tb * Tb < pos))
     def _():
         t_abs = tb * Tb + jax.lax.broadcasted_iota(jnp.int32, (1, Tb), 1)
-        valid = t_abs < pos
         for b in range(B):
+            valid = t_abs < pos_ref[b]        # per-slot history length
             for g in range(Hkv):
                 q3 = _rows(qkv_s, b, g, qpk).astype(jnp.bfloat16)
                 kg = kc_ref[0, b * Hkv + g, :, :].astype(jnp.bfloat16)
@@ -357,7 +359,12 @@ def megastep4_decode(x: jax.Array, mp: Dict[str, jax.Array],
                      block_t: int = 256, block_i: int = 2048,
                      interpret: bool = False):
     """One full W4A8 decode step over all layers. Same contract as
-    ``megastep_decode_w8a8``; ``mp`` from :func:`megapack4`."""
+    ``megastep_decode_w8a8``; ``mp`` from :func:`megapack4`.
+
+    ``pos`` may be a scalar (all rows share one position — the greedy /
+    sampled generate paths) or a [B] vector of per-slot positions with
+    matching per-row rope tables ``cos/sin_half [B, half]`` (the
+    continuous-batching engine)."""
     B, H = x.shape
     if B > 8:
         raise ValueError("megastep4_decode: B <= 8 (stride-8 rows)")
@@ -380,16 +387,23 @@ def megastep4_decode(x: jax.Array, mp: Dict[str, jax.Array],
     NG = I // ti
     P = NQ + NT + 1 + NG
 
+    pos_vec = jnp.broadcast_to(
+        jnp.asarray(pos, jnp.int32).reshape(-1), (B,))
+    pos_arr = jnp.concatenate([pos_vec, jnp.max(pos_vec)[None]])  # [B+1]
+
     rd = rotary_dim or 0
     if rd:
+        ch = jnp.asarray(cos_half, jnp.float32)
+        sh = jnp.asarray(sin_half, jnp.float32)
+        if ch.ndim == 1:
+            ch = jnp.broadcast_to(ch[None, :], (B, ch.shape[0]))
+            sh = jnp.broadcast_to(sh[None, :], (B, sh.shape[0]))
         R, cos_t, sin_t = _rope_rows(Dqkv, tq, d, rd, interleaved,
-                                     q_dim + kv_dim, cos_half, sin_half)
+                                     q_dim + kv_dim, ch, sh)
     else:
         R = jnp.zeros((tq, tq), jnp.bfloat16)
-        cos_t = jnp.ones((NQ, tq), jnp.float32)
-        sin_t = jnp.zeros((NQ, tq), jnp.float32)
-
-    pos_arr = jnp.asarray(pos, jnp.int32).reshape(1)
+        cos_t = jnp.ones((NQ, B, tq), jnp.float32)
+        sin_t = jnp.zeros((NQ, B, tq), jnp.float32)
     Gp = mp["qkv_s"].shape[1]
     Gip = mp["dn_s"].shape[1]
     gti = ti // gs
@@ -399,7 +413,7 @@ def megastep4_decode(x: jax.Array, mp: Dict[str, jax.Array],
 
     def fb(l, p, s):
         t = jnp.clip(p - NQ, 0, NT - 1)
-        return jnp.minimum(t, jnp.maximum(s[0] - 1, 0) // Tb)
+        return jnp.minimum(t, jnp.maximum(s[B] - 1, 0) // Tb)
 
     def gi(l, p, s):
         return jnp.clip(p - NQ - NT - 1, 0, NG - 1)
@@ -421,9 +435,9 @@ def megastep4_decode(x: jax.Array, mp: Dict[str, jax.Array],
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, tq), lambda l, p, s: (l, 0, qi(l, p, s)),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, tq), lambda l, p, s: (qi(l, p, s), 0, 0),
+            pl.BlockSpec((1, B, tq), lambda l, p, s: (qi(l, p, s), 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, tq), lambda l, p, s: (qi(l, p, s), 0, 0),
+            pl.BlockSpec((1, B, tq), lambda l, p, s: (qi(l, p, s), 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((tq, tq), lambda l, p, s: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -497,7 +511,7 @@ def megastep4_decode(x: jax.Array, mp: Dict[str, jax.Array],
         interpret=interpret,
     )(pos_arr, x, mp["attn_norm"], mp["mlp_norm"],
       mp["qkv_p4"], mp["qkv_s"], mp["qkv_bias"],
-      cos_t.reshape(NQ, 1, tq), sin_t.reshape(NQ, 1, tq), R,
+      cos_t, sin_t, R,
       k_cache, v_cache, mp["o_p4"], mp["o_s"],
       mp["gu_p4"], mp["gu_p4"], mp["gu_s"], mp["dn_p4"], mp["dn_s"])
     return y, kn, vn
@@ -561,26 +575,35 @@ def megapack4(cfg, sp: Dict[str, Any]) -> Dict[str, jax.Array]:
     d = cfg.head_dim
     L = qkv["qweight"].shape[0]
 
-    qc = _codes3(qkv)                         # [L, Dqkv, H]
-    oc = _codes3(o)                           # [L, H, q_dim]
-    gc = _codes3(gu)                          # [L, 2I, H]
-    dc = _codes3(dn)                          # [L, H, I]
-    Dq_all = qc.shape[1]
-    I = gc.shape[1] // 2
+    from .packing import unpack_int_rows
+
+    Dq_all = qkv["scales"].shape[1]
+    I = gu["scales"].shape[1] // 2
     tq = _qkv_tile4(Dq_all, d)
     ti = _mlp_tile4(I)
 
-    def vmap_rows(codes, tile):
-        return jnp.stack([_pair_rows(codes[i], tile) for i in range(L)])
+    # per-layer sequential packing (lax.map): the int32 unpack temporaries
+    # exist for ONE layer at a time (a whole-model unpack is ~15 GB of
+    # int32 at the 8B shape — OOM)
+    def map_rows(m, tile, lo=None, hi=None):
+        def one(qw_l):
+            codes = unpack_int_rows(qw_l, 4, m.in_features)
+            if lo is not None:
+                codes = codes[lo:hi]
+            return _pair_rows(codes, tile)
+        return jax.lax.map(one, m["qweight"])
 
-    def vmap_cols(codes_t):
-        return jnp.stack([_pair_cols(codes_t[i]) for i in range(L)])
+    def map_cols(m):
+        def one(qw_l):
+            codes = unpack_int_rows(qw_l, 4, m.in_features)
+            return _pair_cols(codes.T)
+        return jax.lax.map(one, m["qweight"])
 
-    qkv_p4 = vmap_rows(qc, tq)
-    o_p4 = vmap_cols(jnp.swapaxes(oc, 1, 2))
-    gate_p = vmap_rows(gc[:, :I], ti)
-    up_p = vmap_rows(gc[:, I:], ti)
-    dn_p4 = vmap_cols(jnp.swapaxes(dc, 1, 2))
+    qkv_p4 = map_rows(qkv, tq)
+    o_p4 = map_cols(o)
+    gate_p = map_rows(gu, ti, 0, I)
+    up_p = map_rows(gu, ti, I, 2 * I)
+    dn_p4 = map_cols(dn)
 
     qsc = jnp.swapaxes(qkv["scales"].astype(jnp.float32), 1, 2)  # [L, G, Dq]
     osc = jnp.swapaxes(o["scales"].astype(jnp.float32), 1, 2)    # [L, Gq, H]

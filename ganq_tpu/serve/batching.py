@@ -84,6 +84,75 @@ def _decode_slots_impl(cfg: ModelConfig, params, cache, tokens, pos, backend):
     return logits, new_cache
 
 
+# ------------------------------------------------------- megastep fast path
+@functools.partial(jax.jit, static_argnames=("cfg", "backend"),
+                   donate_argnums=(3, 4))
+def _mega_prefill_slot(cfg: ModelConfig, sp, ids, mk, mv, slot,
+                       backend: str = "reference"):
+    """Prefill ids [1, s] through the stacked path and write the slot's
+    rows of the mega-layout cache [L, S*Hkv, T, d]."""
+    from . import stacked as _stacked
+
+    L = mk.shape[0]
+    T = mk.shape[2]
+    ck1, cv1 = _stacked.init_cache(cfg, L, 1, T)
+    logits, ck1, cv1 = _stacked.prefill(cfg, sp, ck1, cv1, ids, backend)
+    Hkv = ck1.shape[3]
+    rows_k = ck1[:, 0].transpose(0, 2, 1, 3)     # [L, Hkv, T, d]
+    rows_v = cv1[:, 0].transpose(0, 2, 1, 3)
+    mk = jax.lax.dynamic_update_slice(mk, rows_k.astype(mk.dtype),
+                                      (0, slot * Hkv, 0, 0))
+    mv = jax.lax.dynamic_update_slice(mv, rows_v.astype(mv.dtype),
+                                      (0, slot * Hkv, 0, 0))
+    return logits[0], mk, mv        # stacked.prefill returns LAST logits
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(3, 4))
+def _mega_decode_slots(cfg: ModelConfig, sp, mp, mk, mv, tokens, pos):
+    """One W4A8 megastep over all slots at per-slot positions (the
+    continuous-batching analog of _decode_slots_impl): ONE kernel launch
+    for the whole layer stack, per-row rope tables and history masks."""
+    import math
+
+    from ..models.transformer import (_fused_act_kind, rope_tables)
+    from ..ops.megastep4 import megastep4_decode
+
+    S = tokens.shape[0]
+    L = mk.shape[0]
+    d = cfg.head_dim
+    kv_dim = (mp["qkv_p4"].shape[1] * 2 - cfg.q_dim) // 2
+    Hkv = kv_dim // d
+    positions = pos[:, None]
+    x = embed(cfg, sp, tokens[:, None], positions)[:, 0, :]
+    rd = cfg.rotary_dim or cfg.head_dim
+    cos, sin = rope_tables(cfg, positions)       # [S, 1, rd]
+    if cfg.rope_interleaved:
+        ch, sh = cos[:, 0, 0::2], sin[:, 0, 0::2]
+    else:
+        ch, sh = cos[:, 0, :rd // 2], sin[:, 0, :rd // 2]
+    scale = (cfg.attn_scale if cfg.attn_scale is not None
+             else 1.0 / math.sqrt(d))
+    y, kn, vn = megastep4_decode(
+        x, mp, mk, mv, pos, ch, sh,
+        q_dim=cfg.q_dim, kv_dim=kv_dim, head_dim=d, rotary_dim=rd,
+        interleaved=cfg.rope_interleaved, eps=cfg.norm_eps,
+        rms_offset=cfg.rms_offset, scale=scale, act=_fused_act_kind(cfg),
+        interpret=jax.default_backend() == "cpu")
+    # per-slot scatter of the new k/v at each slot's own position
+    T = mk.shape[2]
+    mk5 = mk.reshape(L, S, Hkv, T, d)
+    mv5 = mv.reshape(L, S, Hkv, T, d)
+    kn5 = kn.reshape(L, S, Hkv, 1, d).astype(mk.dtype)
+    vn5 = vn.reshape(L, S, Hkv, 1, d).astype(mv.dtype)
+    upd = jax.vmap(
+        lambda c, u, p: jax.lax.dynamic_update_slice(c, u, (0, 0, p, 0)),
+        in_axes=(1, 1, 0), out_axes=1)
+    mk = upd(mk5, kn5, pos).reshape(L, S * Hkv, T, d)
+    mv = upd(mv5, vn5, pos).reshape(L, S * Hkv, T, d)
+    logits = unembed(cfg, sp, y[:, None, :])[:, 0, :]
+    return logits, mk, mv
+
+
 # --------------------------------------------------------------- host scheduler
 @dataclass
 class Request:
@@ -114,8 +183,34 @@ class BatchingEngine:
         self.max_seq = max_seq
         self.eos_id = eos_id
         self.buckets = [b for b in prompt_buckets if b <= max_seq]
-        self.cache = init_cache(cfg, slots, max_seq,
-                                mla_absorbed=self._absorbed)
+        # megastep fast path: homogeneous uniform-W4 models decode all
+        # slots in ONE whole-stack kernel (serve/stacked.mega_enabled)
+        self._sp = None
+        self._mega_kv = None
+        layers = params.get("layers")
+        if (slots <= 8 and not cfg.mla and cfg.kv_heads_per_layer is None
+                and isinstance(layers, list) and len(layers) > 1):
+            tds = {jax.tree_util.tree_structure(lp) for lp in layers}
+            if len(tds) == 1:
+                from . import stacked as _stacked
+                try:
+                    sp = _stacked.stack_layers(params)
+                except ValueError:
+                    sp = None
+                if sp is not None and _stacked.mega_enabled(
+                        cfg, sp, backend, slots) == "w4":
+                    self._sp = _stacked.prepack(cfg, sp, backend, slots)
+                    L = cfg.num_hidden_layers
+                    Hkv = cfg.num_key_value_heads
+                    self._mega_kv = (
+                        jnp.zeros((L, slots * Hkv, max_seq, cfg.head_dim),
+                                  jnp.bfloat16),
+                        jnp.zeros((L, slots * Hkv, max_seq, cfg.head_dim),
+                                  jnp.bfloat16))
+                    log.info("batching: W4 megastep fast path active")
+        self.cache = (None if self._mega_kv is not None else
+                      init_cache(cfg, slots, max_seq,
+                                 mla_absorbed=self._absorbed))
         self.pos = np.zeros(slots, np.int32)           # next write position
         self.tokens = np.zeros(slots, np.int32)        # last sampled token
         self.slot_req: List[Optional[Request]] = [None] * slots
@@ -144,9 +239,16 @@ class BatchingEngine:
         active = [i for i, r in enumerate(self.slot_req) if r is not None]
         if not active:
             return out
-        logits, self.cache = _decode_slots_impl(
-            self.cfg, self.params, self.cache,
-            jnp.asarray(self.tokens), jnp.asarray(self.pos), self.backend)
+        if self._mega_kv is not None:
+            mk, mv = self._mega_kv
+            logits, mk, mv = _mega_decode_slots(
+                self.cfg, self._sp, self._sp["megapack4"], mk, mv,
+                jnp.asarray(self.tokens), jnp.asarray(self.pos))
+            self._mega_kv = (mk, mv)
+        else:
+            logits, self.cache = _decode_slots_impl(
+                self.cfg, self.params, self.cache,
+                jnp.asarray(self.tokens), jnp.asarray(self.pos), self.backend)
         logits = np.asarray(logits, np.float32)
         for i in active:
             r = self.slot_req[i]
@@ -203,9 +305,16 @@ class BatchingEngine:
         bucket = self._bucket(n)
         padded = np.zeros(bucket, np.int32)
         padded[:n] = r.prompt
-        logits, self.cache = prefill_into_slot(
-            self.cfg, self.params, self.cache,
-            jnp.asarray(padded[None, :]), i, self.backend)
+        if self._mega_kv is not None:
+            mk, mv = self._mega_kv
+            logits, mk, mv = _mega_prefill_slot(
+                self.cfg, self._sp, jnp.asarray(padded[None, :]), mk, mv,
+                i, self.backend)
+            self._mega_kv = (mk, mv)
+        else:
+            logits, self.cache = prefill_into_slot(
+                self.cfg, self.params, self.cache,
+                jnp.asarray(padded[None, :]), i, self.backend)
         if bucket == n:
             first = self._sample_first(logits, r.temperature)
             r.generated.append(first)

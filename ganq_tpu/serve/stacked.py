@@ -198,7 +198,9 @@ def prepack(cfg: ModelConfig, sp, backend: str, batch: int):
             and "megapack4" not in sp:
         from ..ops.megastep4 import megapack4
         sp = dict(sp)
-        sp["megapack4"] = jax.device_put(megapack4(cfg, sp))
+        # jitted: XLA fuses the int4 unpack into the pair re-pack, so the
+        # multi-GB int32 code intermediates never materialize in HBM
+        sp["megapack4"] = jax.jit(lambda t: megapack4(cfg, t))(sp)
     return sp
 
 

@@ -279,3 +279,37 @@ def test_submit_validation_and_sampled_admission(model, rng):
         if all(s is None for s in eng.slot_req) and not eng.queue:
             break
     assert len(got) == 3
+
+
+def test_batching_w4_megastep_fast_path(rng, monkeypatch):
+    """Continuous batching through the W4 megastep (per-slot positions in
+    ONE whole-stack kernel): emitted tokens match the per-layer path for
+    mixed-length concurrent requests."""
+    from ganq_tpu.models import synthetic
+
+    monkeypatch.setenv("GANQ_MEGASTEP", "1")
+    cfg = synthetic.llama_config(hidden=256, inter=512, layers=2, heads=2,
+                                 kv_heads=1, vocab=512, max_pos=128)
+    params = synthetic.make_model(cfg, kind="uniform", seed=6)
+    prompts = [rng.integers(1, 512, size=(n,)) for n in (5, 9, 17)]
+
+    eng = BatchingEngine(cfg, params, backend="reference", slots=4,
+                         max_seq=64, prompt_buckets=(8, 16, 32))
+    assert eng._mega_kv is not None, "mega fast path did not engage"
+    for p in prompts:
+        eng.submit(p, max_new_tokens=6)
+    got = eng.run_all()
+
+    monkeypatch.setenv("GANQ_MEGASTEP", "0")
+    eng2 = BatchingEngine(cfg, params, backend="reference", slots=4,
+                          max_seq=64, prompt_buckets=(8, 16, 32))
+    assert eng2._mega_kv is None
+    for p in prompts:
+        eng2.submit(p, max_new_tokens=6)
+    ref = eng2.run_all()
+
+    assert set(got) == set(ref)
+    n_tok = sum(len(v) for v in ref.values())
+    n_agree = sum((np.asarray(got[k]) == np.asarray(ref[k])).sum()
+                  for k in ref)
+    assert n_agree >= 0.9 * n_tok, (got, ref)

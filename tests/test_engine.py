@@ -206,3 +206,28 @@ def test_stacked_layout_matches_perlayer(rng):
     t1 = list(auto.stream(prompt[:1], max_new_tokens=5, seed=2))
     t2 = list(per.stream(prompt[:1], max_new_tokens=5, seed=2))
     assert t1 == t2
+
+
+def test_engine_w4_megastep_route(rng, monkeypatch):
+    """A uniform sym W4 d=128 model through the public Engine: prepack
+    attaches the pair-nibble megastep operands and sampled generation
+    agrees with the non-mega path (GANQ_MEGASTEP toggles, CPU interpret)."""
+    from ganq_tpu.models import synthetic
+    from ganq_tpu.serve import stacked
+
+    cfg = synthetic.llama_config(hidden=256, inter=512, layers=2, heads=2,
+                                 kv_heads=1, vocab=512, max_pos=128)
+    params = synthetic.make_model(cfg, kind="uniform", seed=4)
+
+    monkeypatch.setenv("GANQ_MEGASTEP", "1")
+    eng = engine.Engine(cfg, params, backend="reference", max_seq=64)
+    assert eng._sp is not None and "megapack4" in eng._sp
+    assert stacked.mega_enabled(cfg, eng._sp, "reference", 2) == "w4"
+    ids = rng.integers(0, 512, size=(2, 8))
+    out_mega = eng.generate(ids, max_new_tokens=6, temperature=0.0)
+
+    monkeypatch.setenv("GANQ_MEGASTEP", "0")
+    eng2 = engine.Engine(cfg, params, backend="reference", max_seq=64)
+    out_ref = eng2.generate(ids, max_new_tokens=6, temperature=0.0)
+    agree = (out_mega == out_ref).mean()
+    assert agree >= 0.9, (out_mega, out_ref)
