@@ -552,16 +552,6 @@ def _mlp_tile4(I: int) -> int:
     return ti
 
 
-def _codes3(m):
-    """[L, R, K] int32 codes from a stacked uniform QLinear."""
-    from .packing import unpack_int_rows
-    qw = m["qweight"]
-    L = qw.shape[0]
-    flat = unpack_int_rows(qw.reshape(L * qw.shape[1], qw.shape[2]),
-                           m.bits, m.in_features)
-    return flat.reshape(L, qw.shape[1], m.in_features).astype(jnp.int32)
-
-
 def megapack4(cfg, sp: Dict[str, Any]) -> Dict[str, jax.Array]:
     """Pair-packed megakernel operands from stacked UNIFORM W4 layers.
 
