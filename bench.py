@@ -28,7 +28,12 @@ def measure(cfg, kind, backend, batch, prompt_len, steps, max_seq, reps=6):
     from ganq_tpu.models import synthetic
     from ganq_tpu.serve import stacked
 
-    sp = synthetic.make_stacked_model(cfg, kind=kind, seed=0)
+    # quantized paths also serve a quantized (8-bit) lm_head, mirroring
+    # the reference's lm_head rule (module_looper.py:146); the bf16 twin
+    # keeps its own native tied bf16 head — each format serves itself
+    lm_kind = None if kind == "dense" else "w8"
+    sp = synthetic.make_stacked_model(cfg, kind=kind, seed=0,
+                                      lm_head_kind=lm_kind)
     sp = stacked.prepack(cfg, sp, backend, batch)
     rng = np.random.default_rng(0)
     ids = jnp.asarray(rng.integers(0, cfg.vocab_size, size=(batch, prompt_len)),

