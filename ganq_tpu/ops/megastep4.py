@@ -385,6 +385,7 @@ def megastep4_decode(x: jax.Array, mp: Dict[str, jax.Array],
     NT = T // Tb
     ti = _mlp_tile4(I)                           # must match megapack4
     NG = I // ti
+    gtp8 = mp["dn_s"].shape[1] // NG             # padded rows per tile
     P = NQ + NT + 1 + NG
 
     pos_vec = jnp.broadcast_to(
@@ -464,8 +465,8 @@ def megastep4_decode(x: jax.Array, mp: Dict[str, jax.Array],
             # down packed [L, I, H/2]: tile rows [gi*ti, (gi+1)*ti)
             pl.BlockSpec((1, ti, H // 2), lambda l, p, s: (l, gi(l, p, s), 0),
                          memory_space=pltpu.VMEM),
-            # down scales [L, Gi, H]: tile group rows [gi*gti, (gi+1)*gti)
-            pl.BlockSpec((1, gti, H), lambda l, p, s: (l, gi(l, p, s), 0),
+            # down scales, tile-major padded rows [L, NG*gtp, H]
+            pl.BlockSpec((1, gtp8, H), lambda l, p, s: (l, gi(l, p, s), 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
@@ -599,6 +600,16 @@ def megapack4(cfg, sp: Dict[str, Any]) -> Dict[str, jax.Array]:
     osc = jnp.swapaxes(o["scales"].astype(jnp.float32), 1, 2)    # [L, Gq, H]
     gsc = jnp.swapaxes(gu["scales"].astype(jnp.float32), 1, 2)   # [L, G, 2I]
     dsc = jnp.swapaxes(dn["scales"].astype(jnp.float32), 1, 2)   # [L, Gi, H]
+    # down scales tile-major with rows padded to a sublane multiple: the
+    # per-tile block is [1, gtp, H], and gti = ti/gs can be < 8
+    gs_w = dn.in_features // dn["scales"].shape[2]
+    gti = ti // gs_w
+    gtp = -(-gti // 8) * 8
+    NGt = I // ti
+    dsc = dsc.reshape(dsc.shape[0], NGt, gti, H)
+    if gtp != gti:
+        dsc = jnp.pad(dsc, ((0, 0), (0, 0), (0, gtp - gti), (0, 0)))
+    dsc = dsc.reshape(dsc.shape[0], NGt * gtp, H)
     # gate+up scales tile-major: for each tile gi, gate tile cols then up
     # tile cols (matches the kernel's [1, G, 2ti] block)
     sg, su = gsc[:, :, :I], gsc[:, :, I:]

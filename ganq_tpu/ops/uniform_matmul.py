@@ -130,6 +130,8 @@ def uniform_matmul(x: jax.Array, qweight: jax.Array, scales: jax.Array,
     M = qweight.shape[0]
     pf = pack_factor(bits)
     width = K // pf
+    if K >= 8192:
+        block_m = min(block_m, 256)   # bound the codes scratch [tm, K]
     tm = _pick_tile(M, (block_m, 512, 256, 128, 64, 32, 16, 8))
     seg = min(gs, width)
     ok = (bits in (2, 3, 4, 8) and K % pf == 0 and K % max(n_groups, 1) == 0
@@ -260,7 +262,10 @@ def _uniform_a8_pallas(x2, qweight, scales, zeros, bits, tb, tm):
             pltpu.VMEM((tb, K), jnp.int8),   # quantized activations
         ],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel")),
+            dimension_semantics=("parallel", "parallel"),
+            # the unpacked-codes scratch + live tiles exceed the default
+            # 16M scoped-vmem stack at K >= 14336 (8B-shape down proj)
+            vmem_limit_bytes=96 * 1024 * 1024),
         cost_estimate=pl.CostEstimate(
             flops=2 * B * M * K,
             bytes_accessed=B * K * x2.dtype.itemsize + M * width * 4,
@@ -282,6 +287,8 @@ def uniform_a8_matmul(x: jax.Array, qweight: jax.Array, scales: jax.Array,
     M = qweight.shape[0]
     pf = pack_factor(bits)
     width = K // pf
+    if K >= 8192:
+        block_m = min(block_m, 256)   # bound the codes scratch [tm, K]
     tm = _pick_tile(M, (block_m, 512, 256, 128, 64, 32, 16, 8))
     # the batched-dot kernel splits the minor dim [K] -> [G, gs]: gs must be
     # a 128-lane multiple (or one group spanning all of K)

@@ -29,8 +29,8 @@ def _ctx():
             if not os.environ.get("GANQ_TPU_TEST_TPU") else _null())
 
 
-def _cfg(layers=2, heads=2, kv_heads=1):
-    return synthetic.llama_config(hidden=128 * heads, inter=512,
+def _cfg(layers=2, heads=2, kv_heads=1, inter=512):
+    return synthetic.llama_config(hidden=128 * heads, inter=inter,
                                   layers=layers, heads=heads,
                                   kv_heads=kv_heads, vocab=512, max_pos=128)
 
@@ -96,9 +96,15 @@ def _setup(rng, cfg, B, T, pos):
             jnp.asarray(np.cos(ang)), jnp.asarray(np.sin(ang)))
 
 
-@pytest.mark.parametrize("B,pos,T", [(8, 50, 64), (4, 3, 128)])
-def test_megastep4_matches_reference(rng, B, pos, T):
-    cfg = _cfg()
+@pytest.mark.parametrize("B,pos,T,inter", [
+    (8, 50, 64, 512),
+    (4, 3, 128, 512),
+    # inter=768 -> ti=256, gti=2: exercises the padded tile-major down
+    # scales (sublane rule) and a 3-tile MLP walk
+    (8, 20, 64, 768),
+])
+def test_megastep4_matches_reference(rng, B, pos, T, inter):
+    cfg = _cfg(inter=inter)
     sp, mp, kc, vc, x, cos, sin = _setup(rng, cfg, B, T, pos)
     kv_dim = cfg.num_key_value_heads * cfg.head_dim
     kw = dict(q_dim=cfg.q_dim, kv_dim=kv_dim, head_dim=cfg.head_dim,
