@@ -92,3 +92,40 @@ def test_qqq_quantize_save_load_roundtrip(rng, tmp_path):
     np.testing.assert_allclose(
         np.asarray(r["scale"][:, 0]), np.asarray(m["scale_extra"]),
         rtol=1e-6)
+
+
+def test_qqq_checkpoint_serves_via_megastep(rng, tmp_path, monkeypatch):
+    """Full journey: quantize (QQQ W4 sym) -> save FORMAT.QQQ -> load ->
+    Engine serve; with d=128 the W4 megastep fast path engages on the
+    LOADED artifacts (not synthetic ones) and generation matches the
+    reference backend."""
+    from ganq_tpu.serve import engine as eng_mod
+
+    hf_cfg = transformers.LlamaConfig(
+        vocab_size=512, hidden_size=256, intermediate_size=512,
+        num_hidden_layers=2, num_attention_heads=2, num_key_value_heads=1,
+        head_dim=128, max_position_embeddings=256)
+    torch.manual_seed(3)
+    model = transformers.LlamaForCausalLM(hf_cfg)
+    cfg, params = hf_import.params_from_torch_model(model)
+    spec = get_spec("llama")
+    batches = [rng.integers(0, 512, size=(2, 64)).astype(np.int32)
+               for _ in range(2)]
+    qcfg = QuantizeConfig(bits=4, quant_method="qqq", group_size=128,
+                          act_sort="none")
+    out = quantize_model(cfg, params, spec, qcfg, batches)
+    save_dir = str(tmp_path / "qqq128")
+    checkpoint.save_quantized(save_dir, model.config.to_dict(), qcfg,
+                              out.params, out.artifacts, out.log)
+    cfg2, params2, _ = checkpoint.load_quantized(save_dir)
+
+    monkeypatch.setenv("GANQ_MEGASTEP", "1")
+    e = eng_mod.Engine(cfg2, params2, backend="reference", max_seq=64)
+    assert e._sp is not None and "megapack4" in e._sp
+    ids = rng.integers(0, 512, size=(2, 8))
+    got = e.generate(ids, max_new_tokens=6)
+
+    monkeypatch.setenv("GANQ_MEGASTEP", "0")
+    e2 = eng_mod.Engine(cfg2, params2, backend="reference", max_seq=64)
+    ref = e2.generate(ids, max_new_tokens=6)
+    assert (np.asarray(got) == np.asarray(ref)).mean() >= 0.9, (got, ref)
