@@ -68,7 +68,8 @@ def measure_8b_shape(reps=3):
     tps = measure(cfg, "uniform", "pallas_a8", batch, prompt, steps,
                   max_seq, reps=reps)
     h, i = 4096, 14336
-    w4_bytes = 32 * (3 * h * h + 2 * (h // 4) * h + 3 * i * h) // 2
+    # q (h*h) + o (h*h) + k,v (2*(h/4)*h) + gate/up/down (3*i*h), int4
+    w4_bytes = 32 * (2 * h * h + 2 * (h // 4) * h + 3 * i * h) // 2
     roofline_tps = batch / (w4_bytes / 819e9)
     return {"tokens_per_s": round(tps, 1),
             "weight_roofline_frac": round(tps / roofline_tps, 4)}

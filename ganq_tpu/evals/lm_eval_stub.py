@@ -99,7 +99,9 @@ def simple_evaluate(model: LM, task: Dict[str, Any]) -> Dict[str, Any]:
         for ch in doc["choices"]:
             ll, _greedy = next(it)
             lls.append(float(ll))
-            lln.append(float(ll) / max(len(ch), 1))
+            # normalize by the SCORED continuation's length (harness
+            # convention: byte length of what was evaluated)
+            lln.append(float(ll) / max(len(" " + ch.lstrip()), 1))
         gold = int(doc["gold"])
         n_correct += int(max(range(len(lls)), key=lls.__getitem__) == gold)
         n_correct_norm += int(

@@ -749,6 +749,17 @@ def _rope_half_tables(cfg: ModelConfig, rope):
     return rd, cos[0, 0, :rd // 2], sin[0, 0, :rd // 2]
 
 
+def _rope_half_tables_vec(cfg: ModelConfig, rope):
+    """Per-row variant of :func:`_rope_half_tables`: [B, half] tables for
+    kernels whose batch rows sit at DIFFERENT positions (continuous
+    batching through the megastep)."""
+    rd = cfg.rotary_dim or cfg.head_dim
+    cos, sin = rope
+    if cfg.rope_interleaved:
+        return rd, cos[:, 0, 0::2], sin[:, 0, 0::2]
+    return rd, cos[:, 0, :rd // 2], sin[:, 0, :rd // 2]
+
+
 def _fused_act_kind(cfg: ModelConfig) -> str:
     """cfg.act -> the fused-MLP kernel's activation name."""
     if cfg.act == "silu":

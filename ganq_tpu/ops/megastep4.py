@@ -406,7 +406,7 @@ def megastep4_decode(x: jax.Array, mp: Dict[str, jax.Array],
         cos_t = jnp.ones((NQ, B, tq), jnp.float32)
         sin_t = jnp.zeros((NQ, B, tq), jnp.float32)
     Gp = mp["qkv_s"].shape[1]
-    Gip = mp["dn_s"].shape[1]
+    Gq = mp["o_s"].shape[1]
     gti = ti // gs
 
     def qi(l, p, s):
@@ -450,7 +450,9 @@ def megastep4_decode(x: jax.Array, mp: Dict[str, jax.Array],
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, q_dim, H // 2), lambda l, p, s: (l, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Gp, H), lambda l, p, s: (l, 0, 0),
+            # o scales: the o projection contracts q_dim (its own group
+            # count Gq = q_dim/gs, not the H-contraction's Gp)
+            pl.BlockSpec((1, Gq, H), lambda l, p, s: (l, 0, 0),
                          memory_space=pltpu.VMEM),
             # gate packed rows [0, I/2), up rows [I/2, I) of gu_p4 [L, I, H]
             pl.BlockSpec((1, ti // 2, H), lambda l, p, s: (l, gi(l, p, s), 0),
@@ -656,13 +658,19 @@ def megastep4_fusable(cfg, sp: Dict[str, Any]) -> bool:
         return False
     # sym (zero point 8) everywhere: STRUCTURAL — symmetric uniform
     # artifacts omit the zeros array (ops/qlinear.uniform_linear), which
-    # keeps this gate decidable on traced params under jit
+    # keeps this gate decidable on traced params under jit. All four
+    # projections must share ONE 128-multiple group size (the kernel
+    # slices activations and scale rows with a single gs).
+    gss = set()
     for m in mats:
         if "zeros" in m.arrays:
             return False
         gs = m.in_features // m.arrays["scales"].shape[2]
-        if gs % 128:
+        if gs % 128 or m.in_features % gs:
             return False
+        gss.add(gs)
+    if len(gss) != 1:
+        return False
     if cfg.head_dim != 128 or cfg.v_head_dim not in (None, cfg.head_dim):
         return False
     if cfg.hidden_size % 256 or cfg.qk_norm or cfg.clip_qkv is not None:

@@ -124,12 +124,8 @@ def _mega_decode_slots(cfg: ModelConfig, sp, mp, mk, mv, tokens, pos):
     Hkv = kv_dim // d
     positions = pos[:, None]
     x = embed(cfg, sp, tokens[:, None], positions)[:, 0, :]
-    rd = cfg.rotary_dim or cfg.head_dim
-    cos, sin = rope_tables(cfg, positions)       # [S, 1, rd]
-    if cfg.rope_interleaved:
-        ch, sh = cos[:, 0, 0::2], sin[:, 0, 0::2]
-    else:
-        ch, sh = cos[:, 0, :rd // 2], sin[:, 0, :rd // 2]
+    from ..models.transformer import _rope_half_tables_vec
+    rd, ch, sh = _rope_half_tables_vec(cfg, rope_tables(cfg, positions))
     scale = (cfg.attn_scale if cfg.attn_scale is not None
              else 1.0 / math.sqrt(d))
     y, kn, vn = megastep4_decode(
@@ -187,27 +183,35 @@ class BatchingEngine:
         # slots in ONE whole-stack kernel (serve/stacked.mega_enabled)
         self._sp = None
         self._mega_kv = None
+        from . import stacked as _stacked
         layers = params.get("layers")
-        if (slots <= 8 and not cfg.mla and cfg.kv_heads_per_layer is None
-                and isinstance(layers, list) and len(layers) > 1):
-            tds = {jax.tree_util.tree_structure(lp) for lp in layers}
-            if len(tds) == 1:
-                from . import stacked as _stacked
-                try:
-                    sp = _stacked.stack_layers(params)
-                except ValueError:
-                    sp = None
-                if sp is not None and _stacked.mega_enabled(
-                        cfg, sp, backend, slots) == "w4":
-                    self._sp = _stacked.prepack(cfg, sp, backend, slots)
-                    L = cfg.num_hidden_layers
-                    Hkv = cfg.num_key_value_heads
-                    self._mega_kv = (
-                        jnp.zeros((L, slots * Hkv, max_seq, cfg.head_dim),
-                                  jnp.bfloat16),
-                        jnp.zeros((L, slots * Hkv, max_seq, cfg.head_dim),
-                                  jnp.bfloat16))
-                    log.info("batching: W4 megastep fast path active")
+        # cheap env/backend gate FIRST: stack_layers copies the whole
+        # model on device, so only attempt it when the path could engage
+        if (_stacked.mega_env_enabled(backend, slots) and not cfg.mla
+                and cfg.kv_heads_per_layer is None
+                and isinstance(layers, list) and len(layers) > 1
+                and len({jax.tree_util.tree_structure(lp)
+                         for lp in layers}) == 1):
+            try:
+                sp = _stacked.stack_layers(params)
+            except ValueError:
+                sp = None
+            if sp is not None and _stacked.mega_enabled(
+                    cfg, sp, backend, slots) == "w4":
+                self._sp = _stacked.prepack(cfg, sp, backend, slots)
+                L = cfg.num_hidden_layers
+                Hkv = cfg.num_key_value_heads
+                self._mega_kv = (
+                    jnp.zeros((L, slots * Hkv, max_seq, cfg.head_dim),
+                              jnp.bfloat16),
+                    jnp.zeros((L, slots * Hkv, max_seq, cfg.head_dim),
+                              jnp.bfloat16))
+                # every device program in mega mode reads self._sp only;
+                # drop the per-layer param tree (it would otherwise keep
+                # a second full copy of the weights resident)
+                self.params = None
+                params = None
+                log.info("batching: W4 megastep fast path active")
         self.cache = (None if self._mega_kv is not None else
                       init_cache(cfg, slots, max_seq,
                                  mla_absorbed=self._absorbed))

@@ -172,14 +172,7 @@ def mega_enabled(cfg: ModelConfig, sp, backend: str, batch: int):
     or None. Default ON for the w8a8 backend on eligible models;
     GANQ_MEGASTEP=0 disables, GANQ_MEGASTEP=1 forces it on CPU (interpret
     mode, tests)."""
-    env = os.environ.get("GANQ_MEGASTEP", "")
-    if env == "0" or batch > 8:
-        return None
-    # default-on only for the w8a8 backend on a real TPU; GANQ_MEGASTEP=1
-    # forces the decode path under any backend (CPU tests run it in
-    # interpret mode against a reference-backend prefill)
-    if env != "1" and (backend != "pallas_a8"
-                       or jax.default_backend() == "cpu"):
+    if not mega_env_enabled(backend, batch):
         return None
     from ..ops.megastep import megastep_fusable
     from ..ops.megastep4 import megastep4_fusable
@@ -190,17 +183,38 @@ def mega_enabled(cfg: ModelConfig, sp, backend: str, batch: int):
     return None
 
 
+def mega_env_enabled(backend: str, batch: int) -> bool:
+    """The cheap env/backend/batch part of the megastep gate — callable
+    BEFORE building a stacked copy of the model (it needs no params)."""
+    env = os.environ.get("GANQ_MEGASTEP", "")
+    if env == "0" or batch > 8:
+        return False
+    # default-on only for the w8a8 backend on a real TPU; GANQ_MEGASTEP=1
+    # forces the decode path under any backend (CPU tests run it in
+    # interpret mode against a reference-backend prefill)
+    if env != "1" and (backend != "pallas_a8"
+                       or jax.default_backend() == "cpu"):
+        return False
+    return True
+
+
 def prepack(cfg: ModelConfig, sp, backend: str, batch: int):
     """Pre-pack megakernel operands ONCE (outside jit) and attach them to
     the params pytree; greedy_decode picks them up instead of re-packing
     per call. No-op when the megastep path would not engage."""
-    if mega_enabled(cfg, sp, backend, batch) == "w4" \
-            and "megapack4" not in sp:
+    variant = mega_enabled(cfg, sp, backend, batch)
+    if variant == "w4" and "megapack4" not in sp:
         from ..ops.megastep4 import megapack4
         sp = dict(sp)
         # jitted: XLA fuses the int4 unpack into the pair re-pack, so the
         # multi-GB int32 code intermediates never materialize in HBM
         sp["megapack4"] = jax.jit(lambda t: megapack4(cfg, t))(sp)
+    elif variant == "w8" and "megapack_w8" not in sp:
+        from ..ops.megastep import megapack
+        sp = dict(sp)
+        # the w8 megapack transposes the down projection (K-major) —
+        # ~0.7 GB at 3B; packing per generate call would repeat it
+        sp["megapack_w8"] = jax.jit(lambda t: megapack(cfg, t))(sp)
     return sp
 
 
@@ -246,17 +260,29 @@ def _decode_one_mega(cfg: ModelConfig, sp, mp, ck, cv, token, pos,
     return logits, ck, cv
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "backend", "steps"),
-                   donate_argnums=(2, 3))
 def greedy_decode(cfg: ModelConfig, sp, cache_k, cache_v, input_ids,
                   steps: int, backend: str = "reference"):
     """Prefill + ``steps`` greedy decode steps as one compiled program.
-    Returns generated tokens [B, steps]."""
+    Returns generated tokens [B, steps]. Host-level entry point: the
+    megastep variant is resolved HERE (eagerly) and passed as a static
+    jit argument — resolving it inside the jitted body would bake the
+    GANQ_MEGASTEP env read into the trace and make later env toggles
+    silently hit the stale cache entry."""
+    variant = mega_enabled(cfg, sp, backend, input_ids.shape[0])
+    return _greedy_decode_impl(cfg, sp, cache_k, cache_v, input_ids,
+                               steps, backend, variant)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "backend", "steps",
+                                             "variant"),
+                   donate_argnums=(2, 3))
+def _greedy_decode_impl(cfg: ModelConfig, sp, cache_k, cache_v, input_ids,
+                        steps: int, backend: str = "reference",
+                        variant=None):
     b, s = input_ids.shape
     logits, cache_k, cache_v = prefill(cfg, sp, cache_k, cache_v, input_ids, backend)
     tok0 = jnp.argmax(logits, axis=-1).astype(jnp.int32)
 
-    variant = mega_enabled(cfg, sp, backend, b)
     if variant:
         if variant == "w4":
             from ..ops.megastep4 import megapack4
@@ -265,7 +291,9 @@ def greedy_decode(cfg: ModelConfig, sp, cache_k, cache_v, input_ids,
                 mp = megapack4(cfg, sp)
         else:
             from ..ops.megastep import megapack
-            mp = megapack(cfg, sp)
+            mp = sp.get("megapack_w8")
+            if mp is None:
+                mp = megapack(cfg, sp)
         ck, cv = _mega_cache(cfg, cache_k, cache_v)
 
         def mbody(carry, _):
@@ -291,16 +319,28 @@ def greedy_decode(cfg: ModelConfig, sp, cache_k, cache_v, input_ids,
     return jnp.concatenate([jnp.moveaxis(toks, 0, 1), last[:, None]], axis=1)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "backend", "max_new_tokens",
-                                             "temperature", "top_k", "top_p",
-                                             "eos_id"),
-                   donate_argnums=(2, 3))
 def generate_tokens(cfg: ModelConfig, sp, cache_k, cache_v, input_ids, key,
                     max_new_tokens: int, temperature: float = 0.0,
                     top_k: int = 0, top_p: float = 1.0, eos_id: int = -1,
                     backend: str = "reference"):
     """Sampled generation on the stacked path — the engine.generate_tokens
-    semantics (same _sample, same eos masking) at O(1) compile in depth."""
+    semantics (same _sample, same eos masking) at O(1) compile in depth.
+    Host-level entry point: the megastep variant is resolved eagerly (see
+    greedy_decode) so GANQ_MEGASTEP toggles never hit a stale jit cache."""
+    variant = mega_enabled(cfg, sp, backend, input_ids.shape[0])
+    return _generate_tokens_impl(cfg, sp, cache_k, cache_v, input_ids, key,
+                                 max_new_tokens, temperature, top_k, top_p,
+                                 eos_id, backend, variant)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "backend", "max_new_tokens",
+                                             "temperature", "top_k", "top_p",
+                                             "eos_id", "variant"),
+                   donate_argnums=(2, 3))
+def _generate_tokens_impl(cfg: ModelConfig, sp, cache_k, cache_v, input_ids,
+                          key, max_new_tokens: int, temperature: float = 0.0,
+                          top_k: int = 0, top_p: float = 1.0, eos_id: int = -1,
+                          backend: str = "reference", variant=None):
     from .engine import _sample
 
     b, s = input_ids.shape
@@ -310,7 +350,6 @@ def generate_tokens(cfg: ModelConfig, sp, cache_k, cache_v, input_ids, key,
     tok0 = _sample(logits0, k0, temperature, top_k, top_p)
     done0 = (tok0 == eos_id) if eos_id >= 0 else jnp.zeros((b,), bool)
 
-    variant = mega_enabled(cfg, sp, backend, b)
     if variant:
         if variant == "w4":
             from ..ops.megastep4 import megapack4
@@ -319,7 +358,9 @@ def generate_tokens(cfg: ModelConfig, sp, cache_k, cache_v, input_ids, key,
                 mp = megapack4(cfg, sp)
         else:
             from ..ops.megastep import megapack
-            mp = megapack(cfg, sp)
+            mp = sp.get("megapack_w8")
+            if mp is None:
+                mp = megapack(cfg, sp)
         ck, cv = _mega_cache(cfg, cache_k, cache_v)
 
         def mbody(carry, _):
