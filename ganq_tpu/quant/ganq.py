@@ -188,9 +188,12 @@ def ganq_quantize(W: jax.Array, H: jax.Array, qcfg: QuantizeConfig,
     Hd = prep.Xxt_damped
     WH = jnp.dot(prep.W, Hd, precision=HIGH)  # constant across iterations
 
-    # fused Pallas S-step on TPU when the row block fits VMEM
-    use_pallas = qcfg.solver_backend == "pallas" or (
-        qcfg.solver_backend == "auto" and jax.default_backend() != "cpu")
+    # fused Pallas S-step: measured on-chip (scripts/sstep_ab.py,
+    # 2026-08-19) it beats the XLA scan by only 1.08-1.14x at 2048^2 /
+    # 4096x1024 — the per-column sequential dependency dominates both.
+    # auto therefore prefers the XLA scan (identical indices, parity-
+    # tested); "pallas" stays available as an explicit opt-in.
+    use_pallas = qcfg.solver_backend == "pallas"
     if use_pallas:
         from ..ops.ganq_solver import s_step_fits, s_step_pallas
         use_pallas = s_step_fits(m, n)
