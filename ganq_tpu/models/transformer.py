@@ -1096,7 +1096,8 @@ def embed(cfg: ModelConfig, params: Dict[str, Any], input_ids: jax.Array,
     return x
 
 
-def unembed(cfg: ModelConfig, params: Dict[str, Any], x: jax.Array) -> jax.Array:
+def unembed(cfg: ModelConfig, params: Dict[str, Any], x: jax.Array,
+            backend: str = "reference") -> jax.Array:
     if cfg.final_layer_norm and "final_norm" in params:
         x = apply_norm(params["final_norm"], x, cfg.norm, cfg.norm_eps, cfg.rms_offset)
     if "project_out" in params:
@@ -1106,7 +1107,13 @@ def unembed(cfg: ModelConfig, params: Dict[str, Any], x: jax.Array) -> jax.Array
         w = params["embed_tokens"]["weight"]
         logits = jnp.dot(x, w.T.astype(x.dtype))
     else:
-        logits = qlinear.apply(lm, x)
+        # a quantized lm_head through the fused kernels streams the packed
+        # weights; the XLA reference materializes the dequantized [V, H]
+        # matrix, erasing the read-bandwidth win. Keep logits in full
+        # activation precision ("pallas" w8 path keeps x bf16; a8 would
+        # quantize the final activations and perturb logits).
+        lm_backend = "pallas" if backend in ("pallas", "pallas_a8") else backend
+        logits = qlinear.apply(lm, x, backend=lm_backend)
     if cfg.logit_scale is not None:  # cohere multiplier / granite 1/scaling
         logits = logits * jnp.asarray(cfg.logit_scale, logits.dtype)
     if cfg.logit_softcap is not None:

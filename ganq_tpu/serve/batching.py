@@ -145,7 +145,7 @@ def _mega_decode_slots(cfg: ModelConfig, sp, mp, mk, mv, tokens, pos):
         in_axes=(1, 1, 0), out_axes=1)
     mk = upd(mk5, kn5, pos).reshape(L, S * Hkv, T, d)
     mv = upd(mv5, vn5, pos).reshape(L, S * Hkv, T, d)
-    logits = unembed(cfg, sp, y[:, None, :])[:, 0, :]
+    logits = unembed(cfg, sp, y[:, None, :], "pallas" if jax.default_backend() != "cpu" else "reference")[:, 0, :]
     return logits, mk, mv
 
 

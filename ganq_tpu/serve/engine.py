@@ -74,7 +74,7 @@ def prefill(cfg: ModelConfig, params: Dict[str, Any], cache: list,
                                  cache_pos=0, backend=backend,
                                  window=cfg.layer_window(i))
         new_cache.append(lc)
-    logits = unembed(cfg, params, x[:, -1:, :])
+    logits = unembed(cfg, params, x[:, -1:, :], backend)
     return logits[:, 0, :], new_cache
 
 
@@ -94,7 +94,7 @@ def _decode_one(cfg: ModelConfig, params, cache, token: jax.Array,
                                  cache_pos=pos, backend=backend,
                                  window=cfg.layer_window(i))
         new_cache.append(lc)
-    logits = unembed(cfg, params, x)[:, 0, :]
+    logits = unembed(cfg, params, x, backend)[:, 0, :]
     return logits, new_cache
 
 

@@ -136,7 +136,7 @@ def prefill(cfg: ModelConfig, sp: Dict[str, Any], cache_k, cache_v,
 
     x, (cache_k, cache_v) = jax.lax.scan(
         body, x, (sp["layers_stacked"], cache_k, cache_v, windows, rsel))
-    logits = unembed(cfg, sp, x[:, -1:, :])
+    logits = unembed(cfg, sp, x[:, -1:, :], backend)
     return logits[:, 0, :], cache_k, cache_v
 
 
@@ -160,7 +160,7 @@ def _decode_one(cfg, sp, cache_k, cache_v, token, pos, backend):
 
     x, (cache_k, cache_v) = jax.lax.scan(
         body, x, (sp["layers_stacked"], cache_k, cache_v, windows, rsel))
-    logits = unembed(cfg, sp, x)[:, 0, :]
+    logits = unembed(cfg, sp, x, backend)[:, 0, :]
     return logits, cache_k, cache_v
 
 
@@ -256,7 +256,7 @@ def _decode_one_mega(cfg: ModelConfig, sp, mp, ck, cv, token, pos,
     vn4 = vn.reshape(L, b * (kv_dim // d), 1, d).astype(cv.dtype)
     ck = jax.lax.dynamic_update_slice(ck, kn4, (0, 0, pos, 0))
     cv = jax.lax.dynamic_update_slice(cv, vn4, (0, 0, pos, 0))
-    logits = unembed(cfg, sp, y[:, None, :])[:, 0, :]
+    logits = unembed(cfg, sp, y[:, None, :], "pallas" if jax.default_backend() != "cpu" else "reference")[:, 0, :]
     return logits, ck, cv
 
 
