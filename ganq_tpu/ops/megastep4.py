@@ -164,8 +164,8 @@ def _megastep4_kernel(pos_ref, x_ref, anw_ref, mnw_ref,
             S = jnp.sum(xs.astype(f32), axis=1, keepdims=True)
             bg = qw_ref[0, :, g * gs:(g + 1) * gs]            # [t2, gs]
             d1, d2 = _pair_group_dot(xs, bg, False)
-            sl = qs_ref[0, g, :t2][None, :]
-            sh = qs_ref[0, g, t2:][None, :]
+            sl = qs_ref[0, g, :t2][None, :].astype(f32)
+            sh = qs_ref[0, g, t2:][None, :].astype(f32)
             il, ih = _pair_accum(d1, d2, sl, sh, S)
             y_lo += il
             y_hi += ih
@@ -266,8 +266,8 @@ def _megastep4_kernel(pos_ref, x_ref, anw_ref, mnw_ref,
             S = jnp.sum(xs.astype(f32), axis=1, keepdims=True)
             bg = ow_ref[0, g * gs:(g + 1) * gs, :]            # [gs, H/2]
             d1, d2 = _pair_group_dot(xs, bg, True)
-            sl = os_ref[0, g, :h2][None, :]
-            sh = os_ref[0, g, h2:][None, :]
+            sl = os_ref[0, g, :h2][None, :].astype(f32)
+            sh = os_ref[0, g, h2:][None, :].astype(f32)
             il, ih = _pair_accum(d1, d2, sl, sh, S)
             y_lo += il
             y_hi += ih
@@ -301,10 +301,10 @@ def _megastep4_kernel(pos_ref, x_ref, anw_ref, mnw_ref,
             dd = jax.lax.dot_general(xs, rhs, (((1,), (1,)), ((), ())),
                                      preferred_element_type=jnp.int32,
                                      precision=_DEF)          # [B, 4*t2]
-            sgl = gus_ref[0, g, :t2][None, :]
-            sgh = gus_ref[0, g, t2:ti][None, :]
-            sul = gus_ref[0, g, ti:ti + t2][None, :]
-            suh = gus_ref[0, g, ti + t2:][None, :]
+            sgl = gus_ref[0, g, :t2][None, :].astype(f32)
+            sgh = gus_ref[0, g, t2:ti][None, :].astype(f32)
+            sul = gus_ref[0, g, ti:ti + t2][None, :].astype(f32)
+            suh = gus_ref[0, g, ti + t2:][None, :].astype(f32)
             il, ih = _pair_accum(dd[:, :t2], dd[:, t2:ti], sgl, sgh, S)
             g_lo += il
             g_hi += ih
@@ -330,8 +330,8 @@ def _megastep4_kernel(pos_ref, x_ref, anw_ref, mnw_ref,
             S = jnp.sum(xs.astype(f32), axis=1, keepdims=True)
             bg = dw_ref[0, g2 * gs:(g2 + 1) * gs, :]          # [gs, H/2]
             d1, d2 = _pair_group_dot(xs, bg, True)
-            sl = ds_ref[0, g2, :h2][None, :]
-            sh = ds_ref[0, g2, h2:][None, :]
+            sl = ds_ref[0, g2, :h2][None, :].astype(f32)
+            sh = ds_ref[0, g2, h2:][None, :].astype(f32)
             il, ih = _pair_accum(d1, d2, sl, sh, S)
             y_lo += il
             y_hi += ih
@@ -356,7 +356,7 @@ def megastep4_decode(x: jax.Array, mp: Dict[str, jax.Array],
                      rotary_dim: int = 0, interleaved: bool = False,
                      eps: float = 1e-5, rms_offset: float = 0.0,
                      scale: float = 1.0, act: str = "silu",
-                     block_t: int = 256, block_i: int = 2048,
+                     block_t: int = 128, block_i: int = 2048,
                      interpret: bool = False):
     """One full W4A8 decode step over all layers. Same contract as
     ``megastep_decode_w8a8``; ``mp`` from :func:`megapack4`.
@@ -598,10 +598,12 @@ def megapack4(cfg, sp: Dict[str, Any]) -> Dict[str, jax.Array]:
     up_p = map_rows(gu, ti, I, 2 * I)
     dn_p4 = map_cols(dn)
 
-    qsc = jnp.swapaxes(qkv["scales"].astype(jnp.float32), 1, 2)  # [L, G, Dq]
-    osc = jnp.swapaxes(o["scales"].astype(jnp.float32), 1, 2)    # [L, Gq, H]
-    gsc = jnp.swapaxes(gu["scales"].astype(jnp.float32), 1, 2)   # [L, G, 2I]
-    dsc = jnp.swapaxes(dn["scales"].astype(jnp.float32), 1, 2)   # [L, Gi, H]
+    # scales stored bf16: halves their HBM stream (~0.18 GB/step at 3B);
+    # the ~2^-9 relative rounding is far below the int4 quantization step
+    qsc = jnp.swapaxes(qkv["scales"].astype(jnp.bfloat16), 1, 2)  # [L,G,Dq]
+    osc = jnp.swapaxes(o["scales"].astype(jnp.bfloat16), 1, 2)    # [L,Gq,H]
+    gsc = jnp.swapaxes(gu["scales"].astype(jnp.bfloat16), 1, 2)   # [L,G,2I]
+    dsc = jnp.swapaxes(dn["scales"].astype(jnp.bfloat16), 1, 2)   # [L,Gi,H]
     # down scales tile-major with rows padded to a sublane multiple: the
     # per-tile block is [1, gtp, H], and gti = ti/gs can be < 8
     gs_w = dn.in_features // dn["scales"].shape[2]

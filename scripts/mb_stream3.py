@@ -60,9 +60,10 @@ def run_multi(total_bytes):
     # five inputs shaped like the megastep's weights, each visited in a
     # subset of phases with clamped index maps
     per = total_bytes // (L * 5)
-    shapes = [(per // H, H)] * 5
-    arrs = [jnp.zeros((L, 4 * s[0] // 4, H), jnp.int8) for s in shapes]
     nblk = [2, 1, 3, 3, 1]   # phases each input advances through
+    # rows must be a sublane multiple per block
+    shapes = [((per // H) // (8 * nb) * (8 * nb), H) for nb in nblk]
+    arrs = [jnp.zeros((L, s[0], H), jnp.int8) for s in shapes]
 
     def kernel(*refs):
         o_ref = refs[5]
