@@ -32,8 +32,9 @@ import functools
 
 
 @functools.partial(jax.jit, static_argnames=("out_f", "in_f", "kind",
-                                             "dtype"))
-def _rand_arrays(key, out_f: int, in_f: int, kind: str, dtype=jnp.bfloat16):
+                                             "dtype", "bits"))
+def _rand_arrays(key, out_f: int, in_f: int, kind: str, dtype=jnp.bfloat16,
+                 bits: int = 4):
     """Array leaves for one random linear, as ONE jitted dispatch — eager
     per-op dispatch through the tunneled runtime costs ~25ms each, which
     made multi-GB synthetic model builds take minutes."""
@@ -57,19 +58,22 @@ def _rand_arrays(key, out_f: int, in_f: int, kind: str, dtype=jnp.bfloat16):
         k1, k2 = jax.random.split(key)
         gs = 128 if in_f % 128 == 0 else in_f
         ng = in_f // gs
-        qidx = jax.random.randint(k1, (out_f, in_f), 0, 16, jnp.int32)
+        qidx = jax.random.randint(k1, (out_f, in_f), 0, 2 ** bits, jnp.int32)
         scales = jax.random.uniform(k2, (out_f, ng), jnp.float32, 0.001, 0.004)
-        # sym (zero point 8), sequential groups: both structural (omitted)
-        return {"qweight": pack_int_rows(qidx, 4), "scales": scales}
+        # sym (zero point 2^(bits-1)), sequential groups: both structural
+        # (omitted)
+        return {"qweight": pack_int_rows(qidx, bits), "scales": scales}
     raise ValueError(kind)
 
 
-def _linear_from_arrays(arrays, kind: str, in_f: int) -> qlinear.QLinear:
-    bits = {"dense": 16, "w8": 8}.get(kind, 4)
+def _linear_from_arrays(arrays, kind: str, in_f: int,
+                        bits: int = 4) -> qlinear.QLinear:
+    bits = {"dense": 16, "w8": 8}.get(kind, bits)
     return qlinear.QLinear(kind, dict(arrays), bits=bits, in_features=in_f)
 
 
-def _rand_linear(key, out_f: int, in_f: int, kind: str, dtype=jnp.bfloat16):
+def _rand_linear(key, out_f: int, in_f: int, kind: str, dtype=jnp.bfloat16,
+                 bits: int = 4):
     if kind == "dense":
         w = jax.random.normal(key, (out_f, in_f), dtype) * 0.02
         return qlinear.dense_linear(w)
@@ -88,17 +92,18 @@ def _rand_linear(key, out_f: int, in_f: int, kind: str, dtype=jnp.bfloat16):
         k1, k2 = jax.random.split(key)
         gs = 128 if in_f % 128 == 0 else in_f
         ng = in_f // gs
-        qidx = jax.random.randint(k1, (out_f, in_f), 0, 16, jnp.int32)
+        qidx = jax.random.randint(k1, (out_f, in_f), 0, 2 ** bits, jnp.int32)
         scales = jax.random.uniform(k2, (out_f, ng), jnp.float32, 0.001, 0.004)
-        zeros = jnp.full((out_f, ng), 8.0, jnp.float32)
+        zeros = jnp.full((out_f, ng), float(2 ** (bits - 1)), jnp.float32)
         g_idx = (jnp.arange(in_f) // gs).astype(jnp.int32)
-        return qlinear.uniform_linear(qidx, scales, zeros, g_idx, 4)
+        return qlinear.uniform_linear(qidx, scales, zeros, g_idx, bits)
     raise ValueError(kind)
 
 
 def make_model(cfg: ModelConfig, kind: str = "lut", seed: int = 0,
-               dtype=jnp.bfloat16) -> Dict[str, Any]:
+               dtype=jnp.bfloat16, bits: int = 4) -> Dict[str, Any]:
     """Random params pytree with every layer linear in format ``kind``."""
+    _rl = functools.partial(_rand_linear, bits=bits)
     key = jax.random.PRNGKey(seed)
     ks = iter(jax.random.split(key, 16 + cfg.num_hidden_layers * 8))
     h, q, kv, it = (cfg.hidden_size, cfg.q_dim, cfg.kv_dim, cfg.intermediate_size)
@@ -112,15 +117,15 @@ def make_model(cfg: ModelConfig, kind: str = "lut", seed: int = 0,
             "input_norm": {"weight": jnp.ones((h,), dtype)},
             "post_norm": {"weight": jnp.ones((h,), dtype)},
             "attn": {
-                "q": _rand_linear(next(ks), q, h, kind, dtype),
-                "k": _rand_linear(next(ks), kv, h, kind, dtype),
-                "v": _rand_linear(next(ks), kv, h, kind, dtype),
-                "o": _rand_linear(next(ks), h, q, kind, dtype),
+                "q": _rl(next(ks), q, h, kind, dtype),
+                "k": _rl(next(ks), kv, h, kind, dtype),
+                "v": _rl(next(ks), kv, h, kind, dtype),
+                "o": _rl(next(ks), h, q, kind, dtype),
             },
             "mlp": {
-                "gate": _rand_linear(next(ks), it, h, kind, dtype),
-                "up": _rand_linear(next(ks), it, h, kind, dtype),
-                "down": _rand_linear(next(ks), h, it, kind, dtype),
+                "gate": _rl(next(ks), it, h, kind, dtype),
+                "up": _rl(next(ks), it, h, kind, dtype),
+                "down": _rl(next(ks), h, it, kind, dtype),
             },
         }
         params["layers"].append(lp)
@@ -129,7 +134,8 @@ def make_model(cfg: ModelConfig, kind: str = "lut", seed: int = 0,
 
 def make_stacked_model(cfg: ModelConfig, kind: str = "lut", seed: int = 0,
                        dtype=jnp.bfloat16,
-                       lm_head_kind: str | None = None) -> Dict[str, Any]:
+                       lm_head_kind: str | None = None,
+                       bits: int = 4) -> Dict[str, Any]:
     """Build the fused+stacked serving pytree directly (qkv and gateup fused,
     leading layer axis on every leaf) — no transient per-layer copies, so
     multi-GB models fit while being constructed on-chip."""
@@ -139,10 +145,11 @@ def make_stacked_model(cfg: ModelConfig, kind: str = "lut", seed: int = 0,
     L = cfg.num_hidden_layers
 
     def stacked_linear(keys, out_f, in_f):
-        arrays = [_rand_arrays(k, out_f, in_f, kind, dtype) for k in keys]
+        arrays = [_rand_arrays(k, out_f, in_f, kind, dtype, bits)
+                  for k in keys]
         stacked_arrays = jax.tree_util.tree_map(
             lambda *xs: jnp.stack(xs), *arrays)
-        return _linear_from_arrays(stacked_arrays, kind, in_f)
+        return _linear_from_arrays(stacked_arrays, kind, in_f, bits)
 
     layer_keys = jax.random.split(next(ks), L * 4).reshape(L, 4, 2)
     attn = {

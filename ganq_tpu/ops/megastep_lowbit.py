@@ -1,0 +1,693 @@
+"""Whole-decode-step W3A8 / W2A8 megakernels: sub-4-bit uniform weights
+streamed PACKED at exactly 3.0 (or 2.0) bits/weight, dequantized as MXU
+algebra on masked int8 dots — the low-bit extension of the W4 pair-nibble
+kernel (ops/megastep4.py).
+
+Why: the megastep family is DMA-bound (PERF.md round 2: ~520 GB/s effective
+with all compute disabled), so the only lever is BYTES. The paper's GANQ-3
+headline is 2.39-2.57x over fp16 (reference `paper.md:551-603`); W3 streams
+25% fewer weight bytes than the W4 pair kernel. A per-element unpack of
+3-bit fields through the VPU is off the table on TPU (the round-1 LUT
+select-tree wall), so the packed bytes must flow through the MXU as stored.
+
+The generalized field-plane trick. A byte is a radix-2 polynomial of
+fields; an int8 MXU dot against x distributes over the fields:
+
+  plane = f0 << p0 | f1 << p1 | ... | fk        (p0 > p1 > ... > pk = 0)
+  d_j   = x8 . (plane & ((1 << p_{j-1}) - 1))   (mask keeps fields j..k)
+  x8.f_j = (d_j - d_{j+1}) >> p_j               (exact: multiples of 2^p_j)
+
+with the TOP field stored XOR its sign bit so the plain SIGNED byte read
+gives d_0 with f_0 - 2^(w0-1) in place of f_0 (no 9th bit needed). Each
+mask costs ONE vector AND per element; each d_j is idle-MXU work in a
+bandwidth-bound kernel.
+
+W3 packs 8 output rows (blocks of tile/8) into 3 byte-planes:
+
+  A = r0(3) | r1(3) | r2.hi(2)         3 dots, 2 masks
+  B = r2.lo(1) | r3(3) | r4(3) | r5.hi(1)   4 dots, 3 masks
+  C = r5.lo(2) | r6(3) | r7(3)         3 dots, 2 masks
+
+(rows r2 and r5 are split across plane boundaries; their halves recombine
+as x.q = (x.hi << shift) + x.lo — still linear in x). W2 packs 4 rows into
+one byte: f(2)|f(2)|f(2)|f(2), 4 dots, 3 masks.
+
+Same phase walk and activation-quantization points as ops/megastep4.py, so
+`megastep4_reference` is the oracle for this kernel too. Applies to any
+uniform sym W3/W2 artifact (GPTQ sym / AutoRound-sym / GANQ 3-bit int
+recode) with sequential 128-multiple groups. TPU-native analog of the
+reference's 2/3-bit CUDA paths (gptqmodel_ext/exllamav2/qdq_2.cuh,
+qdq_3.cuh) — those unpack via shared-memory shift networks; here the
+dequant is algebra on masked MXU partial products.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .megastep4 import _quant_rows, _rope_rows
+from .megastep4 import megastep4_reference as megastep_lowbit_reference
+
+_DEF = jax.lax.Precision.DEFAULT
+
+# field plans: per plane, (row_block, src_shift, width) high bits -> low.
+# row_block indexes the tile's row octet/quartet; src_shift says which bits
+# of that row's code this field holds.
+_PLAN = {
+    3: (
+        ((0, 0, 3), (1, 0, 3), (2, 1, 2)),
+        ((2, 0, 1), (3, 0, 3), (4, 0, 3), (5, 2, 1)),
+        ((5, 0, 2), (6, 0, 3), (7, 0, 3)),
+    ),
+    2: (
+        ((0, 0, 2), (1, 0, 2), (2, 0, 2), (3, 0, 2)),
+    ),
+}
+
+
+def _plan_meta(bits: int):
+    """(metas, coef, nd, g_r): per-plane field tuples (row, shift, width,
+    bitpos), the per-row-block S coefficient folding the top-field sign
+    offsets with the symmetric zero point, the derived-matrix count, and
+    rows per plane-group."""
+    plan = _PLAN[bits]
+    metas = []
+    nd = 0
+    for segs in plan:
+        pos = 8
+        fields = []
+        for (row, shift, w) in segs:
+            pos -= w
+            fields.append((row, shift, w, pos))
+        assert pos == 0, "plan fields must fill the byte"
+        metas.append(tuple(fields))
+        nd += len(segs)
+    g_r = max(r for segs in plan for (r, _, _) in segs) + 1
+    coef = [-(1 << (bits - 1))] * g_r
+    for segs in plan:
+        row0, shift0, w0 = segs[0]
+        coef[row0] += 1 << (shift0 + w0 - 1)
+    return tuple(metas), tuple(coef), nd, g_r
+
+
+def _derive(bg, tF: int, metas):
+    """Masked views of one packed block [NP*tF, gs]: the signed plane plus
+    one AND per non-top field."""
+    out = []
+    for p, fields in enumerate(metas):
+        P = bg[p * tF:(p + 1) * tF]
+        out.append(P)
+        for (_, _, _, pos) in fields[:-1]:
+            out.append(P & jnp.int8((1 << pos) - 1))
+    return out
+
+
+def _recover(dd, tF: int, metas, coef, S, off: int = 0):
+    """Field shift algebra on the dot outputs -> per-row-block centered
+    dots z_r = x8.q_r - 2^(b-1)*sum(x8), int32 [B, tF] each."""
+    sar = jax.lax.shift_right_arithmetic
+    zs = [None] * len(coef)
+    idx = off
+    for fields in metas:
+        k = len(fields)
+        ds = [dd[:, (idx + j) * tF:(idx + j + 1) * tF] for j in range(k)]
+        ds.append(jnp.zeros_like(ds[0]))
+        for j, (row, shift, _, pos) in enumerate(fields):
+            raw = ds[j] - ds[j + 1]
+            if pos:
+                raw = sar(raw, pos)
+            if shift:
+                raw = raw * (1 << shift)
+            zs[row] = raw if zs[row] is None else zs[row] + raw
+        idx += k
+    return [z + c * S if c else z for z, c in zip(zs, coef)]
+
+
+def _qkv_tile_lb(Dqkv: int, d: int, g_r: int) -> int | None:
+    """Largest row tile t | Dqkv with t % d == 0 and (t/g_r) % 128 == 0
+    (field blocks must be lane-aligned on real hardware)."""
+    for cand in (4096, 2048, 1024, 512):
+        if (Dqkv % cand == 0 and cand % d == 0
+                and (cand // g_r) % 128 == 0):
+            return cand
+    return None
+
+
+def _mlp_tile_lb(I: int, g_r: int) -> int | None:
+    ti = 2048
+    while ti >= 128 and (I % ti or (ti // g_r) % 128):
+        ti //= 2
+    return ti if ti >= 128 else None
+
+
+def _megastep_lb_kernel(pos_ref, x_ref, anw_ref, mnw_ref,
+                        qw_ref, qs_ref, qb_ref, cos_ref, sin_ref, r_ref,
+                        kc_ref, vc_ref, ow_ref, os_ref,
+                        gw_ref, uw_ref, gus_ref, dw_ref, ds_ref,
+                        y_ref, kn_ref, vn_ref,
+                        x_s, x8_s, sx_s, qkv_s, acc_s, m_s, l_s, a8_s, ma_s,
+                        *, B: int, d: int, Hq: int, Hkv: int, qpk: int,
+                        NQ: int, NT: int, NG: int, Tb: int, tq: int, ti: int,
+                        gs: int, L: int, eps: float, rms_offset: float,
+                        scale: float, act: str, bits: int):
+    lix = pl.program_id(0)
+    p = pl.program_id(1)
+    pos = pos_ref[B]
+    f32 = jnp.float32
+    O_STEP = NQ + NT
+    H = x_ref.shape[1]
+    Gh = H // gs
+    gti = ti // gs
+    metas, coef, nd, g_r = _plan_meta(bits)
+    tFq, tFo, tFi = tq // g_r, H // g_r, ti // g_r
+
+    def group_dot(xs, blocks_tFs):
+        """One concat dot over every (block, tF) pair; returns (dd, S)."""
+        rhs = jnp.concatenate(
+            [m for bg, tF in blocks_tFs for m in _derive(bg, tF, metas)],
+            axis=0)
+        dd = jax.lax.dot_general(xs, rhs, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.int32,
+                                 precision=_DEF)
+        S = jnp.sum(xs.astype(jnp.int32), axis=1, keepdims=True)
+        return dd, S
+
+    def fields_y(dd, S, tF, sc_row, off=0):
+        """Scaled field parts concat -> [B, g_r*tF] f32 contribution."""
+        zs = _recover(dd, tF, metas, coef, S, off)
+        parts = []
+        for f in range(g_r):
+            sl = sc_row[f * tF:(f + 1) * tF][None, :].astype(f32)
+            parts.append(sl * zs[f].astype(f32))
+        return jnp.concatenate(parts, axis=1)
+
+    # ---- layer entry: residual init, attn norm + int8 quant, flash init
+    @pl.when(p == 0)
+    def _():
+        @pl.when(lix == 0)
+        def _():
+            x_s[:] = x_ref[:].astype(f32)
+        xf = x_s[:]
+        var = jnp.mean(xf * xf, axis=1, keepdims=True)
+        xf = xf * jax.lax.rsqrt(var + eps) * (
+            anw_ref[0].astype(f32) + rms_offset)
+        x8, sx = _quant_rows(xf)
+        x8_s[:] = x8
+        sx_s[:B, :1] = sx
+        acc_s[:] = jnp.zeros_like(acc_s)
+        m_s[:] = jnp.full_like(m_s, -1e30)
+        l_s[:] = jnp.zeros_like(l_s)
+
+    # ---- phase A: one qkv row tile (plane dots) -> rope -> scatter
+    @pl.when(p < NQ)
+    def _():
+        y = jnp.zeros((B, tq), f32)
+        for g in range(Gh):
+            xs = x8_s[:, g * gs:(g + 1) * gs]
+            bg = qw_ref[0, :, g * gs:(g + 1) * gs]       # [NP*tFq, gs]
+            dd, S = group_dot(xs, [(bg, tFq)])
+            y += fields_y(dd, S, tFq, qs_ref[0, g])
+        y = y * sx_s[:B, :1] + qb_ref[0]
+        rot = jax.lax.dot_general(y.astype(jnp.bfloat16), r_ref[:],
+                                  (((1,), (0,)), ((), ())),
+                                  preferred_element_type=f32, precision=_DEF)
+        y = (y * cos_ref[0] + rot * sin_ref[0]).astype(jnp.bfloat16)
+        for i in range(tq // d):
+            qkv_s[pl.ds((p * (tq // d) + i) * 8, 8), :] = jnp.pad(
+                y[:, i * d:(i + 1) * d], ((0, 8 - B), (0, 0)))
+
+    @pl.when(p == NQ - 1)
+    def _():
+        for g in range(Hkv):
+            kn_ref[0, :, g * d:(g + 1) * d] = qkv_s[
+                (Hq + g) * 8:(Hq + g) * 8 + B, :]
+            vn_ref[0, :, g * d:(g + 1) * d] = qkv_s[
+                (Hq + Hkv + g) * 8:(Hq + Hkv + g) * 8 + B, :]
+
+    # ---- phase B: flash attention over one cache block
+    tb = p - NQ
+    in_flash = (p >= NQ) & (p < NQ + NT)
+
+    def _rows(base_s, b, g, n):
+        return jnp.concatenate(
+            [base_s[(g * qpk + i) * 8 + b:(g * qpk + i) * 8 + b + 1, :]
+             for i in range(n)], axis=0)
+
+    def _online(b, g, s_blk, v_blk):
+        m_prev = _rows(m_s, b, g, qpk)
+        l_prev = _rows(l_s, b, g, qpk)
+        a_prev = _rows(acc_s, b, g, qpk)
+        smax = jnp.max(s_blk, axis=1, keepdims=True)
+        m_new = jnp.maximum(m_prev, smax)
+        alpha = jnp.exp(m_prev - m_new)
+        pexp = jnp.exp(s_blk - m_new[:, :1])
+        l_new = l_prev * alpha + jnp.sum(pexp, axis=1, keepdims=True)
+        pv = jax.lax.dot_general(pexp.astype(jnp.bfloat16), v_blk,
+                                 (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32,
+                                 precision=_DEF)
+        a_new = a_prev * alpha + pv
+        for i in range(qpk):
+            r = (g * qpk + i) * 8 + b
+            m_s[r:r + 1, :] = m_new[i:i + 1, :]
+            l_s[r:r + 1, :] = l_new[i:i + 1, :]
+            acc_s[r:r + 1, :] = a_new[i:i + 1, :]
+
+    @pl.when(in_flash & (tb * Tb < pos))
+    def _():
+        t_abs = tb * Tb + jax.lax.broadcasted_iota(jnp.int32, (1, Tb), 1)
+        for b in range(B):
+            valid = t_abs < pos_ref[b]        # per-slot history length
+            for g in range(Hkv):
+                q3 = _rows(qkv_s, b, g, qpk).astype(jnp.bfloat16)
+                kg = kc_ref[0, b * Hkv + g, :, :].astype(jnp.bfloat16)
+                vg = vc_ref[0, b * Hkv + g, :, :].astype(jnp.bfloat16)
+                sc = jax.lax.dot_general(q3, kg, (((1,), (1,)), ((), ())),
+                                         preferred_element_type=jnp.float32,
+                                         precision=_DEF)
+                sc = jnp.where(valid, sc * scale, -1e30)
+                _online(b, g, sc, vg)
+
+    @pl.when(in_flash & (tb == NT - 1))
+    def _():
+        for b in range(B):
+            for g in range(Hkv):
+                q3 = _rows(qkv_s, b, g, qpk).astype(jnp.float32)
+                kcur = qkv_s[(Hq + g) * 8 + b:(Hq + g) * 8 + b + 1, :]
+                vcur = qkv_s[(Hq + Hkv + g) * 8 + b:(Hq + Hkv + g) * 8 + b + 1, :]
+                s_c = jnp.sum(q3 * kcur.astype(jnp.float32), axis=1,
+                              keepdims=True) * scale
+                _online(b, g, s_c, vcur.astype(jnp.bfloat16))
+
+    # ---- phase C: flash finalize -> o (plane dots over q_dim groups) ->
+    # residual, then MLP norm + quant
+    @pl.when(p == O_STEP)
+    def _():
+        sa = jnp.zeros((8, 1), f32) + 1e-12
+        for h in range(Hq):
+            a_h = acc_s[h * 8:(h + 1) * 8, :] / jnp.maximum(
+                l_s[h * 8:(h + 1) * 8, :1], 1e-30)
+            acc_s[h * 8:(h + 1) * 8, :] = a_h
+            sa = jnp.maximum(sa, jnp.max(jnp.abs(a_h), axis=1, keepdims=True))
+        sa = sa / 127.0
+        for h in range(Hq):
+            a8_s[:, h * d:(h + 1) * d] = jnp.clip(
+                jnp.round(acc_s[h * 8:(h + 1) * 8, :] / sa),
+                -127, 127).astype(jnp.int8)
+        Dq = Hq * d
+        o = jnp.zeros((8, H), f32)
+        for g in range(Dq // gs):
+            xs = a8_s[:, g * gs:(g + 1) * gs]
+            bg = ow_ref[0, :, g * gs:(g + 1) * gs]       # [NP*tFo, gs]
+            dd, S = group_dot(xs, [(bg, tFo)])
+            o += fields_y(dd, S, tFo, os_ref[0, g])
+        x_s[:] += (o * sa)[:B]
+        xf = x_s[:]
+        var = jnp.mean(xf * xf, axis=1, keepdims=True)
+        xf = xf * jax.lax.rsqrt(var + eps) * (
+            mnw_ref[0].astype(f32) + rms_offset)
+        x8, sx = _quant_rows(xf)
+        x8_s[:] = x8
+        sx_s[:B, :1] = sx
+        ma_s[:] = jnp.zeros_like(ma_s)
+
+    # ---- phase D: fused MLP tile (gate/up plane dots -> act -> a8 -> down)
+    @pl.when(p > O_STEP)
+    def _():
+        gv = jnp.zeros((B, ti), f32)
+        uv = jnp.zeros((B, ti), f32)
+        for g in range(Gh):
+            xs = x8_s[:, g * gs:(g + 1) * gs]
+            gbg = gw_ref[0, :, g * gs:(g + 1) * gs]      # [NP*tFi, gs]
+            ubg = uw_ref[0, :, g * gs:(g + 1) * gs]
+            dd, S = group_dot(xs, [(gbg, tFi), (ubg, tFi)])
+            gv += fields_y(dd, S, tFi, gus_ref[0, g, :ti])
+            uv += fields_y(dd, S, tFi, gus_ref[0, g, ti:], off=nd)
+        gv = gv * sx_s[:B, :1]
+        uv = uv * sx_s[:B, :1]
+        if act == "silu":
+            a = jax.nn.silu(gv) * uv
+        elif act == "gelu_tanh":
+            a = jax.nn.gelu(gv, approximate=True) * uv
+        else:
+            a = jax.nn.gelu(gv, approximate=False) * uv
+        a8, sa = _quant_rows(a)
+        a8_s[:B, :ti] = a8
+        y = jnp.zeros((B, H), f32)
+        for g2 in range(gti):
+            xs = a8_s[:B, g2 * gs:(g2 + 1) * gs]
+            bg = dw_ref[0, :, g2 * gs:(g2 + 1) * gs]     # [NP*tFo, gs]
+            dd, S = group_dot(xs, [(bg, tFo)])
+            y += fields_y(dd, S, tFo, ds_ref[0, g2])
+        ma_s[:] += y * sa
+
+    @pl.when(p == O_STEP + NG)
+    def _():
+        x_s[:] += ma_s[:]
+
+        @pl.when(lix == L - 1)
+        def _():
+            y_ref[:] = x_s[:].astype(y_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "q_dim", "kv_dim", "head_dim", "rotary_dim", "interleaved", "eps",
+    "rms_offset", "scale", "act", "block_t", "bits", "interpret"))
+def megastep_lowbit_decode(x: jax.Array, mp: Dict[str, jax.Array],
+                           k_cache: jax.Array, v_cache: jax.Array,
+                           pos: jax.Array, cos_half, sin_half, *,
+                           q_dim: int, kv_dim: int, head_dim: int,
+                           rotary_dim: int = 0, interleaved: bool = False,
+                           eps: float = 1e-5, rms_offset: float = 0.0,
+                           scale: float = 1.0, act: str = "silu",
+                           block_t: int = 128, bits: int = 3,
+                           interpret: bool = False):
+    """One full W3A8/W2A8 decode step over all layers. Same contract as
+    ``megastep4_decode``; ``mp`` from :func:`megapack_lowbit`."""
+    B, H = x.shape
+    if B > 8:
+        raise ValueError("megastep_lowbit_decode: B <= 8 (stride-8 rows)")
+    metas, coef, nd, g_r = _plan_meta(bits)
+    npl = len(metas)
+    L = mp["qkv_pk"].shape[0]
+    Dqkv = mp["qkv_pk"].shape[1] * g_r // npl
+    d = head_dim
+    Hq, Hkv = q_dim // d, kv_dim // d
+    qpk = Hq // Hkv
+    T = k_cache.shape[2]
+    I = mp["gu_pk"].shape[1] * g_r // npl // 2
+    gs = H // mp["qkv_s"].shape[1]
+
+    tq = _qkv_tile_lb(Dqkv, d, g_r)
+    NQ = Dqkv // tq
+    Tb = min(block_t, T)
+    while T % Tb:
+        Tb //= 2
+    NT = T // Tb
+    ti = _mlp_tile_lb(I, g_r)
+    NG = I // ti
+    gtp8 = mp["dn_s"].shape[1] // NG
+    P = NQ + NT + 1 + NG
+
+    pos_vec = jnp.broadcast_to(
+        jnp.asarray(pos, jnp.int32).reshape(-1), (B,))
+    pos_arr = jnp.concatenate([pos_vec, jnp.max(pos_vec)[None]])
+
+    rd = rotary_dim or 0
+    if rd:
+        ch = jnp.asarray(cos_half, jnp.float32)
+        sh = jnp.asarray(sin_half, jnp.float32)
+        if ch.ndim == 1:
+            ch = jnp.broadcast_to(ch[None, :], (B, ch.shape[0]))
+            sh = jnp.broadcast_to(sh[None, :], (B, sh.shape[0]))
+        R, cos_t, sin_t = _rope_rows(Dqkv, tq, d, rd, interleaved,
+                                     q_dim + kv_dim, ch, sh)
+    else:
+        R = jnp.zeros((tq, tq), jnp.bfloat16)
+        cos_t = jnp.ones((NQ, B, tq), jnp.float32)
+        sin_t = jnp.zeros((NQ, B, tq), jnp.float32)
+    Gp = mp["qkv_s"].shape[1]
+    Gq = mp["o_s"].shape[1]
+
+    def qi(l, p, s):
+        return jnp.clip(p, 0, NQ - 1)
+
+    def fb(l, p, s):
+        t = jnp.clip(p - NQ, 0, NT - 1)
+        return jnp.minimum(t, jnp.maximum(s[B] - 1, 0) // Tb)
+
+    def gi(l, p, s):
+        return jnp.clip(p - NQ - NT - 1, 0, NG - 1)
+
+    pq = npl * tq // g_r          # packed rows per qkv tile
+    po = npl * H // g_r           # packed rows of o / down (tile = H)
+    pi = npl * ti // g_r          # packed rows per gate/up tile
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(L, P),
+        in_specs=[
+            pl.BlockSpec((B, H), lambda l, p, s: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, H), lambda l, p, s: (l, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, H), lambda l, p, s: (l, 0, 0),
+                         memory_space=pltpu.VMEM),
+            # qkv packed [L, NP*Dqkv/g_r, H]: tile t rows [t*pq, (t+1)*pq)
+            pl.BlockSpec((1, pq, H), lambda l, p, s: (l, qi(l, p, s), 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Gp, tq), lambda l, p, s: (l, 0, qi(l, p, s)),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, tq), lambda l, p, s: (l, 0, qi(l, p, s)),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B, tq), lambda l, p, s: (qi(l, p, s), 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B, tq), lambda l, p, s: (qi(l, p, s), 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tq, tq), lambda l, p, s: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B * Hkv, Tb, d),
+                         lambda l, p, s: (l, 0, fb(l, p, s), 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B * Hkv, Tb, d),
+                         lambda l, p, s: (l, 0, fb(l, p, s), 0),
+                         memory_space=pltpu.VMEM),
+            # o packed [L, NP*H/g_r, q_dim] (output-row planes)
+            pl.BlockSpec((1, po, q_dim), lambda l, p, s: (l, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Gq, H), lambda l, p, s: (l, 0, 0),
+                         memory_space=pltpu.VMEM),
+            # gate packed tiles [0, NG), up tiles [NG, 2NG) of gu_pk
+            pl.BlockSpec((1, pi, H), lambda l, p, s: (l, gi(l, p, s), 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, pi, H),
+                         lambda l, p, s: (l, gi(l, p, s) + NG, 0),
+                         memory_space=pltpu.VMEM),
+            # gate+up scales [L, Gp, 2I] tile-major (gate tile then up tile)
+            pl.BlockSpec((1, Gp, 2 * ti), lambda l, p, s: (l, 0, gi(l, p, s)),
+                         memory_space=pltpu.VMEM),
+            # down packed [L, NP*H/g_r, I]: tile cols [gi*ti, (gi+1)*ti)
+            pl.BlockSpec((1, po, ti), lambda l, p, s: (l, 0, gi(l, p, s)),
+                         memory_space=pltpu.VMEM),
+            # down scales, tile-major padded rows [L, NG*gtp, H]
+            pl.BlockSpec((1, gtp8, H), lambda l, p, s: (l, gi(l, p, s), 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((B, H), lambda l, p, s: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B, kv_dim), lambda l, p, s: (l, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B, kv_dim), lambda l, p, s: (l, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((B, H), jnp.float32),
+            pltpu.VMEM((B, H), jnp.int8),
+            pltpu.VMEM((8, 128), jnp.float32),
+            pltpu.VMEM(((Hq + 2 * Hkv) * 8, d), jnp.bfloat16),
+            pltpu.VMEM((Hq * 8, d), jnp.float32),
+            pltpu.VMEM((Hq * 8, 128), jnp.float32),
+            pltpu.VMEM((Hq * 8, 128), jnp.float32),
+            pltpu.VMEM((8, max(q_dim, ti)), jnp.int8),
+            pltpu.VMEM((B, H), jnp.float32),
+        ],
+    )
+    weight_bytes = (L * (Dqkv * H + q_dim * H + 3 * I * H) * bits) // 8
+    y, kn, vn = pl.pallas_call(
+        functools.partial(
+            _megastep_lb_kernel, B=B, d=d, Hq=Hq, Hkv=Hkv, qpk=qpk, NQ=NQ,
+            NT=NT, NG=NG, Tb=Tb, tq=tq, ti=ti, gs=gs, L=L, eps=eps,
+            rms_offset=rms_offset, scale=scale, act=act, bits=bits),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((B, H), x.dtype),
+            jax.ShapeDtypeStruct((L, B, kv_dim), jnp.bfloat16),
+            jax.ShapeDtypeStruct((L, B, kv_dim), jnp.bfloat16),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=112 * 1024 * 1024),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * L * (Dqkv * H + q_dim * H + 3 * I * H)
+            + 4 * B * L * Hq * T * d,
+            bytes_accessed=weight_bytes + 2 * L * B * T * Hkv * d * 2,
+            transcendentals=B * L * (Hq * T + I),
+        ),
+        interpret=interpret,
+    )(pos_arr, x, mp["attn_norm"], mp["mlp_norm"],
+      mp["qkv_pk"], mp["qkv_s"], mp["qkv_bias"],
+      cos_t, sin_t, R,
+      k_cache, v_cache, mp["o_pk"], mp["o_s"],
+      mp["gu_pk"], mp["gu_pk"], mp["gu_s"], mp["dn_pk"], mp["dn_s"])
+    return y, kn, vn
+
+
+# --------------------------------------------------------------- pack + gate
+def _plane_pack(codes, tile: int, bits: int):
+    """[R, K] int codes -> [NP*R/g_r, K] int8 plane bytes, tile-major: tile
+    t's planes at rows [t*NP*tile/g_r, ...), plane p's field f holding the
+    tile's row block [f*tile/g_r, (f+1)*tile/g_r). Top field per plane is
+    stored XOR its sign bit (signed read = field - 2^(w-1)). Pure jnp so
+    packing traces under jit (numpy passthrough for tests)."""
+    xp = np if isinstance(codes, np.ndarray) else jnp
+    plan = _PLAN[bits]
+    g_r = max(r for segs in plan for (r, _, _) in segs) + 1
+    R, K = codes.shape
+    tF = tile // g_r
+    c = codes.reshape(R // tile, g_r, tF, K)
+    planes = []
+    for segs in plan:
+        byte = None
+        for j, (row, shift, w) in enumerate(segs):
+            v = (c[:, row] >> shift) & ((1 << w) - 1)
+            if j == 0:
+                v = v ^ (1 << (w - 1))
+            byte = v if byte is None else (byte << w) | v
+        planes.append(byte)
+    out = xp.stack(planes, axis=1)                  # [R/tile, NP, tF, K]
+    out = out.reshape(R // tile * len(plan) * tF, K)
+    return ((out.astype(xp.int32) + 128) % 256 - 128).astype(xp.int8)
+
+
+def megapack_lowbit(cfg, sp: Dict[str, Any], bits: int = 3
+                    ) -> Dict[str, jax.Array]:
+    """Plane-packed megakernel operands from stacked UNIFORM W3/W2 layers.
+    Pure jnp (traces under jit); serving calls serve.stacked.prepack once."""
+    ls = sp["layers_stacked"]
+    qkv, o = ls["attn"]["qkv"], ls["attn"]["o"]
+    gu, dn = ls["mlp"]["gateup"], ls["mlp"]["down"]
+    H = cfg.hidden_size
+    d = cfg.head_dim
+    L = qkv["qweight"].shape[0]
+    _, _, _, g_r = _plan_meta(bits)
+
+    from .packing import unpack_int_rows
+
+    Dq_all = qkv["scales"].shape[1]
+    I = gu["scales"].shape[1] // 2
+    tq = _qkv_tile_lb(Dq_all, d, g_r)
+    ti = _mlp_tile_lb(I, g_r)
+
+    # per-layer sequential packing (lax.map): int32 unpack temporaries for
+    # ONE layer at a time (whole-model unpack would be several GB of int32)
+    def map_rows(m, tile, lo=None, hi=None):
+        def one(qw_l):
+            codes = unpack_int_rows(qw_l, bits, m.in_features)
+            if lo is not None:
+                codes = codes[lo:hi]
+            return _plane_pack(codes, tile, bits)
+        return jax.lax.map(one, m["qweight"])
+
+    qkv_pk = map_rows(qkv, tq)
+    o_pk = map_rows(o, H)              # one tile = whole output dim
+    gate_pk = map_rows(gu, ti, 0, I)
+    up_pk = map_rows(gu, ti, I, 2 * I)
+    dn_pk = map_rows(dn, H)
+
+    # scales bf16 (HBM stream halved; rounding far below the int3 step)
+    qsc = jnp.swapaxes(qkv["scales"].astype(jnp.bfloat16), 1, 2)  # [L,G,Dq]
+    osc = jnp.swapaxes(o["scales"].astype(jnp.bfloat16), 1, 2)    # [L,Gq,H]
+    gsc = jnp.swapaxes(gu["scales"].astype(jnp.bfloat16), 1, 2)   # [L,G,2I]
+    dsc = jnp.swapaxes(dn["scales"].astype(jnp.bfloat16), 1, 2)   # [L,Gi,H]
+    gs_w = dn.in_features // dn["scales"].shape[2]
+    gti = ti // gs_w
+    gtp = -(-gti // 8) * 8
+    NGt = I // ti
+    dsc = dsc.reshape(dsc.shape[0], NGt, gti, H)
+    if gtp != gti:
+        dsc = jnp.pad(dsc, ((0, 0), (0, 0), (0, gtp - gti), (0, 0)))
+    dsc = dsc.reshape(dsc.shape[0], NGt * gtp, H)
+    sg, su = gsc[:, :, :I], gsc[:, :, I:]
+    blocks = []
+    for t in range(I // ti):
+        blocks.append(sg[:, :, t * ti:(t + 1) * ti])
+        blocks.append(su[:, :, t * ti:(t + 1) * ti])
+    gu_s = jnp.concatenate(blocks, axis=2)
+
+    bias = qkv.arrays.get("bias")
+    if bias is None:
+        bias = jnp.zeros((L, Dq_all), jnp.float32)
+    return {
+        "qkv_pk": qkv_pk, "qkv_s": qsc,
+        "o_pk": o_pk, "o_s": osc,
+        "gu_pk": jnp.concatenate([gate_pk, up_pk], axis=1), "gu_s": gu_s,
+        "dn_pk": dn_pk, "dn_s": dsc,
+        "qkv_bias": jnp.asarray(bias, jnp.float32).reshape(L, 1, Dq_all),
+        "attn_norm": ls["input_norm"]["weight"].astype(
+            jnp.float32).reshape(L, 1, H),
+        "mlp_norm": ls["post_norm"]["weight"].astype(
+            jnp.float32).reshape(L, 1, H),
+    }
+
+
+def megastep_lowbit_fusable(cfg, sp: Dict[str, Any], bits: int) -> bool:
+    """Static capability gate: homogeneous stacked llama-family models with
+    uniform sym W3/W2 weights, sequential 128-multiple groups, d=128, and
+    lane-aligned field blocks (H and the chosen tiles divisible by
+    g_r*128)."""
+    if bits not in _PLAN:
+        return False
+    _, _, _, g_r = _plan_meta(bits)
+    ls = sp.get("layers_stacked")
+    if ls is None:
+        return False
+    attn, mlp = ls.get("attn", {}), ls.get("mlp", {})
+    qkv, o = attn.get("qkv"), attn.get("o")
+    gu, dn = mlp.get("gateup"), mlp.get("down")
+    if qkv is None or o is None or gu is None or dn is None:
+        return False
+    mats = (qkv, o, gu, dn)
+    if any(getattr(m, "kind", None) != "uniform" or m.bits != bits
+           for m in mats):
+        return False
+    if any("g_idx" in m.arrays or "lora_a" in m.arrays for m in mats):
+        return False
+    if any("bias" in m.arrays for m in (o, gu, dn)):
+        return False
+    gss = set()
+    for m in mats:
+        if "zeros" in m.arrays:           # sym only (structural, as in W4)
+            return False
+        gs = m.in_features // m.arrays["scales"].shape[2]
+        if gs % 128 or m.in_features % gs:
+            return False
+        gss.add(gs)
+    if len(gss) != 1:
+        return False
+    if cfg.head_dim != 128 or cfg.v_head_dim not in (None, cfg.head_dim):
+        return False
+    # lane-aligned field blocks: o/down fields are H/g_r wide
+    if cfg.hidden_size % (g_r * 128):
+        return False
+    if cfg.qk_norm or cfg.clip_qkv is not None:
+        return False
+    if cfg.norm != "rmsnorm" or not cfg.do_layer_norm_before:
+        return False
+    if (cfg.norm_after_sublayer or cfg.sandwich_norm or cfg.parallel_residual
+            or cfg.residual_multiplier is not None):
+        return False
+    if cfg.pos != "rope" or cfg.attn_softcap is not None or cfg.mla:
+        return False
+    if cfg.sliding_window is not None or cfg.rope_local_theta is not None:
+        return False
+    if not cfg.gated_mlp or "moe" in ls:
+        return False
+    Dqkv = qkv["scales"].shape[1]
+    kvd = (Dqkv - cfg.q_dim) // 2
+    if cfg.q_dim + 2 * kvd != Dqkv or kvd % cfg.head_dim:
+        return False
+    I = gu["scales"].shape[1] // 2
+    if _mlp_tile_lb(I, g_r) is None:
+        return False
+    return _qkv_tile_lb(Dqkv, cfg.head_dim, g_r) is not None
+
+
+__all__ = ["megastep_lowbit_decode", "megapack_lowbit",
+           "megastep_lowbit_fusable", "megastep_lowbit_reference"]

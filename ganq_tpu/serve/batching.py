@@ -107,20 +107,31 @@ def _mega_prefill_slot(cfg: ModelConfig, sp, ids, mk, mv, slot,
     return logits[0], mk, mv        # stacked.prefill returns LAST logits
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(3, 4))
-def _mega_decode_slots(cfg: ModelConfig, sp, mp, mk, mv, tokens, pos):
-    """One W4A8 megastep over all slots at per-slot positions (the
+@functools.partial(jax.jit, static_argnames=("cfg", "variant"),
+                   donate_argnums=(3, 4))
+def _mega_decode_slots(cfg: ModelConfig, sp, mp, mk, mv, tokens, pos,
+                       variant: str = "w4"):
+    """One W4A8/W3A8/W2A8 megastep over all slots at per-slot positions (the
     continuous-batching analog of _decode_slots_impl): ONE kernel launch
     for the whole layer stack, per-row rope tables and history masks."""
     import math
 
     from ..models.transformer import (_fused_act_kind, rope_tables)
     from ..ops.megastep4 import megastep4_decode
+    from ..ops.megastep_lowbit import megastep_lowbit_decode
 
     S = tokens.shape[0]
     L = mk.shape[0]
     d = cfg.head_dim
-    kv_dim = (mp["qkv_p4"].shape[1] * 2 - cfg.q_dim) // 2
+    kw = {}
+    if variant == "w4":
+        step_fn = megastep4_decode
+        kv_dim = (mp["qkv_p4"].shape[1] * 2 - cfg.q_dim) // 2
+    else:
+        step_fn = megastep_lowbit_decode
+        kw["bits"] = 3 if variant == "w3" else 2
+        npl, g_r = (3, 8) if variant == "w3" else (1, 4)
+        kv_dim = (mp["qkv_pk"].shape[1] * g_r // npl - cfg.q_dim) // 2
     Hkv = kv_dim // d
     positions = pos[:, None]
     x = embed(cfg, sp, tokens[:, None], positions)[:, 0, :]
@@ -128,12 +139,12 @@ def _mega_decode_slots(cfg: ModelConfig, sp, mp, mk, mv, tokens, pos):
     rd, ch, sh = _rope_half_tables_vec(cfg, rope_tables(cfg, positions))
     scale = (cfg.attn_scale if cfg.attn_scale is not None
              else 1.0 / math.sqrt(d))
-    y, kn, vn = megastep4_decode(
+    y, kn, vn = step_fn(
         x, mp, mk, mv, pos, ch, sh,
         q_dim=cfg.q_dim, kv_dim=kv_dim, head_dim=d, rotary_dim=rd,
         interleaved=cfg.rope_interleaved, eps=cfg.norm_eps,
         rms_offset=cfg.rms_offset, scale=scale, act=_fused_act_kind(cfg),
-        interpret=jax.default_backend() == "cpu")
+        interpret=jax.default_backend() == "cpu", **kw)
     # per-slot scatter of the new k/v at each slot's own position
     T = mk.shape[2]
     mk5 = mk.reshape(L, S, Hkv, T, d)
@@ -183,6 +194,7 @@ class BatchingEngine:
         # slots in ONE whole-stack kernel (serve/stacked.mega_enabled)
         self._sp = None
         self._mega_kv = None
+        self._mega_variant = None
         from . import stacked as _stacked
         layers = params.get("layers")
         # cheap env/backend gate FIRST: stack_layers copies the whole
@@ -196,8 +208,10 @@ class BatchingEngine:
                 sp = _stacked.stack_layers(params)
             except ValueError:
                 sp = None
-            if sp is not None and _stacked.mega_enabled(
-                    cfg, sp, backend, slots) == "w4":
+            variant = (None if sp is None
+                       else _stacked.mega_enabled(cfg, sp, backend, slots))
+            if variant in ("w4", "w3", "w2"):
+                self._mega_variant = variant
                 self._sp = _stacked.prepack(cfg, sp, backend, slots)
                 L = cfg.num_hidden_layers
                 Hkv = cfg.num_key_value_heads
@@ -211,7 +225,7 @@ class BatchingEngine:
                 # a second full copy of the weights resident)
                 self.params = None
                 params = None
-                log.info("batching: W4 megastep fast path active")
+                log.info("batching: %s megastep fast path active", variant)
         self.cache = (None if self._mega_kv is not None else
                       init_cache(cfg, slots, max_seq,
                                  mla_absorbed=self._absorbed))
@@ -245,9 +259,12 @@ class BatchingEngine:
             return out
         if self._mega_kv is not None:
             mk, mv = self._mega_kv
+            mp_key = ("megapack4" if self._mega_variant == "w4"
+                      else "megapack_lb")
             logits, mk, mv = _mega_decode_slots(
-                self.cfg, self._sp, self._sp["megapack4"], mk, mv,
-                jnp.asarray(self.tokens), jnp.asarray(self.pos))
+                self.cfg, self._sp, self._sp[mp_key], mk, mv,
+                jnp.asarray(self.tokens), jnp.asarray(self.pos),
+                self._mega_variant)
             self._mega_kv = (mk, mv)
         else:
             logits, self.cache = _decode_slots_impl(

@@ -176,8 +176,13 @@ def mega_enabled(cfg: ModelConfig, sp, backend: str, batch: int):
         return None
     from ..ops.megastep import megastep_fusable
     from ..ops.megastep4 import megastep4_fusable
+    from ..ops.megastep_lowbit import megastep_lowbit_fusable
     if megastep4_fusable(cfg, sp):
         return "w4"
+    if megastep_lowbit_fusable(cfg, sp, 3):
+        return "w3"
+    if megastep_lowbit_fusable(cfg, sp, 2):
+        return "w2"
     if megastep_fusable(cfg, sp):
         return "w8"
     return None
@@ -209,6 +214,12 @@ def prepack(cfg: ModelConfig, sp, backend: str, batch: int):
         # jitted: XLA fuses the int4 unpack into the pair re-pack, so the
         # multi-GB int32 code intermediates never materialize in HBM
         sp["megapack4"] = jax.jit(lambda t: megapack4(cfg, t))(sp)
+    elif variant in ("w3", "w2") and "megapack_lb" not in sp:
+        from ..ops.megastep_lowbit import megapack_lowbit
+        sp = dict(sp)
+        bits = 3 if variant == "w3" else 2
+        sp["megapack_lb"] = jax.jit(
+            lambda t: megapack_lowbit(cfg, t, bits))(sp)
     elif variant == "w8" and "megapack_w8" not in sp:
         from ..ops.megastep import megapack
         sp = dict(sp)
@@ -231,6 +242,7 @@ def _decode_one_mega(cfg: ModelConfig, sp, mp, ck, cv, token, pos,
     returns (logits, ck, cv)."""
     from ..ops.megastep import megastep_decode_w8a8
     from ..ops.megastep4 import megastep4_decode
+    from ..ops.megastep_lowbit import megastep_lowbit_decode
     from ..models.transformer import _fused_act_kind, _rope_half_tables
 
     b = token.shape[0]
@@ -238,6 +250,9 @@ def _decode_one_mega(cfg: ModelConfig, sp, mp, ck, cv, token, pos,
     d = cfg.head_dim
     if variant == "w4":
         kv_dim = (mp["qkv_p4"].shape[1] * 2 - cfg.q_dim) // 2
+    elif variant in ("w3", "w2"):
+        npl, g_r = (3, 8) if variant == "w3" else (1, 4)
+        kv_dim = (mp["qkv_pk"].shape[1] * g_r // npl - cfg.q_dim) // 2
     else:
         kv_dim = (mp["qkv_w8"].shape[1] - cfg.q_dim) // 2
     positions = jnp.broadcast_to(pos, (b, 1))
@@ -245,19 +260,43 @@ def _decode_one_mega(cfg: ModelConfig, sp, mp, ck, cv, token, pos,
     rd, cos_h, sin_h = _rope_half_tables(cfg, rope_tables(cfg, positions))
     scale = (cfg.attn_scale if cfg.attn_scale is not None
              else 1.0 / math.sqrt(d))
-    step_fn = megastep4_decode if variant == "w4" else megastep_decode_w8a8
+    kw = {}
+    if variant == "w4":
+        step_fn = megastep4_decode
+    elif variant in ("w3", "w2"):
+        step_fn = megastep_lowbit_decode
+        kw["bits"] = 3 if variant == "w3" else 2
+    else:
+        step_fn = megastep_decode_w8a8
     y, kn, vn = step_fn(
         x, mp, ck, cv, pos, cos_h, sin_h,
         q_dim=cfg.q_dim, kv_dim=kv_dim, head_dim=d, rotary_dim=rd,
         interleaved=cfg.rope_interleaved, eps=cfg.norm_eps,
         rms_offset=cfg.rms_offset, scale=scale, act=_fused_act_kind(cfg),
-        interpret=jax.default_backend() == "cpu")
+        interpret=jax.default_backend() == "cpu", **kw)
     kn4 = kn.reshape(L, b * (kv_dim // d), 1, d).astype(ck.dtype)
     vn4 = vn.reshape(L, b * (kv_dim // d), 1, d).astype(cv.dtype)
     ck = jax.lax.dynamic_update_slice(ck, kn4, (0, 0, pos, 0))
     cv = jax.lax.dynamic_update_slice(cv, vn4, (0, 0, pos, 0))
     logits = unembed(cfg, sp, y[:, None, :], "pallas" if jax.default_backend() != "cpu" else "reference")[:, 0, :]
     return logits, ck, cv
+
+
+def _mega_pack_for(cfg, sp, variant: str):
+    """The prepacked megakernel operands for ``variant`` (packing inline
+    under jit when prepack() was not called)."""
+    if variant == "w4":
+        from ..ops.megastep4 import megapack4
+        mp = sp.get("megapack4")
+        return mp if mp is not None else megapack4(cfg, sp)
+    if variant in ("w3", "w2"):
+        from ..ops.megastep_lowbit import megapack_lowbit
+        mp = sp.get("megapack_lb")
+        return mp if mp is not None else megapack_lowbit(
+            cfg, sp, 3 if variant == "w3" else 2)
+    from ..ops.megastep import megapack
+    mp = sp.get("megapack_w8")
+    return mp if mp is not None else megapack(cfg, sp)
 
 
 def greedy_decode(cfg: ModelConfig, sp, cache_k, cache_v, input_ids,
@@ -284,16 +323,7 @@ def _greedy_decode_impl(cfg: ModelConfig, sp, cache_k, cache_v, input_ids,
     tok0 = jnp.argmax(logits, axis=-1).astype(jnp.int32)
 
     if variant:
-        if variant == "w4":
-            from ..ops.megastep4 import megapack4
-            mp = sp.get("megapack4")
-            if mp is None:
-                mp = megapack4(cfg, sp)
-        else:
-            from ..ops.megastep import megapack
-            mp = sp.get("megapack_w8")
-            if mp is None:
-                mp = megapack(cfg, sp)
+        mp = _mega_pack_for(cfg, sp, variant)
         ck, cv = _mega_cache(cfg, cache_k, cache_v)
 
         def mbody(carry, _):
@@ -351,16 +381,7 @@ def _generate_tokens_impl(cfg: ModelConfig, sp, cache_k, cache_v, input_ids,
     done0 = (tok0 == eos_id) if eos_id >= 0 else jnp.zeros((b,), bool)
 
     if variant:
-        if variant == "w4":
-            from ..ops.megastep4 import megapack4
-            mp = sp.get("megapack4")
-            if mp is None:
-                mp = megapack4(cfg, sp)
-        else:
-            from ..ops.megastep import megapack
-            mp = sp.get("megapack_w8")
-            if mp is None:
-                mp = megapack(cfg, sp)
+        mp = _mega_pack_for(cfg, sp, variant)
         ck, cv = _mega_cache(cfg, cache_k, cache_v)
 
         def mbody(carry, _):

@@ -1,0 +1,214 @@
+"""W3A8/W2A8 plane-packed megakernel (ops/megastep_lowbit.py) vs the
+megastep4 oracle: the masked-dot field algebra must be EXACT on the integer
+side, so kernel-vs-oracle differences are bf16/f32 rounding only.
+
+Shapes here satisfy the real-hardware lane-alignment gate (H % g_r*128):
+the same layouts the kernel runs on chip, exercised in interpret mode."""
+
+import os
+
+import numpy as np
+import pytest
+from jax.experimental.pallas import tpu as pltpu
+
+import jax.numpy as jnp
+
+from ganq_tpu.models import synthetic
+from ganq_tpu.ops.megastep_lowbit import (megapack_lowbit,
+                                          megastep_lowbit_decode,
+                                          megastep_lowbit_fusable,
+                                          megastep_lowbit_reference,
+                                          _derive, _plan_meta, _plane_pack,
+                                          _recover)
+from ganq_tpu.ops.qlinear import QLinear, dequantize_weight
+
+
+class _null:
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *a):
+        return False
+
+
+def _ctx():
+    return (pltpu.force_tpu_interpret_mode()
+            if not os.environ.get("GANQ_TPU_TEST_TPU") else _null())
+
+
+def _cfg(layers=2, heads=16, kv_heads=4, inter=1024):
+    return synthetic.llama_config(hidden=128 * heads, inter=inter,
+                                  layers=layers, heads=heads,
+                                  kv_heads=kv_heads, vocab=512, max_pos=128)
+
+
+def _sub(m, i):
+    return QLinear(m.kind, {k: v[i] for k, v in m.arrays.items()},
+                   m.bits, m.in_features)
+
+
+def _lw_list(cfg, sp):
+    ls = sp["layers_stacked"]
+    out = []
+    for i in range(cfg.num_hidden_layers):
+        qkv = _sub(ls["attn"]["qkv"], i)
+        o = _sub(ls["attn"]["o"], i)
+        gu = _sub(ls["mlp"]["gateup"], i)
+        dn = _sub(ls["mlp"]["down"], i)
+        I = gu["scales"].shape[0] // 2
+        guw = dequantize_weight(gu)
+        out.append({
+            "attn_norm": ls["input_norm"]["weight"][i].astype(jnp.float32),
+            "mlp_norm": ls["post_norm"]["weight"][i].astype(jnp.float32),
+            "qkv_w": dequantize_weight(qkv).astype(jnp.float32),
+            "qkv_bias": jnp.zeros((qkv["scales"].shape[0],), jnp.float32),
+            "o_w": dequantize_weight(o).astype(jnp.float32),
+            "gate_w": guw[:I].astype(jnp.float32),
+            "up_w": guw[I:].astype(jnp.float32),
+            "down_w": dequantize_weight(dn).astype(jnp.float32),
+        })
+    return out
+
+
+def _setup(rng, cfg, B, T, pos, bits):
+    sp = synthetic.make_stacked_model(cfg, kind="uniform", seed=3, bits=bits)
+    L, H = cfg.num_hidden_layers, cfg.hidden_size
+    sp["layers_stacked"]["input_norm"]["weight"] = jnp.asarray(
+        rng.uniform(0.5, 1.5, size=(L, H)).astype(np.float32))
+    sp["layers_stacked"]["post_norm"]["weight"] = jnp.asarray(
+        rng.uniform(0.5, 1.5, size=(L, H)).astype(np.float32))
+    assert megastep_lowbit_fusable(cfg, sp, bits)
+    mp = megapack_lowbit(cfg, sp, bits)
+    Hkv = cfg.num_key_value_heads
+    d = cfg.head_dim
+    kc = jnp.zeros((L, B * Hkv, T, d), jnp.bfloat16)
+    vc = jnp.zeros((L, B * Hkv, T, d), jnp.bfloat16)
+    kc = kc.at[:, :, :pos].set(jnp.asarray(
+        rng.normal(size=(L, B * Hkv, pos, d)).astype(np.float32) * 0.3,
+        jnp.bfloat16))
+    vc = vc.at[:, :, :pos].set(jnp.asarray(
+        rng.normal(size=(L, B * Hkv, pos, d)).astype(np.float32) * 0.3,
+        jnp.bfloat16))
+    kc = kc.at[:, :, pos:].set(23.0)
+    vc = vc.at[:, :, pos:].set(-7.0)
+    x = jnp.asarray(rng.normal(size=(B, H)).astype(np.float32) * 0.4,
+                    jnp.bfloat16)
+    half = d // 2
+    ang = rng.uniform(0, 2 * np.pi, size=(half,)).astype(np.float32)
+    return (sp, mp, kc, vc, x,
+            jnp.asarray(np.cos(ang)), jnp.asarray(np.sin(ang)))
+
+
+@pytest.mark.parametrize("bits,B,pos,T", [
+    (3, 8, 50, 64),
+    (3, 4, 3, 64),
+    (2, 8, 20, 64),
+])
+def test_megastep_lowbit_matches_reference(rng, bits, B, pos, T):
+    cfg = _cfg()
+    sp, mp, kc, vc, x, cos, sin = _setup(rng, cfg, B, T, pos, bits)
+    kv_dim = cfg.num_key_value_heads * cfg.head_dim
+    kw = dict(q_dim=cfg.q_dim, kv_dim=kv_dim, head_dim=cfg.head_dim,
+              rotary_dim=cfg.head_dim, eps=1e-5,
+              scale=float(1.0 / np.sqrt(cfg.head_dim)))
+    lw = _lw_list(cfg, sp)
+    ref_y, ref_k, ref_v = megastep_lowbit_reference(x, lw, kc, vc, pos,
+                                                    cos, sin, **kw)
+    with _ctx():
+        y, kn, vn = megastep_lowbit_decode(x, mp, kc, vc, jnp.int32(pos),
+                                           cos, sin, block_t=64, bits=bits,
+                                           **kw)
+    np.testing.assert_allclose(np.asarray(kn, np.float32),
+                               np.asarray(ref_k, np.float32),
+                               atol=2e-2, rtol=2e-2)
+    np.testing.assert_allclose(np.asarray(vn, np.float32),
+                               np.asarray(ref_v, np.float32),
+                               atol=2e-2, rtol=2e-2)
+    np.testing.assert_allclose(np.asarray(y, np.float32),
+                               np.asarray(ref_y, np.float32),
+                               atol=5e-2, rtol=5e-2)
+
+
+@pytest.mark.parametrize("bits", [2, 3])
+def test_plane_codec_exact(rng, bits):
+    """derive + masked dots + recover == the centered integer matmul,
+    EXACTLY: z_r = x8 @ (q_r - 2^(b-1)) with sum-of-x folded in."""
+    metas, coef, nd, g_r = _plan_meta(bits)
+    tile, K, Bx = 4 * g_r, 32, 5
+    R = 2 * tile
+    codes = rng.integers(0, 2 ** bits, size=(R, K)).astype(np.int64)
+    xs = rng.integers(-127, 128, size=(Bx, K)).astype(np.int64)
+    packed = _plane_pack(codes, tile, bits)
+    assert packed.shape == (len(metas) * R // g_r, K)
+    tF = tile // g_r
+    pt = len(metas) * tF                      # packed rows per tile
+    want = xs @ (codes - 2 ** (bits - 1)).T   # [Bx, R]
+    S = jnp.asarray(xs.sum(axis=1, keepdims=True), jnp.int32)
+    for t in range(R // tile):
+        bg = jnp.asarray(packed[t * pt:(t + 1) * pt], jnp.int8)
+        der = _derive(bg, tF, metas)
+        dd = jnp.concatenate(
+            [jnp.asarray(xs, jnp.int32) @ m.astype(jnp.int32).T
+             for m in der], axis=1)
+        zs = _recover(dd, tF, metas, coef, S)
+        got = np.concatenate([np.asarray(z) for z in zs], axis=1)
+        np.testing.assert_array_equal(
+            got, want[:, t * tile:(t + 1) * tile])
+
+
+def test_megastep_lowbit_greedy_decode_path(rng, monkeypatch):
+    """greedy_decode routed through the W3 megastep scan (GANQ_MEGASTEP=1
+    on CPU -> interpret mode) agrees with the reference-backend decode."""
+    from ganq_tpu.serve import stacked
+
+    monkeypatch.setenv("GANQ_MEGASTEP", "1")
+    cfg = _cfg(layers=2)
+    B, prompt, steps, T = 4, 8, 4, 64
+    sp, mp, _, _, _, _, _ = _setup(rng, cfg, B, T, 1, 3)
+    assert stacked.mega_enabled(cfg, sp, "reference", B) == "w3"
+    ids = jnp.asarray(rng.integers(0, cfg.vocab_size, size=(B, prompt)),
+                      jnp.int32)
+    ck, cv = stacked.init_cache(cfg, cfg.num_hidden_layers, B, T)
+    toks = np.asarray(stacked.greedy_decode(cfg, sp, ck, cv, ids, steps,
+                                            "reference"))
+    monkeypatch.setenv("GANQ_MEGASTEP", "0")
+    ck, cv = stacked.init_cache(cfg, cfg.num_hidden_layers, B, T)
+    ref = np.asarray(stacked.greedy_decode(cfg, sp, ck, cv, ids, steps,
+                                           "reference"))
+    agree = (toks == ref).mean()
+    assert agree >= 0.9, f"token agreement {agree:.2f}\n{toks}\n{ref}"
+
+
+def test_batching_w3_megastep_fast_path(rng, monkeypatch):
+    """Continuous batching through the W3 plane megastep (per-slot positions
+    in ONE whole-stack kernel) matches the per-layer path."""
+    from ganq_tpu.models import synthetic
+    from ganq_tpu.serve.batching import BatchingEngine
+
+    monkeypatch.setenv("GANQ_MEGASTEP", "1")
+    cfg = synthetic.llama_config(hidden=1024, inter=1024, layers=2, heads=8,
+                                 kv_heads=4, vocab=512, max_pos=128)
+    params = synthetic.make_model(cfg, kind="uniform", seed=6, bits=3)
+    prompts = [rng.integers(1, 512, size=(n,)) for n in (5, 9)]
+
+    eng = BatchingEngine(cfg, params, backend="reference", slots=2,
+                         max_seq=64, prompt_buckets=(8, 16))
+    assert eng._mega_kv is not None, "mega fast path did not engage"
+    assert eng._mega_variant == "w3"
+    for p in prompts:
+        eng.submit(p, max_new_tokens=4)
+    got = eng.run_all()
+
+    monkeypatch.setenv("GANQ_MEGASTEP", "0")
+    eng2 = BatchingEngine(cfg, params, backend="reference", slots=2,
+                          max_seq=64, prompt_buckets=(8, 16))
+    assert eng2._mega_kv is None
+    for p in prompts:
+        eng2.submit(p, max_new_tokens=4)
+    ref = eng2.run_all()
+
+    assert set(got) == set(ref)
+    n_tok = sum(len(v) for v in ref.values())
+    n_agree = sum((np.asarray(got[k]) == np.asarray(ref[k])).sum()
+                  for k in ref)
+    assert n_agree >= 0.9 * n_tok, (got, ref)
