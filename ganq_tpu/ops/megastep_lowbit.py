@@ -156,17 +156,21 @@ def _megastep_lb_kernel(pos_ref, x_ref, anw_ref, mnw_ref,
                         *, B: int, d: int, Hq: int, Hkv: int, qpk: int,
                         NQ: int, NT: int, NG: int, Tb: int, tq: int, ti: int,
                         gs: int, L: int, eps: float, rms_offset: float,
-                        scale: float, act: str, bits: int):
+                        scale: float, act: str, bits: int,
+                        ptq: int = 1, ptg: int = 1, gtp8k: int = 8):
     lix = pl.program_id(0)
     p = pl.program_id(1)
     pos = pos_ref[B]
     f32 = jnp.float32
-    O_STEP = NQ + NT
+    NQS, NGS = NQ // ptq, NG // ptg        # grid steps walk ptq/ptg tiles
+    O_STEP = NQS + NT
     H = x_ref.shape[1]
     Gh = H // gs
     gti = ti // gs
     metas, coef, nd, g_r = _plan_meta(bits)
     tFq, tFo, tFi = tq // g_r, H // g_r, ti // g_r
+    pq = len(metas) * tq // g_r            # packed rows per qkv tile
+    pi = len(metas) * ti // g_r            # packed rows per gate/up tile
 
     def group_dot(xs, blocks_tFs):
         """One concat dot over every (block, tF) pair; returns (dd, S)."""
@@ -205,25 +209,30 @@ def _megastep_lb_kernel(pos_ref, x_ref, anw_ref, mnw_ref,
         m_s[:] = jnp.full_like(m_s, -1e30)
         l_s[:] = jnp.zeros_like(l_s)
 
-    # ---- phase A: one qkv row tile (plane dots) -> rope -> scatter
-    @pl.when(p < NQ)
+    # ---- phase A: ptq qkv row tiles (plane dots) -> rope -> scatter
+    @pl.when(p < NQS)
     def _():
-        y = jnp.zeros((B, tq), f32)
-        for g in range(Gh):
-            xs = x8_s[:, g * gs:(g + 1) * gs]
-            bg = qw_ref[0, :, g * gs:(g + 1) * gs]       # [NP*tFq, gs]
-            dd, S = group_dot(xs, [(bg, tFq)])
-            y += fields_y(dd, S, tFq, qs_ref[0, g])
-        y = y * sx_s[:B, :1] + qb_ref[0]
-        rot = jax.lax.dot_general(y.astype(jnp.bfloat16), r_ref[:],
-                                  (((1,), (0,)), ((), ())),
-                                  preferred_element_type=f32, precision=_DEF)
-        y = (y * cos_ref[0] + rot * sin_ref[0]).astype(jnp.bfloat16)
-        for i in range(tq // d):
-            qkv_s[pl.ds((p * (tq // d) + i) * 8, 8), :] = jnp.pad(
-                y[:, i * d:(i + 1) * d], ((0, 8 - B), (0, 0)))
+        for sub in range(ptq):
+            y = jnp.zeros((B, tq), f32)
+            for g in range(Gh):
+                xs = x8_s[:, g * gs:(g + 1) * gs]
+                bg = qw_ref[0, sub * pq:(sub + 1) * pq,
+                            g * gs:(g + 1) * gs]          # [NP*tFq, gs]
+                dd, S = group_dot(xs, [(bg, tFq)])
+                y += fields_y(dd, S, tFq,
+                              qs_ref[0, g, sub * tq:(sub + 1) * tq])
+            y = y * sx_s[:B, :1] + qb_ref[0, :, sub * tq:(sub + 1) * tq]
+            rot = jax.lax.dot_general(y.astype(jnp.bfloat16), r_ref[:],
+                                      (((1,), (0,)), ((), ())),
+                                      preferred_element_type=f32,
+                                      precision=_DEF)
+            y = (y * cos_ref[sub] + rot * sin_ref[sub]).astype(jnp.bfloat16)
+            t_idx = p * ptq + sub
+            for i in range(tq // d):
+                qkv_s[pl.ds((t_idx * (tq // d) + i) * 8, 8), :] = jnp.pad(
+                    y[:, i * d:(i + 1) * d], ((0, 8 - B), (0, 0)))
 
-    @pl.when(p == NQ - 1)
+    @pl.when(p == NQS - 1)
     def _():
         for g in range(Hkv):
             kn_ref[0, :, g * d:(g + 1) * d] = qkv_s[
@@ -232,8 +241,8 @@ def _megastep_lb_kernel(pos_ref, x_ref, anw_ref, mnw_ref,
                 (Hq + Hkv + g) * 8:(Hq + Hkv + g) * 8 + B, :]
 
     # ---- phase B: flash attention over one cache block
-    tb = p - NQ
-    in_flash = (p >= NQ) & (p < NQ + NT)
+    tb = p - NQS
+    in_flash = (p >= NQS) & (p < NQS + NT)
 
     def _rows(base_s, b, g, n):
         return jnp.concatenate(
@@ -318,37 +327,45 @@ def _megastep_lb_kernel(pos_ref, x_ref, anw_ref, mnw_ref,
         sx_s[:B, :1] = sx
         ma_s[:] = jnp.zeros_like(ma_s)
 
-    # ---- phase D: fused MLP tile (gate/up plane dots -> act -> a8 -> down)
+    # ---- phase D: ptg fused MLP tiles (gate/up plane dots -> act -> a8 ->
+    # down)
     @pl.when(p > O_STEP)
     def _():
-        gv = jnp.zeros((B, ti), f32)
-        uv = jnp.zeros((B, ti), f32)
-        for g in range(Gh):
-            xs = x8_s[:, g * gs:(g + 1) * gs]
-            gbg = gw_ref[0, :, g * gs:(g + 1) * gs]      # [NP*tFi, gs]
-            ubg = uw_ref[0, :, g * gs:(g + 1) * gs]
-            dd, S = group_dot(xs, [(gbg, tFi), (ubg, tFi)])
-            gv += fields_y(dd, S, tFi, gus_ref[0, g, :ti])
-            uv += fields_y(dd, S, tFi, gus_ref[0, g, ti:], off=nd)
-        gv = gv * sx_s[:B, :1]
-        uv = uv * sx_s[:B, :1]
-        if act == "silu":
-            a = jax.nn.silu(gv) * uv
-        elif act == "gelu_tanh":
-            a = jax.nn.gelu(gv, approximate=True) * uv
-        else:
-            a = jax.nn.gelu(gv, approximate=False) * uv
-        a8, sa = _quant_rows(a)
-        a8_s[:B, :ti] = a8
-        y = jnp.zeros((B, H), f32)
-        for g2 in range(gti):
-            xs = a8_s[:B, g2 * gs:(g2 + 1) * gs]
-            bg = dw_ref[0, :, g2 * gs:(g2 + 1) * gs]     # [NP*tFo, gs]
-            dd, S = group_dot(xs, [(bg, tFo)])
-            y += fields_y(dd, S, tFo, ds_ref[0, g2])
-        ma_s[:] += y * sa
+        for sub in range(ptg):
+            gv = jnp.zeros((B, ti), f32)
+            uv = jnp.zeros((B, ti), f32)
+            for g in range(Gh):
+                xs = x8_s[:, g * gs:(g + 1) * gs]
+                gbg = gw_ref[0, sub * pi:(sub + 1) * pi,
+                             g * gs:(g + 1) * gs]         # [NP*tFi, gs]
+                ubg = uw_ref[0, sub * pi:(sub + 1) * pi,
+                             g * gs:(g + 1) * gs]
+                dd, S = group_dot(xs, [(gbg, tFi), (ubg, tFi)])
+                o2 = sub * 2 * ti
+                gv += fields_y(dd, S, tFi,
+                               gus_ref[0, g, o2:o2 + ti])
+                uv += fields_y(dd, S, tFi,
+                               gus_ref[0, g, o2 + ti:o2 + 2 * ti], off=nd)
+            gv = gv * sx_s[:B, :1]
+            uv = uv * sx_s[:B, :1]
+            if act == "silu":
+                a = jax.nn.silu(gv) * uv
+            elif act == "gelu_tanh":
+                a = jax.nn.gelu(gv, approximate=True) * uv
+            else:
+                a = jax.nn.gelu(gv, approximate=False) * uv
+            a8, sa = _quant_rows(a)
+            a8_s[:B, :ti] = a8
+            y = jnp.zeros((B, H), f32)
+            for g2 in range(gti):
+                xs = a8_s[:B, g2 * gs:(g2 + 1) * gs]
+                bg = dw_ref[0, :, (sub * gti + g2) * gs:
+                            (sub * gti + g2 + 1) * gs]   # [NP*tFo, gs]
+                dd, S = group_dot(xs, [(bg, tFo)])
+                y += fields_y(dd, S, tFo, ds_ref[0, sub * gtp8k + g2])
+            ma_s[:] += y * sa
 
-    @pl.when(p == O_STEP + NG)
+    @pl.when(p == O_STEP + NGS)
     def _():
         x_s[:] += ma_s[:]
 
@@ -394,7 +411,23 @@ def megastep_lowbit_decode(x: jax.Array, mp: Dict[str, jax.Array],
     ti = _mlp_tile_lb(I, g_r)
     NG = I // ti
     gtp8 = mp["dn_s"].shape[1] // NG
-    P = NQ + NT + 1 + NG
+
+    # tiles walked per grid step: fewer, fatter phases (each sequential
+    # grid step costs ~5.5us on this runtime — PERF.md; the pack layout is
+    # tile-major, so a step can cover several consecutive tiles). Largest
+    # divisor whose weight block stays within a VMEM budget.
+    def _per_step(n_tiles, tile_bytes, cap):
+        for c in range(n_tiles, 0, -1):
+            if n_tiles % c == 0 and c * tile_bytes <= cap:
+                return c
+        return 1
+
+    pq0 = npl * tq // g_r
+    pi0 = npl * ti // g_r
+    ptq = _per_step(NQ, pq0 * H, 12 * 1024 * 1024)
+    ptg = _per_step(NG, pi0 * H, 6 * 1024 * 1024)
+    NQS, NGS = NQ // ptq, NG // ptg
+    P = NQS + NT + 1 + NGS
 
     pos_vec = jnp.broadcast_to(
         jnp.asarray(pos, jnp.int32).reshape(-1), (B,))
@@ -417,18 +450,18 @@ def megastep_lowbit_decode(x: jax.Array, mp: Dict[str, jax.Array],
     Gq = mp["o_s"].shape[1]
 
     def qi(l, p, s):
-        return jnp.clip(p, 0, NQ - 1)
+        return jnp.clip(p, 0, NQS - 1)
 
     def fb(l, p, s):
-        t = jnp.clip(p - NQ, 0, NT - 1)
+        t = jnp.clip(p - NQS, 0, NT - 1)
         return jnp.minimum(t, jnp.maximum(s[B] - 1, 0) // Tb)
 
     def gi(l, p, s):
-        return jnp.clip(p - NQ - NT - 1, 0, NG - 1)
+        return jnp.clip(p - NQS - NT - 1, 0, NGS - 1)
 
-    pq = npl * tq // g_r          # packed rows per qkv tile
+    pq = ptq * pq0                # packed qkv rows per grid step
     po = npl * H // g_r           # packed rows of o / down (tile = H)
-    pi = npl * ti // g_r          # packed rows per gate/up tile
+    pi = ptg * pi0                # packed gate/up rows per grid step
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(L, P),
@@ -442,13 +475,15 @@ def megastep_lowbit_decode(x: jax.Array, mp: Dict[str, jax.Array],
             # qkv packed [L, NP*Dqkv/g_r, H]: tile t rows [t*pq, (t+1)*pq)
             pl.BlockSpec((1, pq, H), lambda l, p, s: (l, qi(l, p, s), 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Gp, tq), lambda l, p, s: (l, 0, qi(l, p, s)),
+            pl.BlockSpec((1, Gp, ptq * tq),
+                         lambda l, p, s: (l, 0, qi(l, p, s)),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, tq), lambda l, p, s: (l, 0, qi(l, p, s)),
+            pl.BlockSpec((1, 1, ptq * tq),
+                         lambda l, p, s: (l, 0, qi(l, p, s)),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, B, tq), lambda l, p, s: (qi(l, p, s), 0, 0),
+            pl.BlockSpec((ptq, B, tq), lambda l, p, s: (qi(l, p, s), 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, B, tq), lambda l, p, s: (qi(l, p, s), 0, 0),
+            pl.BlockSpec((ptq, B, tq), lambda l, p, s: (qi(l, p, s), 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((tq, tq), lambda l, p, s: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -463,20 +498,25 @@ def megastep_lowbit_decode(x: jax.Array, mp: Dict[str, jax.Array],
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, Gq, H), lambda l, p, s: (l, 0, 0),
                          memory_space=pltpu.VMEM),
-            # gate packed tiles [0, NG), up tiles [NG, 2NG) of gu_pk
+            # gate packed tiles [0, NG), up tiles [NG, 2NG) of gu_pk:
+            # a grid step covers ptg consecutive tiles, so up's first
+            # ptg-tile block sits NGS block-strides in
             pl.BlockSpec((1, pi, H), lambda l, p, s: (l, gi(l, p, s), 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, pi, H),
-                         lambda l, p, s: (l, gi(l, p, s) + NG, 0),
+                         lambda l, p, s: (l, gi(l, p, s) + NGS, 0),
                          memory_space=pltpu.VMEM),
             # gate+up scales [L, Gp, 2I] tile-major (gate tile then up tile)
-            pl.BlockSpec((1, Gp, 2 * ti), lambda l, p, s: (l, 0, gi(l, p, s)),
+            pl.BlockSpec((1, Gp, ptg * 2 * ti),
+                         lambda l, p, s: (l, 0, gi(l, p, s)),
                          memory_space=pltpu.VMEM),
-            # down packed [L, NP*H/g_r, I]: tile cols [gi*ti, (gi+1)*ti)
-            pl.BlockSpec((1, po, ti), lambda l, p, s: (l, 0, gi(l, p, s)),
+            # down packed [L, NP*H/g_r, I]: step cols [gi*ptg*ti, ...)
+            pl.BlockSpec((1, po, ptg * ti),
+                         lambda l, p, s: (l, 0, gi(l, p, s)),
                          memory_space=pltpu.VMEM),
             # down scales, tile-major padded rows [L, NG*gtp, H]
-            pl.BlockSpec((1, gtp8, H), lambda l, p, s: (l, gi(l, p, s), 0),
+            pl.BlockSpec((1, ptg * gtp8, H),
+                         lambda l, p, s: (l, gi(l, p, s), 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
@@ -504,7 +544,8 @@ def megastep_lowbit_decode(x: jax.Array, mp: Dict[str, jax.Array],
         functools.partial(
             _megastep_lb_kernel, B=B, d=d, Hq=Hq, Hkv=Hkv, qpk=qpk, NQ=NQ,
             NT=NT, NG=NG, Tb=Tb, tq=tq, ti=ti, gs=gs, L=L, eps=eps,
-            rms_offset=rms_offset, scale=scale, act=act, bits=bits),
+            rms_offset=rms_offset, scale=scale, act=act, bits=bits,
+            ptq=ptq, ptg=ptg, gtp8k=gtp8),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((B, H), x.dtype),

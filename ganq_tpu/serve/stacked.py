@@ -168,7 +168,8 @@ def _decode_one(cfg, sp, cache_k, cache_v, token, pos, backend):
 def mega_enabled(cfg: ModelConfig, sp, backend: str, batch: int):
     """Whole-decode-step megakernel gate: all layers in ONE pallas_call,
     weight-streaming at the HBM roofline. Returns "w4" (uniform W4 pair-
-    nibble kernel, ops/megastep4.py), "w8" (int8 kernel, ops/megastep.py)
+    nibble kernel, ops/megastep4.py), "w3"/"w2" (plane-packed low-bit
+    kernels, ops/megastep_lowbit.py), "w8" (int8 kernel, ops/megastep.py)
     or None. Default ON for the w8a8 backend on eligible models;
     GANQ_MEGASTEP=0 disables, GANQ_MEGASTEP=1 forces it on CPU (interpret
     mode, tests)."""

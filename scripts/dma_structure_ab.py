@@ -31,8 +31,10 @@ def stream_kernel(*refs, n_in: int):
     out = refs[n_in]
     acc = jnp.zeros((8, 128), jnp.int32)
     for i in range(n_in):
-        blk = refs[i][0]
-        acc += jnp.sum(blk.astype(jnp.int32))  # one scalar read per block
+        # touch one 8x128 corner: forces the block DMA (BlockSpec fetches
+        # the whole block) with negligible VPU work — a full-block reduce
+        # here measures compute, not bandwidth
+        acc += refs[i][0, 0:8, 0:128].astype(jnp.int32)
     out[:] = acc
 
 
@@ -46,9 +48,9 @@ def run_case(total_mb: int, n_streams: int, block_rows: int, lanes: int,
         return None
     arrs = [jnp.ones((1, nblk * block_rows, lanes), jnp.int8)
             for _ in range(n_streams)]
+    CHAIN = 16   # amortize the ~25ms per-program dispatch of this runtime
 
-    @jax.jit
-    def go(*arrs):
+    def once(*arrs):
         return pl.pallas_call(
             functools.partial(stream_kernel, n_in=n_streams),
             grid=(nblk,),
@@ -64,13 +66,21 @@ def run_case(total_mb: int, n_streams: int, block_rows: int, lanes: int,
                 vmem_limit_bytes=112 * 1024 * 1024),
         )(*arrs)
 
+    @jax.jit
+    def go(*arrs):
+        def body(c, _):
+            return c + once(*arrs), None
+        acc, _ = jax.lax.scan(body, jnp.zeros((8, 128), jnp.int32),
+                              None, length=CHAIN)
+        return acc
+
     np.asarray(go(*arrs))
     best = float("inf")
     for _ in range(reps):
         t0 = time.perf_counter()
         np.asarray(go(*arrs))
         best = min(best, time.perf_counter() - t0)
-    gbps = nblk * block_rows * lanes * n_streams / best / 1e9
+    gbps = CHAIN * nblk * block_rows * lanes * n_streams / best / 1e9
     return {"streams": n_streams, "block_mb": round(
         block_rows * lanes / 1e6, 2), "grid": nblk, "sem": semantics,
         "GBps": round(gbps, 1)}
@@ -79,13 +89,14 @@ def run_case(total_mb: int, n_streams: int, block_rows: int, lanes: int,
 def main():
     lanes = 3072                       # the 3B H dimension
     results = []
-    for semantics in ("arbitrary", "parallel"):
-        for n_streams in (1, 2, 4, 8):
-            for block_rows in (128, 384, 1152, 2304):
-                r = run_case(768, n_streams, block_rows, lanes, semantics)
-                if r:
-                    results.append(r)
-                    print(json.dumps(r), flush=True)
+    cases = [("arbitrary", s, b) for s in (1, 2, 4, 8)
+             for b in (128, 384, 1152)]
+    cases += [("parallel", 1, 384), ("parallel", 4, 384)]
+    for semantics, n_streams, block_rows in cases:
+        r = run_case(768, n_streams, block_rows, lanes, semantics)
+        if r:
+            results.append(r)
+            print(json.dumps(r), flush=True)
     best = max(results, key=lambda r: r["GBps"])
     print("BEST:", json.dumps(best))
 
