@@ -87,7 +87,7 @@ class GanqModel:
         if cfg.model_type == "qwen2_vl":
             from .models.qwen2_vl_vision import extract_vision_state
             m.vision_state = extract_vision_state(
-                dict(hf_import.iter_safetensors(model_dir))) or None
+                dict(hf_import.iter_safetensors(model_dir)))
         elif cfg.model_type == "mllama":
             from .serve.mllama_vl import extract_vl_state
             m.vision_state = extract_vl_state(
@@ -108,7 +108,7 @@ class GanqModel:
             from .models.qwen2_vl_vision import extract_vision_state
             state = {k: v.detach().cpu().numpy()
                      for k, v in model.state_dict().items()}
-            m.vision_state = extract_vision_state(state) or None
+            m.vision_state = extract_vision_state(state)
             m._hf_config_cache = model.config.to_dict()
         elif cfg.model_type == "mllama":
             from .serve.mllama_vl import extract_vl_state

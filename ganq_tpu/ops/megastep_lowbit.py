@@ -1,7 +1,13 @@
-"""Whole-decode-step W3A8 / W2A8 megakernels: sub-4-bit uniform weights
-streamed PACKED at exactly 3.0 (or 2.0) bits/weight, dequantized as MXU
-algebra on masked int8 dots — the low-bit extension of the W4 pair-nibble
-kernel (ops/megastep4.py).
+"""Whole-decode-step W4A8 / W3A8 / W2A8 megakernels: uniform sub-byte
+weights streamed PACKED at exactly bits/8 bytes per weight, dequantized as
+MXU algebra on masked int8 dots — the generalization of the W4 pair-nibble
+kernel (ops/megastep4.py). bits=4 is one plane of two nibble fields (the
+identical pair algebra), so the same kernel serves W4 while adding two
+things megastep4 lacks: multi-tile grid steps (ptq/ptg walk several packed
+tiles per sequential step, amortizing the ~5.5us/step floor) and the
+trailing-unembed fold (final norm + w8 lm_head as vocab phases on a flat
+1-D grid — the lm tiles stream ONCE per decode step, overlapped with the
+last layer's compute, and the separate unembed program disappears).
 
 Why: the megastep family is DMA-bound (PERF.md round 2: ~520 GB/s effective
 with all compute disabled), so the only lever is BYTES. The paper's GANQ-3
@@ -61,6 +67,9 @@ _DEF = jax.lax.Precision.DEFAULT
 # row_block indexes the tile's row octet/quartet; src_shift says which bits
 # of that row's code this field holds.
 _PLAN = {
+    4: (
+        ((0, 0, 4), (1, 0, 4)),
+    ),
     3: (
         ((0, 0, 3), (1, 0, 3), (2, 1, 2)),
         ((2, 0, 1), (3, 0, 3), (4, 0, 3), (5, 2, 1)),
@@ -133,7 +142,7 @@ def _recover(dd, tF: int, metas, coef, S, off: int = 0):
 def _qkv_tile_lb(Dqkv: int, d: int, g_r: int) -> int | None:
     """Largest row tile t | Dqkv with t % d == 0 and (t/g_r) % 128 == 0
     (field blocks must be lane-aligned on real hardware)."""
-    for cand in (4096, 2048, 1024, 512):
+    for cand in (4096, 3072, 2560, 2048, 1280, 1024, 512):
         if (Dqkv % cand == 0 and cand % d == 0
                 and (cand // g_r) % 128 == 0):
             return cand
@@ -151,19 +160,30 @@ def _megastep_lb_kernel(pos_ref, x_ref, anw_ref, mnw_ref,
                         qw_ref, qs_ref, qb_ref, cos_ref, sin_ref, r_ref,
                         kc_ref, vc_ref, ow_ref, os_ref,
                         gw_ref, uw_ref, gus_ref, dw_ref, ds_ref,
-                        y_ref, kn_ref, vn_ref,
-                        x_s, x8_s, sx_s, qkv_s, acc_s, m_s, l_s, a8_s, ma_s,
-                        *, B: int, d: int, Hq: int, Hkv: int, qpk: int,
+                        *rest,
+                        B: int, d: int, Hq: int, Hkv: int, qpk: int,
                         NQ: int, NT: int, NG: int, Tb: int, tq: int, ti: int,
                         gs: int, L: int, eps: float, rms_offset: float,
                         scale: float, act: str, bits: int,
-                        ptq: int = 1, ptg: int = 1, gtp8k: int = 8):
-    lix = pl.program_id(0)
-    p = pl.program_id(1)
+                        ptq: int = 1, ptg: int = 1, gtp8k: int = 8,
+                        NV: int = 0):
+    # trailing-unembed mode adds 3 inputs (lm weights/scales, final norm)
+    # and one output (logits); the grid is flat 1-D (L*P layer steps, then
+    # NV vocab steps) so the lm_head tiles stream ONCE, not per layer
+    if NV:
+        (lmw_ref, lms_ref, fnw_ref, y_ref, kn_ref, vn_ref, lg_ref,
+         x_s, x8_s, sx_s, qkv_s, acc_s, m_s, l_s, a8_s, ma_s) = rest
+    else:
+        (y_ref, kn_ref, vn_ref,
+         x_s, x8_s, sx_s, qkv_s, acc_s, m_s, l_s, a8_s, ma_s) = rest
     pos = pos_ref[B]
     f32 = jnp.float32
     NQS, NGS = NQ // ptq, NG // ptg        # grid steps walk ptq/ptg tiles
     O_STEP = NQS + NT
+    P = NQS + NT + 1 + NGS
+    step = pl.program_id(0)
+    lix = jnp.minimum(step // P, L - 1)
+    p = step - lix * P                     # >= P only on the vocab steps
     H = x_ref.shape[1]
     Gh = H // gs
     gti = ti // gs
@@ -329,7 +349,7 @@ def _megastep_lb_kernel(pos_ref, x_ref, anw_ref, mnw_ref,
 
     # ---- phase D: ptg fused MLP tiles (gate/up plane dots -> act -> a8 ->
     # down)
-    @pl.when(p > O_STEP)
+    @pl.when((p > O_STEP) & (p < P))
     def _():
         for sub in range(ptg):
             gv = jnp.zeros((B, ti), f32)
@@ -373,6 +393,28 @@ def _megastep_lb_kernel(pos_ref, x_ref, anw_ref, mnw_ref,
         def _():
             y_ref[:] = x_s[:].astype(y_ref.dtype)
 
+    # ---- trailing vocab phases: final norm + quant once, then one int8
+    # lm_head tile dot per step (the tile streams while the previous one
+    # computes — and while the LAST layer's MLP still runs)
+    if NV:
+        @pl.when(p >= P)
+        def _():
+            @pl.when(p == P)
+            def _():
+                xf = x_s[:]
+                var = jnp.mean(xf * xf, axis=1, keepdims=True)
+                xf = xf * jax.lax.rsqrt(var + eps) * (
+                    fnw_ref[0].astype(f32) + rms_offset)
+                x8, sx = _quant_rows(xf)
+                x8_s[:] = x8
+                sx_s[:B, :1] = sx
+            dv = jax.lax.dot_general(x8_s[:], lmw_ref[:],
+                                     (((1,), (1,)), ((), ())),
+                                     preferred_element_type=jnp.int32,
+                                     precision=_DEF)
+            lg_ref[:] = (dv.astype(f32) * sx_s[:B, :1]
+                         * lms_ref[0, :1, :]).astype(lg_ref.dtype)
+
 
 @functools.partial(jax.jit, static_argnames=(
     "q_dim", "kv_dim", "head_dim", "rotary_dim", "interleaved", "eps",
@@ -385,9 +427,16 @@ def megastep_lowbit_decode(x: jax.Array, mp: Dict[str, jax.Array],
                            eps: float = 1e-5, rms_offset: float = 0.0,
                            scale: float = 1.0, act: str = "silu",
                            block_t: int = 128, bits: int = 3,
-                           interpret: bool = False):
-    """One full W3A8/W2A8 decode step over all layers. Same contract as
-    ``megastep4_decode``; ``mp`` from :func:`megapack_lowbit`."""
+                           lm=None, interpret: bool = False):
+    """One full W4A8/W3A8/W2A8 decode step over all layers. Same contract
+    as ``megastep4_decode``; ``mp`` from :func:`megapack_lowbit`.
+
+    ``lm`` (optional): ``{"w8": [V, H] int8, "scale": [NV, tv] f32,
+    "norm": [1, H] f32}`` from :func:`mega_lm_operands` — folds the final
+    norm + quantized unembed into the SAME kernel as trailing vocab
+    phases (the lm tiles stream once, overlapped with the last layer's
+    compute; saves the separate unembed program + logits round-trip).
+    Returns ``(y, kn, vn, logits)`` instead of ``(y, kn, vn)``."""
     B, H = x.shape
     if B > 8:
         raise ValueError("megastep_lowbit_decode: B <= 8 (stride-8 rows)")
@@ -428,6 +477,11 @@ def megastep_lowbit_decode(x: jax.Array, mp: Dict[str, jax.Array],
     ptg = _per_step(NG, pi0 * H, 6 * 1024 * 1024)
     NQS, NGS = NQ // ptq, NG // ptg
     P = NQS + NT + 1 + NGS
+    if lm is not None:
+        V = lm["w8"].shape[0]
+        NV, _, tv = lm["scale"].shape
+    else:
+        V, NV, tv = 0, 0, 0
 
     pos_vec = jnp.broadcast_to(
         jnp.asarray(pos, jnp.int32).reshape(-1), (B,))
@@ -449,84 +503,118 @@ def megastep_lowbit_decode(x: jax.Array, mp: Dict[str, jax.Array],
     Gp = mp["qkv_s"].shape[1]
     Gq = mp["o_s"].shape[1]
 
-    def qi(l, p, s):
-        return jnp.clip(p, 0, NQS - 1)
+    def _l(t):
+        return jnp.minimum(t // P, L - 1)
 
-    def fb(l, p, s):
-        t = jnp.clip(p - NQS, 0, NT - 1)
-        return jnp.minimum(t, jnp.maximum(s[B] - 1, 0) // Tb)
+    def _p(t):
+        return t - _l(t) * P
 
-    def gi(l, p, s):
-        return jnp.clip(p - NQS - NT - 1, 0, NGS - 1)
+    def qi(t, s):
+        return jnp.clip(_p(t), 0, NQS - 1)
+
+    def fb(t, s):
+        tb = jnp.clip(_p(t) - NQS, 0, NT - 1)
+        return jnp.minimum(tb, jnp.maximum(s[B] - 1, 0) // Tb)
+
+    def gi(t, s):
+        return jnp.clip(_p(t) - NQS - NT - 1, 0, NGS - 1)
+
+    def vi(t, s):
+        # held at tile 0 through the layer steps (fetched once, reused),
+        # then walks the vocab tiles on the trailing steps
+        return jnp.clip(t - L * P, 0, max(NV - 1, 0))
 
     pq = ptq * pq0                # packed qkv rows per grid step
     po = npl * H // g_r           # packed rows of o / down (tile = H)
     pi = ptg * pi0                # packed gate/up rows per grid step
+    in_specs = [
+        pl.BlockSpec((B, H), lambda t, s: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, H), lambda t, s: (_l(t), 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, H), lambda t, s: (_l(t), 0, 0),
+                     memory_space=pltpu.VMEM),
+        # qkv packed [L, NP*Dqkv/g_r, H]: tile t rows [t*pq, (t+1)*pq)
+        pl.BlockSpec((1, pq, H), lambda t, s: (_l(t), qi(t, s), 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, Gp, ptq * tq),
+                     lambda t, s: (_l(t), 0, qi(t, s)),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, ptq * tq),
+                     lambda t, s: (_l(t), 0, qi(t, s)),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((ptq, B, tq), lambda t, s: (qi(t, s), 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((ptq, B, tq), lambda t, s: (qi(t, s), 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((tq, tq), lambda t, s: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, B * Hkv, Tb, d),
+                     lambda t, s: (_l(t), 0, fb(t, s), 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, B * Hkv, Tb, d),
+                     lambda t, s: (_l(t), 0, fb(t, s), 0),
+                     memory_space=pltpu.VMEM),
+        # o packed [L, NP*H/g_r, q_dim] (output-row planes)
+        pl.BlockSpec((1, po, q_dim), lambda t, s: (_l(t), 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, Gq, H), lambda t, s: (_l(t), 0, 0),
+                     memory_space=pltpu.VMEM),
+        # gate packed tiles [0, NG), up tiles [NG, 2NG) of gu_pk:
+        # a grid step covers ptg consecutive tiles, so up's first
+        # ptg-tile block sits NGS block-strides in
+        pl.BlockSpec((1, pi, H), lambda t, s: (_l(t), gi(t, s), 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, pi, H),
+                     lambda t, s: (_l(t), gi(t, s) + NGS, 0),
+                     memory_space=pltpu.VMEM),
+        # gate+up scales [L, Gp, 2I] tile-major (gate tile then up tile)
+        pl.BlockSpec((1, Gp, ptg * 2 * ti),
+                     lambda t, s: (_l(t), 0, gi(t, s)),
+                     memory_space=pltpu.VMEM),
+        # down packed [L, NP*H/g_r, I]: step cols [gi*ptg*ti, ...)
+        pl.BlockSpec((1, po, ptg * ti),
+                     lambda t, s: (_l(t), 0, gi(t, s)),
+                     memory_space=pltpu.VMEM),
+        # down scales, tile-major padded rows [L, NG*gtp, H]
+        pl.BlockSpec((1, ptg * gtp8, H),
+                     lambda t, s: (_l(t), gi(t, s), 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    out_specs = [
+        pl.BlockSpec((B, H), lambda t, s: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, B, kv_dim), lambda t, s: (_l(t), 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, B, kv_dim), lambda t, s: (_l(t), 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((B, H), x.dtype),
+        jax.ShapeDtypeStruct((L, B, kv_dim), jnp.bfloat16),
+        jax.ShapeDtypeStruct((L, B, kv_dim), jnp.bfloat16),
+    ]
+    lm_ops = []
+    if NV:
+        in_specs += [
+            # lm_head int8 rows [V, H]: one (tv, H) tile per vocab step
+            pl.BlockSpec((tv, H), lambda t, s: (vi(t, s), 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, tv), lambda t, s: (vi(t, s), 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H), lambda t, s: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        out_specs.append(pl.BlockSpec((B, tv), lambda t, s: (0, vi(t, s)),
+                                      memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct((B, V), jnp.float32))
+        lm_ops = [lm["w8"], lm["scale"].astype(jnp.float32),
+                  lm["norm"].astype(jnp.float32).reshape(1, H)]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(L, P),
-        in_specs=[
-            pl.BlockSpec((B, H), lambda l, p, s: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, H), lambda l, p, s: (l, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, H), lambda l, p, s: (l, 0, 0),
-                         memory_space=pltpu.VMEM),
-            # qkv packed [L, NP*Dqkv/g_r, H]: tile t rows [t*pq, (t+1)*pq)
-            pl.BlockSpec((1, pq, H), lambda l, p, s: (l, qi(l, p, s), 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Gp, ptq * tq),
-                         lambda l, p, s: (l, 0, qi(l, p, s)),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, ptq * tq),
-                         lambda l, p, s: (l, 0, qi(l, p, s)),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((ptq, B, tq), lambda l, p, s: (qi(l, p, s), 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((ptq, B, tq), lambda l, p, s: (qi(l, p, s), 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((tq, tq), lambda l, p, s: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, B * Hkv, Tb, d),
-                         lambda l, p, s: (l, 0, fb(l, p, s), 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, B * Hkv, Tb, d),
-                         lambda l, p, s: (l, 0, fb(l, p, s), 0),
-                         memory_space=pltpu.VMEM),
-            # o packed [L, NP*H/g_r, q_dim] (output-row planes)
-            pl.BlockSpec((1, po, q_dim), lambda l, p, s: (l, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Gq, H), lambda l, p, s: (l, 0, 0),
-                         memory_space=pltpu.VMEM),
-            # gate packed tiles [0, NG), up tiles [NG, 2NG) of gu_pk:
-            # a grid step covers ptg consecutive tiles, so up's first
-            # ptg-tile block sits NGS block-strides in
-            pl.BlockSpec((1, pi, H), lambda l, p, s: (l, gi(l, p, s), 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, pi, H),
-                         lambda l, p, s: (l, gi(l, p, s) + NGS, 0),
-                         memory_space=pltpu.VMEM),
-            # gate+up scales [L, Gp, 2I] tile-major (gate tile then up tile)
-            pl.BlockSpec((1, Gp, ptg * 2 * ti),
-                         lambda l, p, s: (l, 0, gi(l, p, s)),
-                         memory_space=pltpu.VMEM),
-            # down packed [L, NP*H/g_r, I]: step cols [gi*ptg*ti, ...)
-            pl.BlockSpec((1, po, ptg * ti),
-                         lambda l, p, s: (l, 0, gi(l, p, s)),
-                         memory_space=pltpu.VMEM),
-            # down scales, tile-major padded rows [L, NG*gtp, H]
-            pl.BlockSpec((1, ptg * gtp8, H),
-                         lambda l, p, s: (l, gi(l, p, s), 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((B, H), lambda l, p, s: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, B, kv_dim), lambda l, p, s: (l, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, B, kv_dim), lambda l, p, s: (l, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        grid=(L * P + NV,),
+        in_specs=in_specs,
+        out_specs=out_specs,
         scratch_shapes=[
             pltpu.VMEM((B, H), jnp.float32),
             pltpu.VMEM((B, H), jnp.int8),
@@ -540,25 +628,22 @@ def megastep_lowbit_decode(x: jax.Array, mp: Dict[str, jax.Array],
         ],
     )
     weight_bytes = (L * (Dqkv * H + q_dim * H + 3 * I * H) * bits) // 8
-    y, kn, vn = pl.pallas_call(
+    out = pl.pallas_call(
         functools.partial(
             _megastep_lb_kernel, B=B, d=d, Hq=Hq, Hkv=Hkv, qpk=qpk, NQ=NQ,
             NT=NT, NG=NG, Tb=Tb, tq=tq, ti=ti, gs=gs, L=L, eps=eps,
             rms_offset=rms_offset, scale=scale, act=act, bits=bits,
-            ptq=ptq, ptg=ptg, gtp8k=gtp8),
+            ptq=ptq, ptg=ptg, gtp8k=gtp8, NV=NV),
         grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct((B, H), x.dtype),
-            jax.ShapeDtypeStruct((L, B, kv_dim), jnp.bfloat16),
-            jax.ShapeDtypeStruct((L, B, kv_dim), jnp.bfloat16),
-        ],
+        out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary"),
+            dimension_semantics=("arbitrary",),
             vmem_limit_bytes=112 * 1024 * 1024),
         cost_estimate=pl.CostEstimate(
             flops=2 * B * L * (Dqkv * H + q_dim * H + 3 * I * H)
-            + 4 * B * L * Hq * T * d,
-            bytes_accessed=weight_bytes + 2 * L * B * T * Hkv * d * 2,
+            + 4 * B * L * Hq * T * d + 2 * B * V * H,
+            bytes_accessed=weight_bytes + 2 * L * B * T * Hkv * d * 2
+            + V * H,
             transcendentals=B * L * (Hq * T + I),
         ),
         interpret=interpret,
@@ -566,8 +651,9 @@ def megastep_lowbit_decode(x: jax.Array, mp: Dict[str, jax.Array],
       mp["qkv_pk"], mp["qkv_s"], mp["qkv_bias"],
       cos_t, sin_t, R,
       k_cache, v_cache, mp["o_pk"], mp["o_s"],
-      mp["gu_pk"], mp["gu_pk"], mp["gu_s"], mp["dn_pk"], mp["dn_s"])
-    return y, kn, vn
+      mp["gu_pk"], mp["gu_pk"], mp["gu_s"], mp["dn_pk"], mp["dn_s"],
+      *lm_ops)
+    return tuple(out)
 
 
 # --------------------------------------------------------------- pack + gate
@@ -668,6 +754,37 @@ def megapack_lowbit(cfg, sp: Dict[str, Any], bits: int = 3
     }
 
 
+def mega_lm_operands(cfg, sp: Dict[str, Any], max_tile_bytes: int = 4 * 1024 * 1024):
+    """Operands for the trailing-unembed fold (``lm=`` of
+    :func:`megastep_lowbit_decode`), or None when the model's unembed
+    cannot fold: requires a w8 (int8) lm_head, an rmsnorm final norm, and
+    no project_out. logit_scale/softcap stay with the caller (applied on
+    the returned logits, exactly as models/transformer.unembed does)."""
+    lm = sp.get("lm_head")
+    if lm is None or getattr(lm, "kind", None) != "w8":
+        return None
+    if "bias" in getattr(lm, "arrays", {}):
+        return None
+    if (not cfg.final_layer_norm or "final_norm" not in sp
+            or "project_out" in sp or cfg.norm != "rmsnorm"):
+        return None
+    w8 = lm["w8"]
+    V, H = w8.shape
+    tv = None
+    for cand in (4096, 2048, 1024, 512, 256, 128):
+        if V % cand == 0 and cand * H <= max_tile_bytes:
+            tv = cand
+            break
+    if tv is None:
+        return None
+    # [NV, 8, tv]: sublane-broadcast so the per-tile block (1, 8, tv)
+    # satisfies the TPU (8, 128) block divisibility rule (scales are tiny
+    # — the 8x redundant stream is ~1 MB/step at a 32k vocab)
+    scale = jnp.asarray(lm["scale"], jnp.float32).reshape(V // tv, 1, tv)
+    return {"w8": w8, "scale": jnp.broadcast_to(scale, (V // tv, 8, tv)),
+            "norm": jnp.asarray(sp["final_norm"]["weight"], jnp.float32)}
+
+
 def megastep_lowbit_fusable(cfg, sp: Dict[str, Any], bits: int) -> bool:
     """Static capability gate: homogeneous stacked llama-family models with
     uniform sym W3/W2 weights, sequential 128-multiple groups, d=128, and
@@ -730,5 +847,5 @@ def megastep_lowbit_fusable(cfg, sp: Dict[str, Any], bits: int) -> bool:
     return _qkv_tile_lb(Dqkv, cfg.head_dim, g_r) is not None
 
 
-__all__ = ["megastep_lowbit_decode", "megapack_lowbit",
+__all__ = ["megastep_lowbit_decode", "megapack_lowbit", "mega_lm_operands",
            "megastep_lowbit_fusable", "megastep_lowbit_reference"]

@@ -124,14 +124,19 @@ def _mega_decode_slots(cfg: ModelConfig, sp, mp, mk, mv, tokens, pos,
     L = mk.shape[0]
     d = cfg.head_dim
     kw = {}
+    logits = None
     if variant == "w4":
         step_fn = megastep4_decode
         kv_dim = (mp["qkv_p4"].shape[1] * 2 - cfg.q_dim) // 2
     else:
+        from ..ops.megastep_lowbit import mega_lm_operands
+        from .stacked import _LB_BITS, _lb_kv_dim
         step_fn = megastep_lowbit_decode
-        kw["bits"] = 3 if variant == "w3" else 2
-        npl, g_r = (3, 8) if variant == "w3" else (1, 4)
-        kv_dim = (mp["qkv_pk"].shape[1] * g_r // npl - cfg.q_dim) // 2
+        kw["bits"] = _LB_BITS[variant]
+        kv_dim = _lb_kv_dim(cfg, mp, kw["bits"])
+        lm_ops = mega_lm_operands(cfg, sp)
+        if lm_ops is not None:
+            kw["lm"] = lm_ops
     Hkv = kv_dim // d
     positions = pos[:, None]
     x = embed(cfg, sp, tokens[:, None], positions)[:, 0, :]
@@ -139,12 +144,18 @@ def _mega_decode_slots(cfg: ModelConfig, sp, mp, mk, mv, tokens, pos,
     rd, ch, sh = _rope_half_tables_vec(cfg, rope_tables(cfg, positions))
     scale = (cfg.attn_scale if cfg.attn_scale is not None
              else 1.0 / math.sqrt(d))
-    y, kn, vn = step_fn(
+    out = step_fn(
         x, mp, mk, mv, pos, ch, sh,
         q_dim=cfg.q_dim, kv_dim=kv_dim, head_dim=d, rotary_dim=rd,
         interleaved=cfg.rope_interleaved, eps=cfg.norm_eps,
         rms_offset=cfg.rms_offset, scale=scale, act=_fused_act_kind(cfg),
         interpret=jax.default_backend() == "cpu", **kw)
+    if len(out) == 4:                       # trailing-unembed fold engaged
+        from .stacked import _fold_logit_epilogue
+        y, kn, vn, logits = out
+        logits = _fold_logit_epilogue(cfg, logits)
+    else:
+        y, kn, vn = out
     # per-slot scatter of the new k/v at each slot's own position
     T = mk.shape[2]
     mk5 = mk.reshape(L, S, Hkv, T, d)
@@ -156,7 +167,8 @@ def _mega_decode_slots(cfg: ModelConfig, sp, mp, mk, mv, tokens, pos,
         in_axes=(1, 1, 0), out_axes=1)
     mk = upd(mk5, kn5, pos).reshape(L, S * Hkv, T, d)
     mv = upd(mv5, vn5, pos).reshape(L, S * Hkv, T, d)
-    logits = unembed(cfg, sp, y[:, None, :], "pallas" if jax.default_backend() != "cpu" else "reference")[:, 0, :]
+    if logits is None:
+        logits = unembed(cfg, sp, y[:, None, :], "pallas" if jax.default_backend() != "cpu" else "reference")[:, 0, :]
     return logits, mk, mv
 
 
@@ -210,7 +222,7 @@ class BatchingEngine:
                 sp = None
             variant = (None if sp is None
                        else _stacked.mega_enabled(cfg, sp, backend, slots))
-            if variant in ("w4", "w3", "w2"):
+            if variant in ("w4", "w4p", "w3", "w2"):
                 self._mega_variant = variant
                 self._sp = _stacked.prepack(cfg, sp, backend, slots)
                 L = cfg.num_hidden_layers

@@ -165,6 +165,16 @@ def _decode_one(cfg, sp, cache_k, cache_v, token, pos, backend):
 
 
 # ------------------------------------------------------------ megastep path
+# plane-kernel variants -> packed bits (npl/g_r derive from _plan_meta)
+_LB_BITS = {"w4p": 4, "w3": 3, "w2": 2}
+
+
+def _lb_kv_dim(cfg, mp, bits: int) -> int:
+    from ..ops.megastep_lowbit import _plan_meta
+    metas, _, _, g_r = _plan_meta(bits)
+    return (mp["qkv_pk"].shape[1] * g_r // len(metas) - cfg.q_dim) // 2
+
+
 def mega_enabled(cfg: ModelConfig, sp, backend: str, batch: int):
     """Whole-decode-step megakernel gate: all layers in ONE pallas_call,
     weight-streaming at the HBM roofline. Returns "w4" (uniform W4 pair-
@@ -179,6 +189,14 @@ def mega_enabled(cfg: ModelConfig, sp, backend: str, batch: int):
     from ..ops.megastep4 import megastep4_fusable
     from ..ops.megastep_lowbit import megastep_lowbit_fusable
     if megastep4_fusable(cfg, sp):
+        # the same uniform-W4 artifact can ride the plane kernel (bits=4 is
+        # one plane of two nibble fields — the identical pair algebra) which
+        # walks MULTIPLE packed tiles per sequential grid step (ptq/ptg),
+        # cutting the ~5.5us/step floor. GANQ_W4_PLANE=0 falls back to the
+        # original pair kernel (ops/megastep4.py).
+        if (os.environ.get("GANQ_W4_PLANE", "1") != "0"
+                and megastep_lowbit_fusable(cfg, sp, 4)):
+            return "w4p"
         return "w4"
     if megastep_lowbit_fusable(cfg, sp, 3):
         return "w3"
@@ -215,10 +233,10 @@ def prepack(cfg: ModelConfig, sp, backend: str, batch: int):
         # jitted: XLA fuses the int4 unpack into the pair re-pack, so the
         # multi-GB int32 code intermediates never materialize in HBM
         sp["megapack4"] = jax.jit(lambda t: megapack4(cfg, t))(sp)
-    elif variant in ("w3", "w2") and "megapack_lb" not in sp:
+    elif variant in ("w4p", "w3", "w2") and "megapack_lb" not in sp:
         from ..ops.megastep_lowbit import megapack_lowbit
         sp = dict(sp)
-        bits = 3 if variant == "w3" else 2
+        bits = _LB_BITS[variant]
         sp["megapack_lb"] = jax.jit(
             lambda t: megapack_lowbit(cfg, t, bits))(sp)
     elif variant == "w8" and "megapack_w8" not in sp:
@@ -251,9 +269,8 @@ def _decode_one_mega(cfg: ModelConfig, sp, mp, ck, cv, token, pos,
     d = cfg.head_dim
     if variant == "w4":
         kv_dim = (mp["qkv_p4"].shape[1] * 2 - cfg.q_dim) // 2
-    elif variant in ("w3", "w2"):
-        npl, g_r = (3, 8) if variant == "w3" else (1, 4)
-        kv_dim = (mp["qkv_pk"].shape[1] * g_r // npl - cfg.q_dim) // 2
+    elif variant in _LB_BITS:
+        kv_dim = _lb_kv_dim(cfg, mp, _LB_BITS[variant])
     else:
         kv_dim = (mp["qkv_w8"].shape[1] - cfg.q_dim) // 2
     positions = jnp.broadcast_to(pos, (b, 1))
@@ -262,25 +279,47 @@ def _decode_one_mega(cfg: ModelConfig, sp, mp, ck, cv, token, pos,
     scale = (cfg.attn_scale if cfg.attn_scale is not None
              else 1.0 / math.sqrt(d))
     kw = {}
+    logits = None
     if variant == "w4":
         step_fn = megastep4_decode
-    elif variant in ("w3", "w2"):
+    elif variant in _LB_BITS:
+        from ..ops.megastep_lowbit import mega_lm_operands
         step_fn = megastep_lowbit_decode
-        kw["bits"] = 3 if variant == "w3" else 2
+        kw["bits"] = _LB_BITS[variant]
+        lm_ops = mega_lm_operands(cfg, sp)
+        if lm_ops is not None:
+            kw["lm"] = lm_ops
     else:
         step_fn = megastep_decode_w8a8
-    y, kn, vn = step_fn(
+    out = step_fn(
         x, mp, ck, cv, pos, cos_h, sin_h,
         q_dim=cfg.q_dim, kv_dim=kv_dim, head_dim=d, rotary_dim=rd,
         interleaved=cfg.rope_interleaved, eps=cfg.norm_eps,
         rms_offset=cfg.rms_offset, scale=scale, act=_fused_act_kind(cfg),
         interpret=jax.default_backend() == "cpu", **kw)
+    if len(out) == 4:                       # trailing-unembed fold engaged
+        y, kn, vn, logits = out
+        logits = _fold_logit_epilogue(cfg, logits)
+    else:
+        y, kn, vn = out
     kn4 = kn.reshape(L, b * (kv_dim // d), 1, d).astype(ck.dtype)
     vn4 = vn.reshape(L, b * (kv_dim // d), 1, d).astype(cv.dtype)
     ck = jax.lax.dynamic_update_slice(ck, kn4, (0, 0, pos, 0))
     cv = jax.lax.dynamic_update_slice(cv, vn4, (0, 0, pos, 0))
-    logits = unembed(cfg, sp, y[:, None, :], "pallas" if jax.default_backend() != "cpu" else "reference")[:, 0, :]
+    if logits is None:
+        logits = unembed(cfg, sp, y[:, None, :], "pallas" if jax.default_backend() != "cpu" else "reference")[:, 0, :]
     return logits, ck, cv
+
+
+def _fold_logit_epilogue(cfg: ModelConfig, logits):
+    """logit_scale / softcap on folded-unembed logits — the tail of
+    models/transformer.unembed that stays OUTSIDE the megakernel."""
+    if cfg.logit_scale is not None:
+        logits = logits * jnp.asarray(cfg.logit_scale, logits.dtype)
+    if cfg.logit_softcap is not None:
+        cap = cfg.logit_softcap
+        logits = cap * jnp.tanh(logits / cap)
+    return logits
 
 
 def _mega_pack_for(cfg, sp, variant: str):
@@ -290,11 +329,11 @@ def _mega_pack_for(cfg, sp, variant: str):
         from ..ops.megastep4 import megapack4
         mp = sp.get("megapack4")
         return mp if mp is not None else megapack4(cfg, sp)
-    if variant in ("w3", "w2"):
+    if variant in _LB_BITS:
         from ..ops.megastep_lowbit import megapack_lowbit
         mp = sp.get("megapack_lb")
         return mp if mp is not None else megapack_lowbit(
-            cfg, sp, 3 if variant == "w3" else 2)
+            cfg, sp, _LB_BITS[variant])
     from ..ops.megastep import megapack
     mp = sp.get("megapack_w8")
     return mp if mp is not None else megapack(cfg, sp)

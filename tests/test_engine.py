@@ -221,8 +221,10 @@ def test_engine_w4_megastep_route(rng, monkeypatch):
 
     monkeypatch.setenv("GANQ_MEGASTEP", "1")
     eng = engine.Engine(cfg, params, backend="reference", max_seq=64)
-    assert eng._sp is not None and "megapack4" in eng._sp
-    assert stacked.mega_enabled(cfg, eng._sp, "reference", 2) == "w4"
+    # W4 artifacts default to the plane kernel (w4p) which walks multiple
+    # packed tiles per grid step; GANQ_W4_PLANE=0 selects the pair kernel
+    assert eng._sp is not None and "megapack_lb" in eng._sp
+    assert stacked.mega_enabled(cfg, eng._sp, "reference", 2) == "w4p"
     ids = rng.integers(0, 512, size=(2, 8))
     out_mega = eng.generate(ids, max_new_tokens=6, temperature=0.0)
 

@@ -149,6 +149,7 @@ def test_megastep4_greedy_decode_path(rng, monkeypatch):
     from ganq_tpu.serve import stacked
 
     monkeypatch.setenv("GANQ_MEGASTEP", "1")
+    monkeypatch.setenv("GANQ_W4_PLANE", "0")   # pin the pair kernel route
     cfg = _cfg(layers=2)
     B, prompt, steps, T = 4, 8, 4, 64
     sp, mp, _, _, _, _, _ = _setup(rng, cfg, B, T, 1)

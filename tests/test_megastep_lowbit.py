@@ -100,6 +100,7 @@ def _setup(rng, cfg, B, T, pos, bits):
 
 
 @pytest.mark.parametrize("bits,B,pos,T", [
+    (4, 8, 50, 64),
     (3, 8, 50, 64),
     (3, 4, 3, 64),
     (2, 8, 20, 64),
@@ -129,7 +130,7 @@ def test_megastep_lowbit_matches_reference(rng, bits, B, pos, T):
                                atol=5e-2, rtol=5e-2)
 
 
-@pytest.mark.parametrize("bits", [2, 3])
+@pytest.mark.parametrize("bits", [2, 3, 4])
 def test_plane_codec_exact(rng, bits):
     """derive + masked dots + recover == the centered integer matmul,
     EXACTLY: z_r = x8 @ (q_r - 2^(b-1)) with sum-of-x folded in."""
@@ -212,3 +213,64 @@ def test_batching_w3_megastep_fast_path(rng, monkeypatch):
     n_agree = sum((np.asarray(got[k]) == np.asarray(ref[k])).sum()
                   for k in ref)
     assert n_agree >= 0.9 * n_tok, (got, ref)
+
+
+@pytest.mark.parametrize("bits", [4, 3])
+def test_megastep_lowbit_lm_fold(rng, bits):
+    """Trailing-unembed fold: the kernel's vocab phases (final rmsnorm ->
+    per-row int8 quant -> lm tile dots) must match the same math computed
+    on the kernel's own residual output."""
+    from ganq_tpu.models import synthetic
+    from ganq_tpu.ops.megastep_lowbit import mega_lm_operands
+
+    cfg = _cfg()
+    B, T, pos = 4, 64, 17
+    sp = synthetic.make_stacked_model(cfg, kind="uniform", seed=3,
+                                      bits=bits, lm_head_kind="w8")
+    L, H = cfg.num_hidden_layers, cfg.hidden_size
+    sp["final_norm"]["weight"] = jnp.asarray(
+        rng.uniform(0.5, 1.5, size=(H,)).astype(np.float32))
+    lm_ops = mega_lm_operands(cfg, sp)
+    assert lm_ops is not None
+    mp = megapack_lowbit(cfg, sp, bits)
+    Hkv = cfg.num_key_value_heads
+    d = cfg.head_dim
+    kc = jnp.asarray(rng.normal(size=(L, B * Hkv, T, d)) * 0.3,
+                     jnp.bfloat16)
+    vc = jnp.asarray(rng.normal(size=(L, B * Hkv, T, d)) * 0.3,
+                     jnp.bfloat16)
+    x = jnp.asarray(rng.normal(size=(B, H)) * 0.4, jnp.bfloat16)
+    half = d // 2
+    ang = rng.uniform(0, 2 * np.pi, size=(half,)).astype(np.float32)
+    cos, sin = jnp.asarray(np.cos(ang)), jnp.asarray(np.sin(ang))
+    kv_dim = Hkv * d
+    kw = dict(q_dim=cfg.q_dim, kv_dim=kv_dim, head_dim=d, rotary_dim=d,
+              eps=1e-5, scale=float(1.0 / np.sqrt(d)), block_t=64,
+              bits=bits)
+    with _ctx():
+        y0, k0, v0 = megastep_lowbit_decode(x, mp, kc, vc, jnp.int32(pos),
+                                            cos, sin, **kw)
+        y1, k1, v1, lg = megastep_lowbit_decode(x, mp, kc, vc,
+                                                jnp.int32(pos), cos, sin,
+                                                lm=lm_ops, **kw)
+    np.testing.assert_allclose(np.asarray(y1, np.float32),
+                               np.asarray(y0, np.float32), atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(k1, np.float32),
+                                  np.asarray(k0, np.float32))
+    # expected logits from the kernel's residual: final norm -> per-row
+    # int8 quant -> int8 dot -> scales (the exact math of the vocab phases)
+    xf = np.asarray(y0, np.float32)
+    var = (xf * xf).mean(axis=1, keepdims=True)
+    xf = xf / np.sqrt(var + 1e-5) * np.asarray(sp["final_norm"]["weight"],
+                                               np.float32)
+    sx = np.maximum(np.abs(xf).max(axis=1, keepdims=True) / 127.0, 1e-12)
+    x8 = np.clip(np.round(xf / sx), -127, 127)
+    w8 = np.asarray(sp["lm_head"]["w8"], np.float32)
+    sw = np.asarray(sp["lm_head"]["scale"], np.float32).reshape(1, -1)
+    want = (x8 @ w8.T) * sx * sw
+    # the kernel quantizes its f32-resident residual; ``want`` starts from
+    # the bf16-rounded y0, so differences are bf16 rounding only
+    np.testing.assert_allclose(np.asarray(lg, np.float32), want,
+                               atol=5e-2, rtol=5e-2)
+    corr = np.corrcoef(np.asarray(lg, np.float32).ravel(), want.ravel())[0, 1]
+    assert corr > 0.9999, corr

@@ -121,7 +121,7 @@ def test_qqq_checkpoint_serves_via_megastep(rng, tmp_path, monkeypatch):
 
     monkeypatch.setenv("GANQ_MEGASTEP", "1")
     e = eng_mod.Engine(cfg2, params2, backend="reference", max_seq=64)
-    assert e._sp is not None and "megapack4" in e._sp
+    assert e._sp is not None and "megapack_lb" in e._sp
     ids = rng.integers(0, 512, size=(2, 8))
     got = e.generate(ids, max_new_tokens=6)
 
