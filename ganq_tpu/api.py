@@ -86,8 +86,11 @@ class GanqModel:
             m = cls(cfg, params, quantize_config, tokenizer, model_dir)
         if cfg.model_type == "qwen2_vl":
             from .models.qwen2_vl_vision import extract_vision_state
+            # "or None": a checkpoint without visual.* tensors yields {},
+            # which must normalize to None so _get_vl_engine raises its
+            # clear "no vision tower loaded" error instead of a KeyError
             m.vision_state = extract_vision_state(
-                dict(hf_import.iter_safetensors(model_dir)))
+                dict(hf_import.iter_safetensors(model_dir))) or None
         elif cfg.model_type == "mllama":
             from .serve.mllama_vl import extract_vl_state
             m.vision_state = extract_vl_state(
@@ -555,18 +558,32 @@ class GanqModel:
         log.info(f"exported dequantized checkpoint to {save_dir}")
 
     # -------------------------------------------------------------- optimize
-    def optimize(self, recode: str = "w8") -> "GanqModel":
+    def optimize(self, recode: str = "auto") -> "GanqModel":
         """Pick the fastest serving path (the reference's ``model.optimize()``
-        torch.compile analog, base.py:1240-1276): optionally recode LUT
-        modules to the int8 MXU path, then auto-select the kernel backend."""
-        if recode == "w8":
-            from .ops.qlinear import QLinear, recode_w8
+        torch.compile analog, base.py:1240-1276).
+
+        ``recode``: "auto" certifies grid-representable LUT codebooks to the
+        packed-4-bit uniform path (lossless, ops/qlinear.certify_uniform)
+        and int8-recodes the rest; "affine" certifies only (non-affine LUTs
+        stay exact); "w8" int8-recodes every LUT; "none" leaves kinds as
+        loaded. Then auto-selects the kernel backend."""
+        if recode in ("auto", "affine", "w8"):
+            from .ops.qlinear import QLinear, certify_uniform, recode_w8
+
+            def rec(v):
+                if recode in ("auto", "affine"):
+                    q = certify_uniform(v)
+                    if q is not None:
+                        return q
+                if recode in ("auto", "w8"):
+                    return recode_w8(v)
+                return v
 
             def walk(node):
                 if isinstance(node, dict):
                     for k, v in node.items():
                         if isinstance(v, QLinear):
-                            node[k] = recode_w8(v)
+                            node[k] = rec(v)
                         else:
                             walk(v)
                 elif isinstance(node, list):

@@ -173,6 +173,19 @@ class QuantizeConfig:
     # LeanQuant-style weighting exponent: kmeans weights = diag(Hinv)^-exp
     # (reference ganq.py:427).
     codebook_weight_exp: float = 4.0
+    # codebook constraint (quant/ganq.py refit dispatch):
+    # - "free":       unconstrained per-row 2^bits codebook (the reference's
+    #                 GANQ, ganq.py:576-616); serves via the certified int8
+    #                 recode or the exact-LUT oracle kernels.
+    # - "lut8":       free codebook snapped to a per-row int8 grid inside
+    #                 the loop — serves EXACTLY (zero recode error) through
+    #                 the w8 megastep.
+    # - "affine":     per-row affine grid T = a + b(s - 2^(bits-1)) fit by
+    #                 a 2x2 Hessian-weighted solve inside the loop — serves
+    #                 EXACTLY through the uniform W4 megastep at packed
+    #                 4-bit bytes (the solve-time certified affine recode).
+    # - "affine_sym": a = 0 (symmetric grid); rides the sym-only fast path.
+    ganq_codebook: str = "free"
 
     # AutoRound-specific (reference AutoRoundQuantizeConfig fields
     # iters/lr/minmax_lr/enable_minmax_tuning/not_use_best_mse,
@@ -194,7 +207,12 @@ class QuantizeConfig:
     # Pallas S-step kernel (the TPU analog of the reference's Metal compute_s).
     solver_backend: str = "auto"  # auto | jax | pallas
 
-    # fp32 everywhere the reference uses fp32; exposed for experiments.
+    # T-step contraction precision (quant/ganq.py _h_terms):
+    # "float32" (default) = split-bf16 passes carrying full f32 precision
+    # (loss-identical to the strict path at ~2x its speed);
+    # "float32_strict" = 6-pass HIGHEST f32 oracle;
+    # "bfloat16" = single-pass bf16 (fastest; H rounds to 8 mantissa bits —
+    # measured ~2x ppl cost at 1B, tests/test_accuracy_contract.py).
     hessian_dtype: str = "float32"
 
     # number of parallel packing workers at save time
@@ -320,6 +338,8 @@ class QuantizeConfig:
             "ganq_iterations": self.ganq_iterations,
             "codebook_init": self.codebook_init,
             "codebook_weight_exp": self.codebook_weight_exp,
+            "ganq_codebook": (self.ganq_codebook
+                              if self.ganq_codebook != "free" else None),
             "rotation": self.rotation,
             "dynamic": self.dynamic,
             "adapter": self.adapter,

@@ -765,6 +765,10 @@ def mega_lm_operands(cfg, sp: Dict[str, Any], max_tile_bytes: int = 4 * 1024 * 1
         return None
     if "bias" in getattr(lm, "arrays", {}):
         return None
+    # per-output-row scale layout only: a per-tensor or per-group w8 scale
+    # would misassign scales to vocab tiles after the reshape below
+    if lm["scale"].size != lm["w8"].shape[0]:
+        return None
     if (not cfg.final_layer_norm or "final_norm" not in sp
             or "project_out" in sp or cfg.norm != "rmsnorm"):
         return None
@@ -787,9 +791,10 @@ def mega_lm_operands(cfg, sp: Dict[str, Any], max_tile_bytes: int = 4 * 1024 * 1
 
 def megastep_lowbit_fusable(cfg, sp: Dict[str, Any], bits: int) -> bool:
     """Static capability gate: homogeneous stacked llama-family models with
-    uniform sym W3/W2 weights, sequential 128-multiple groups, d=128, and
-    lane-aligned field blocks (H and the chosen tiles divisible by
-    g_r*128)."""
+    uniform sym W4/W3/W2 weights (bits=4 is the 'w4p' plane variant — the
+    pair algebra with multi-tile grid steps), sequential 128-multiple
+    groups, d=128, and lane-aligned field blocks (H and the chosen tiles
+    divisible by g_r*128)."""
     if bits not in _PLAN:
         return False
     _, _, _, g_r = _plan_meta(bits)

@@ -262,6 +262,81 @@ def recode_w8(p: QLinear) -> QLinear:
     return QLinear("w8", arrays, bits=8, in_features=p.in_features)
 
 
+def certify_uniform(p: QLinear, tol_rel: float = 2.0 ** -7):
+    """LUT linear whose per-row codebook lies on an affine grid -> uniform
+    linear (None when any row is not grid-representable).
+
+    The solve-time affine codebook (QuantizeConfig.ganq_codebook="affine" /
+    "affine_sym", quant/ganq.t_step_affine) emits ``T[r,s] = a_r + b_r
+    (s - 8)`` — exactly the uniform dequant ``scale*(q - zero)`` — so the
+    GANQ-LUT artifact serves through the packed-4-bit uniform kernels
+    (ops/megastep4.py / megastep_lowbit.py) at W4 bytes instead of the
+    exact-LUT oracle path. Certification is numeric (per-row least-squares
+    fit + residual bound), so external affine-grid LUT checkpoints qualify
+    too; the fit residual is bounded by ``tol_rel`` of the row range —
+    default one ulp-class below the lut artifact's own bf16/fp16 codeword
+    storage granularity, ~32x below the 16-codeword spacing. Rows fit with
+    the zero point pinned to the symmetric center first (structural-sym
+    artifacts ride the sym-only megasteps); per-row scales are expanded to
+    128-column groups so the fused kernels' shared-group-size contract
+    holds across projections. Host-side only (concrete arrays).
+    """
+    if p.kind != "lut" or getattr(p, "bits", 0) < 2:
+        return None
+    lut = np.asarray(p["lut"], np.float32)                 # [m, k] sorted
+    m, k = lut.shape
+    if k != 1 << p.bits:
+        return None
+    center = float(1 << (p.bits - 1))
+    u = np.arange(k, dtype=np.float32) - center            # sym basis
+    uc = np.arange(k, dtype=np.float32) - (k - 1) / 2.0    # centered (sum 0)
+    span = np.maximum(lut[:, -1] - lut[:, 0], np.max(np.abs(lut), axis=1))
+    tol = tol_rel * np.maximum(span, 1e-30)
+    # sym-constrained fit: value = b * (s - center)
+    b_sym = (lut @ u) / float(u @ u)
+    resid_sym = np.max(np.abs(lut - b_sym[:, None] * u[None, :]), axis=1)
+    sym = bool(np.all(resid_sym <= tol))
+    if sym:
+        a = -0.5 * b_sym                         # in the centered basis
+        b = b_sym
+    else:
+        # free affine LS fit in the centered basis: value = a + b * uc
+        # (sum(uc) == 0 makes the row mean the exact intercept)
+        a = np.mean(lut, axis=1)
+        b = ((lut - a[:, None]) @ uc) / float(uc @ uc)
+        resid = np.max(np.abs(lut - a[:, None] - b[:, None] * uc[None, :]),
+                       axis=1)
+        if not np.all(resid <= tol):
+            return None
+    # constant rows (b ~ 0): representable only at value 0 (scale 0)
+    flat = np.abs(b) <= 1e-30
+    if np.any(flat & (np.abs(a) > tol)):
+        return None
+    b = np.where(flat, 1e-30, b)
+    codes = np.asarray(unpack_int_rows(p["idx_packed"], p.bits,
+                                       p.in_features))    # [m, n]
+    n = p.in_features
+    if n % 128:
+        return None
+    # per-row scale/zero expanded to 128-column groups: the megastep
+    # kernels require ONE group size shared by all projections, and 128
+    # divides every in_features (scale stream cost: bytes/32 of the codes)
+    G = n // 128
+    scale = np.broadcast_to(np.float32(b)[:, None], (m, G))
+    # value(s) = a + b*(s - (k-1)/2) = b*(s - zero), zero = (k-1)/2 - a/b
+    zero = None if sym else np.broadcast_to(
+        np.float32((k - 1) / 2.0 - a / b)[:, None], (m, G))
+    q = uniform_linear(
+        jnp.asarray(codes), jnp.asarray(scale),
+        (jnp.asarray(zero) if zero is not None
+         else jnp.full((m, G), center, jnp.float32)),
+        None, p.bits, p.arrays.get("bias"))
+    for extra in ("lora_a", "lora_b"):
+        if extra in p.arrays:
+            q[extra] = p[extra]
+    return q
+
+
 def concat_rows(linears) -> QLinear:
     """Fuse linears sharing an input (qkv, gate+up) by concatenating output
     rows — legal for every kind because all row-wise arrays (weight/lut/
@@ -286,4 +361,5 @@ def concat_rows(linears) -> QLinear:
 
 
 __all__ = ["QLinear", "dense_linear", "lut_linear", "uniform_linear",
-           "dequantize_weight", "apply", "concat_rows", "recode_w8"]
+           "dequantize_weight", "apply", "concat_rows", "recode_w8",
+           "certify_uniform"]

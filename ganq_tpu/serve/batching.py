@@ -217,7 +217,7 @@ class BatchingEngine:
                 and len({jax.tree_util.tree_structure(lp)
                          for lp in layers}) == 1):
             try:
-                sp = _stacked.stack_layers(params)
+                sp = _stacked.stack_layers(params, recode="affine")
             except ValueError:
                 sp = None
             variant = (None if sp is None

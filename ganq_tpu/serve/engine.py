@@ -201,7 +201,10 @@ class Engine:
                 if len(tds) == 1 and _single_device(layers):
                     from . import stacked as _stacked
                     try:
-                        self._sp = _stacked.stack_layers(self.params)
+                        # certify affine-grid LUT codebooks onto the packed
+                        # uniform fast path (lossless; free LUTs stay exact)
+                        self._sp = _stacked.stack_layers(self.params,
+                                                         recode="affine")
                         # one-time megakernel pre-pack (ops/megastep4.py)
                         self._sp = _stacked.prepack(
                             self.cfg, self._sp, self.backend, 1)

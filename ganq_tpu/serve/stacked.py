@@ -65,13 +65,36 @@ def recode_layer_w8(lp: Dict[str, Any]) -> Dict[str, Any]:
     }
 
 
+def recode_layer_affine(lp: Dict[str, Any]) -> Dict[str, Any]:
+    """Certify grid-representable LUT linears to the uniform packed-4-bit
+    fast path (ops/qlinear.certify_uniform); non-affine codebooks are left
+    exact. GANQ_LUT_AFFINE=0 opts out."""
+    from ..ops.qlinear import QLinear, certify_uniform
+
+    def rec(x):
+        if isinstance(x, QLinear):
+            q = certify_uniform(x)
+            if q is not None:
+                return q
+        return x
+
+    return {
+        k: ({kk: rec(vv) for kk, vv in v.items()} if isinstance(v, dict) else v)
+        for k, v in lp.items()
+    }
+
+
 def stack_layers(params: Dict[str, Any], fuse: bool = True,
                  recode: str = "none") -> Dict[str, Any]:
     """Convert params["layers"] (list of per-layer pytrees with identical
     structure) into one stacked pytree with a leading layer axis.
 
-    ``recode="w8"`` converts LUT linears to the int8 fast serving path."""
+    ``recode="w8"`` converts LUT linears to the int8 fast serving path;
+    ``recode="affine"`` certifies grid-representable LUT codebooks to the
+    uniform W4 fast path and leaves the rest exact."""
     layers = params["layers"]
+    if recode == "affine" and os.environ.get("GANQ_LUT_AFFINE", "1") != "0":
+        layers = [recode_layer_affine(lp) for lp in layers]
     if recode == "w8":
         layers = [recode_layer_w8(lp) for lp in layers]
     if fuse:
@@ -177,12 +200,13 @@ def _lb_kv_dim(cfg, mp, bits: int) -> int:
 
 def mega_enabled(cfg: ModelConfig, sp, backend: str, batch: int):
     """Whole-decode-step megakernel gate: all layers in ONE pallas_call,
-    weight-streaming at the HBM roofline. Returns "w4" (uniform W4 pair-
-    nibble kernel, ops/megastep4.py), "w3"/"w2" (plane-packed low-bit
-    kernels, ops/megastep_lowbit.py), "w8" (int8 kernel, ops/megastep.py)
-    or None. Default ON for the w8a8 backend on eligible models;
-    GANQ_MEGASTEP=0 disables, GANQ_MEGASTEP=1 forces it on CPU (interpret
-    mode, tests)."""
+    weight-streaming at the HBM roofline. Returns "w4p" (uniform W4 on the
+    plane kernel — multi-tile grid steps + trailing-unembed fold), "w4"
+    (the original pair-nibble kernel, ops/megastep4.py; GANQ_W4_PLANE=0),
+    "w3"/"w2" (plane-packed low-bit kernels, ops/megastep_lowbit.py), "w8"
+    (int8 kernel, ops/megastep.py) or None. Default ON for the w8a8
+    backend on eligible models; GANQ_MEGASTEP=0 disables, GANQ_MEGASTEP=1
+    forces it on CPU (interpret mode, tests)."""
     if not mega_env_enabled(backend, batch):
         return None
     from ..ops.megastep import megastep_fusable
@@ -286,9 +310,16 @@ def _decode_one_mega(cfg: ModelConfig, sp, mp, ck, cv, token, pos,
         from ..ops.megastep_lowbit import mega_lm_operands
         step_fn = megastep_lowbit_decode
         kw["bits"] = _LB_BITS[variant]
-        lm_ops = mega_lm_operands(cfg, sp)
-        if lm_ops is not None:
-            kw["lm"] = lm_ops
+        # trailing-unembed fold: int8-quantizes the final activations before
+        # the lm_head dot (the non-mega path keeps unembed activations in
+        # full precision — models/transformer.py unembed). The logits
+        # perturbation is bounded by the per-row a8 step and is covered by
+        # the fold-vs-unembed comparison test (tests/test_megastep_lowbit),
+        # but GANQ_LM_FOLD=0 opts out, mirroring GANQ_W4_PLANE.
+        if os.environ.get("GANQ_LM_FOLD", "1") != "0":
+            lm_ops = mega_lm_operands(cfg, sp)
+            if lm_ops is not None:
+                kw["lm"] = lm_ops
     else:
         step_fn = megastep_decode_w8a8
     out = step_fn(
