@@ -48,6 +48,26 @@ def _rand_arrays(key, out_f: int, in_f: int, kind: str, dtype=jnp.bfloat16,
                        axis=1).astype(jnp.bfloat16)
         idx = jax.random.randint(k2, (out_f, in_f), 0, 16, jnp.int32)
         return {"lut": lut, "idx_packed": pack_int_rows(idx, 4)}
+    if kind in ("lut_affine", "lut_affine_sym"):
+        # LUT artifact whose per-row codebook lies on an affine grid —
+        # exactly what a ganq_codebook="affine"/"affine_sym" solve emits
+        # (quant/ganq.t_step_affine); serve-side certification
+        # (ops/qlinear.certify_uniform) recodes it LOSSLESSLY onto the
+        # packed-W4 uniform kernels. The sym variant pins the intercept so
+        # the recode is zero-free and rides the sym-only megastep kernels —
+        # this is the GANQ-LUT bench artifact.
+        k1, k2, k3 = jax.random.split(key, 3)
+        b = jax.random.uniform(k1, (out_f, 1), jnp.float32, 0.001, 0.004)
+        if kind == "lut_affine_sym":
+            lut = (b * (jnp.arange(16, dtype=jnp.float32) - 8.0)
+                   ).astype(jnp.bfloat16)
+        else:
+            a = jax.random.uniform(k3, (out_f, 1), jnp.float32,
+                                   -0.002, 0.002)
+            grid = jnp.arange(16, dtype=jnp.float32) - 7.5
+            lut = (a + b * grid).astype(jnp.bfloat16)
+        idx = jax.random.randint(k2, (out_f, in_f), 0, 16, jnp.int32)
+        return {"lut": lut, "idx_packed": pack_int_rows(idx, 4)}
     if kind == "w8":
         k1, k2 = jax.random.split(key)
         w8 = jax.random.randint(k1, (out_f, in_f), -127, 128,
@@ -69,6 +89,8 @@ def _rand_arrays(key, out_f: int, in_f: int, kind: str, dtype=jnp.bfloat16,
 def _linear_from_arrays(arrays, kind: str, in_f: int,
                         bits: int = 4) -> qlinear.QLinear:
     bits = {"dense": 16, "w8": 8}.get(kind, bits)
+    if kind in ("lut_affine", "lut_affine_sym"):
+        kind = "lut"            # same artifact kind, affine codebook
     return qlinear.QLinear(kind, dict(arrays), bits=bits, in_features=in_f)
 
 
@@ -80,6 +102,17 @@ def _rand_linear(key, out_f: int, in_f: int, kind: str, dtype=jnp.bfloat16,
     if kind == "lut":
         k1, k2 = jax.random.split(key)
         lut = jnp.sort(jax.random.normal(k1, (out_f, 16), jnp.float32) * 0.02, axis=1)
+        idx = jax.random.randint(k2, (out_f, in_f), 0, 16, jnp.int32)
+        return qlinear.lut_linear(lut, idx, 4)
+    if kind in ("lut_affine", "lut_affine_sym"):
+        k1, k2, k3 = jax.random.split(key, 3)
+        b = jax.random.uniform(k1, (out_f, 1), jnp.float32, 0.001, 0.004)
+        if kind == "lut_affine_sym":
+            lut = b * (jnp.arange(16, dtype=jnp.float32) - 8.0)
+        else:
+            a = jax.random.uniform(k3, (out_f, 1), jnp.float32,
+                                   -0.002, 0.002)
+            lut = a + b * (jnp.arange(16, dtype=jnp.float32) - 7.5)
         idx = jax.random.randint(k2, (out_f, in_f), 0, 16, jnp.int32)
         return qlinear.lut_linear(lut, idx, 4)
     if kind == "w8":

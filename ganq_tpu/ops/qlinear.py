@@ -283,10 +283,12 @@ def certify_uniform(p: QLinear, tol_rel: float = 2.0 ** -7):
     """
     if p.kind != "lut" or getattr(p, "bits", 0) < 2:
         return None
-    lut = np.asarray(p["lut"], np.float32)                 # [m, k] sorted
-    m, k = lut.shape
+    lut_nd = np.asarray(p["lut"], np.float32)        # [..., k] sorted
+    k = lut_nd.shape[-1]
     if k != 1 << p.bits:
         return None
+    lead = lut_nd.shape[:-1]        # ([m] per-layer; [L, m] stacked pytrees)
+    lut = lut_nd.reshape(-1, k)
     center = float(1 << (p.bits - 1))
     u = np.arange(k, dtype=np.float32) - center            # sym basis
     uc = np.arange(k, dtype=np.float32) - (k - 1) / 2.0    # centered (sum 0)
@@ -313,28 +315,36 @@ def certify_uniform(p: QLinear, tol_rel: float = 2.0 ** -7):
     if np.any(flat & (np.abs(a) > tol)):
         return None
     b = np.where(flat, 1e-30, b)
-    codes = np.asarray(unpack_int_rows(p["idx_packed"], p.bits,
-                                       p.in_features))    # [m, n]
     n = p.in_features
-    if n % 128:
-        return None
+    from .packing import pack_factor
+    if p["idx_packed"].shape[-1] != n // pack_factor(p.bits):
+        return None        # lane-padded artifact (lut_linear Kp > K):
+        # the passthrough below would dequant pad codes to -scale*zero
     # per-row scale/zero expanded to 128-column groups: the megastep
     # kernels require ONE group size shared by all projections, and 128
-    # divides every in_features (scale stream cost: bytes/32 of the codes)
-    G = n // 128
-    scale = np.broadcast_to(np.float32(b)[:, None], (m, G))
-    # value(s) = a + b*(s - (k-1)/2) = b*(s - zero), zero = (k-1)/2 - a/b
-    zero = None if sym else np.broadcast_to(
-        np.float32((k - 1) / 2.0 - a / b)[:, None], (m, G))
-    q = uniform_linear(
-        jnp.asarray(codes), jnp.asarray(scale),
-        (jnp.asarray(zero) if zero is not None
-         else jnp.full((m, G), center, jnp.float32)),
-        None, p.bits, p.arrays.get("bias"))
-    for extra in ("lora_a", "lora_b"):
+    # divides every in_features at serving scale (scale stream cost:
+    # bytes/32 of the codes). Odd widths fall back to one group per row —
+    # still a valid uniform artifact, just not megastep-eligible.
+    G = n // 128 if n % 128 == 0 else 1
+    scale = np.broadcast_to(np.float32(b).reshape(*lead, 1), (*lead, G))
+    # the LUT index planes and the uniform qweight planes share ONE
+    # packed layout (ops/packing.pack_int_rows), so the code bytes pass
+    # through untouched — certification costs only the [.., 2^bits] lut
+    # fetch, never a device->host code round-trip (matters at 3B+: the
+    # codes are GBs, the codebooks are KBs)
+    arrays = {"qweight": p["idx_packed"],
+              "scales": jnp.asarray(np.ascontiguousarray(scale))}
+    if not sym:
+        # value(s) = a + b*(s - (k-1)/2) = b*(s - zero)
+        zero = np.broadcast_to(
+            np.float32((k - 1) / 2.0 - a / b).reshape(*lead, 1), (*lead, G))
+        arrays["zeros"] = jnp.asarray(np.ascontiguousarray(zero))
+    # g_idx omitted: sequential-groups stays pytree-structural (see
+    # uniform_linear); sym omits zeros the same way
+    for extra in ("bias", "lora_a", "lora_b"):
         if extra in p.arrays:
-            q[extra] = p[extra]
-    return q
+            arrays[extra] = p[extra]
+    return QLinear("uniform", arrays, bits=p.bits, in_features=n)
 
 
 def concat_rows(linears) -> QLinear:

@@ -87,6 +87,72 @@ def s_step(W: jax.Array, L: jax.Array, T: jax.Array) -> Tuple[jax.Array, jax.Arr
     return Q, Werr
 
 
+@partial(jax.jit, static_argnames=("blk",))
+def s_step_blocked(W: jax.Array, L: jax.Array, T: jax.Array,
+                   blk: int = 128) -> Tuple[jax.Array, jax.Array]:
+    """Blocked S-step: identical math to :func:`s_step`, restructured so the
+    hot loop touches O(m*blk) instead of O(m*n) per column.
+
+    :func:`s_step` recomputes ``r = Werr @ L[:, j-1]`` against the FULL
+    error matrix every column — O(m*n) FLOPs and a full [m, n] HBM read per
+    step, O(m*n^2) traffic overall (12.6 s/iteration measured at the 1B
+    down-proj shape m=2048, n=8192). But ``r_c = sum_{l>c} Werr[:,l] L[l,c]``
+    splits per column block [b0, b1):
+
+      * a TRAILING part from committed blocks ``sum_{l>=b1}`` — one
+        [m, n] x [n, blk] MXU matmul per block (columns < b1 of Werr are
+        still zero, so the full-width dot is exact), and
+      * an IN-BLOCK part maintained incrementally: after assigning column
+        j = b0+t, ``acc += werr_j (outer) L[j, b0:b1]`` — O(m*blk) per
+        column. L is lower-triangular, so rows already processed (c > t)
+        receive only zeros and the diagonal term lands in a slot never
+        read again.
+
+    Same assignment semantics as the reference's per-column backsolve
+    (gptqmodel/quantization/ganq.py:533-567); the restructure is the GPTQ
+    lazy-batch trick applied to GANQ. fp summation ORDER differs from
+    s_step, so near-tie argmins can flip on ~1e-7-relative distances;
+    loss-equivalence is pinned by tests.
+    """
+    m, n = W.shape
+    assert n % blk == 0, (n, blk)
+    nb = n // blk
+
+    def block(Werr, bi_rev):
+        b0 = (nb - 1 - bi_rev) * blk
+        Lcols = jax.lax.dynamic_slice(L, (0, b0), (n, blk))     # [n, blk]
+        Rext = jnp.dot(Werr, Lcols, precision=HIGH)             # [m, blk]
+        Wblk = jax.lax.dynamic_slice(W, (0, b0), (m, blk))
+        Lrows = jax.lax.dynamic_slice(L, (b0, b0), (blk, blk))  # lower-tri
+
+        def col(acc, t):
+            w_j = jax.lax.dynamic_slice(Wblk, (0, t), (m, 1))[:, 0]
+            ldiag = jax.lax.dynamic_slice(Lrows, (t, t), (1, 1))[0, 0]
+            r = (jax.lax.dynamic_slice(Rext, (0, t), (m, 1))[:, 0]
+                 + jax.lax.dynamic_slice(acc, (0, t), (m, 1))[:, 0])
+            eff = w_j + r / ldiag
+            d = jnp.abs(eff[:, None] - T)                       # [m, k]
+            idx = jnp.argmin(d, axis=1).astype(jnp.int32)
+            werr = w_j - jnp.take_along_axis(T, idx[:, None], axis=1)[:, 0]
+            lrow = jax.lax.dynamic_slice(Lrows, (t, 0), (1, blk))[0]
+            acc = acc + werr[:, None] * lrow[None, :]
+            return acc, (idx, werr)
+
+        ts = jnp.arange(blk - 1, -1, -1)
+        _, (idx_seq, werr_seq) = jax.lax.scan(
+            col, jnp.zeros((m, blk), W.dtype), ts)
+        idx_blk = jnp.flip(idx_seq, axis=0).T                   # [m, blk]
+        werr_blk = jnp.flip(werr_seq, axis=0).T
+        Werr = jax.lax.dynamic_update_slice(Werr, werr_blk, (0, b0))
+        return Werr, idx_blk
+
+    Werr, idx_blocks = jax.lax.scan(block, jnp.zeros_like(W),
+                                    jnp.arange(nb))
+    # blocks were produced right-to-left: [nb, m, blk] -> [m, n]
+    Q = jnp.flip(idx_blocks, axis=0).transpose(1, 0, 2).reshape(m, n)
+    return Q, Werr
+
+
 def s_step_reference(W, L, T):
     """Slow, obviously-correct S-step (python loop) for kernel parity tests."""
     W = np.asarray(W, np.float32)

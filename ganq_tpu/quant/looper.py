@@ -456,4 +456,52 @@ def quantize_model(
     return QuantizeOutput(params=params, artifacts=artifacts, log=qlog)
 
 
-__all__ = ["quantize_model", "QuantizeOutput", "QuantizedModule", "ModuleQuantLog"]
+def packed_params(spec: ArchSpec, out: QuantizeOutput) -> Dict[str, Any]:
+    """Realize solver artifacts as packed QLinear leaves on a copy of the
+    fake-quant params — the in-memory equivalent of the save_quantized ->
+    load_quantized round trip (formats/checkpoint.py), so a freshly
+    quantized model can serve through the packed kernel paths (and their
+    recode/certify transforms) without touching disk.
+
+    GANQ artifacts become "lut" linears (codebook + packed 4-bit codes),
+    GPTQ/AutoRound/QQQ become "uniform" linears; biases and EoRA adapters
+    ride along. Reference semantics: pack_model, utils/model.py:552-639.
+    """
+    params = jax.tree_util.tree_map(
+        lambda x: x, out.params,
+        is_leaf=lambda x: isinstance(x, qlinear.QLinear))
+
+    def build(art: QuantizedModule, bias):
+        if art.lut is not None:
+            ql = qlinear.lut_linear(art.lut, art.idx, art.bits, bias)
+        else:
+            ql = qlinear.uniform_linear(art.qidx, art.scale, art.zero,
+                                        art.g_idx, art.bits, bias)
+            if art.scale_extra is not None:
+                ql["scale_extra"] = jnp.asarray(art.scale_extra, jnp.float32)
+        if art.lora_a is not None:
+            ql["lora_a"], ql["lora_b"] = art.lora_a, art.lora_b
+        return ql
+
+    for full, art in out.artifacts.items():
+        if full == spec.lm_head_name:
+            old = params.get("lm_head")
+            if old is None:
+                continue
+            params["lm_head"] = build(art, old.get("bias"))
+            continue
+        rest = full[len(spec.layers_prefix) + 1:]
+        li_s, mod = rest.split(".", 1)
+        slot = spec.module_slots.get(mod)
+        if slot is None:
+            continue
+        old = hf_import.get_module(params, int(li_s), slot)
+        if old is None:
+            continue
+        hf_import.set_module(params, int(li_s), slot,
+                             build(art, old.get("bias")))
+    return params
+
+
+__all__ = ["quantize_model", "packed_params", "QuantizeOutput",
+           "QuantizedModule", "ModuleQuantLog"]

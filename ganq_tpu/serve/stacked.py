@@ -246,10 +246,35 @@ def mega_env_enabled(backend: str, batch: int) -> bool:
     return True
 
 
+def certify_stacked(sp):
+    """Certify grid-representable LUT linears in an ALREADY-STACKED pytree
+    onto the uniform packed path (ops/qlinear.certify_uniform handles the
+    leading layer axis; the packed code planes pass through zero-copy).
+    GANQ ``ganq_codebook="affine"`` checkpoints then ride the megastep
+    kernels at W4 bytes; free-codebook rows leave the pytree unchanged."""
+    from ..ops.qlinear import QLinear, certify_uniform
+
+    def rec(x):
+        if isinstance(x, QLinear) and x.kind == "lut":
+            q = certify_uniform(x)
+            if q is not None:
+                return q
+        return x
+
+    out = dict(sp)
+    for key in ("layers_stacked", "lm_head"):
+        if key in out:
+            out[key] = jax.tree_util.tree_map(
+                rec, out[key], is_leaf=lambda x: isinstance(x, QLinear))
+    return out
+
+
 def prepack(cfg: ModelConfig, sp, backend: str, batch: int):
     """Pre-pack megakernel operands ONCE (outside jit) and attach them to
     the params pytree; greedy_decode picks them up instead of re-packing
     per call. No-op when the megastep path would not engage."""
+    if os.environ.get("GANQ_LUT_AFFINE", "1") != "0":
+        sp = certify_stacked(sp)
     variant = mega_enabled(cfg, sp, backend, batch)
     if variant == "w4" and "megapack4" not in sp:
         from ..ops.megastep4 import megapack4

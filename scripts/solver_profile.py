@@ -44,6 +44,11 @@ def timeit(f, *args, reps=3, **kw):
 
 print(f"shape m={m} n={n}")
 print(f"s_step scan           : {timeit(s_step, W, L, T)*1e3:8.1f} ms")
+from ganq_tpu.quant.ganq import s_step_blocked
+for blk in (128, 256, 512):
+    if n % blk == 0:
+        print(f"s_step blocked b{blk:<4} : "
+              f"{timeit(s_step_blocked, W, L, T, blk=blk)*1e3:8.1f} ms")
 try:
     from ganq_tpu.ops.ganq_solver import s_step_fits, s_step_pallas
     if s_step_fits(m, n):

@@ -130,6 +130,7 @@ def test_w8_recode_ppl_delta_negligible(rng):
     unquantified on ppl')."""
     import jax
     from ganq_tpu.ops.qlinear import QLinear, recode_w8
+    from ganq_tpu.quant.looper import packed_params
 
     m = _model(seed=21)
     cfg, p_fp = hf_import.params_from_torch_model(m)
@@ -143,12 +144,25 @@ def test_w8_recode_ppl_delta_negligible(rng):
         bits=4, quant_method="ganq", ganq_iterations=3,
         act_sort="asc", l_damp_style="ganq", dead="mean"), batches)
 
-    ppl_exact = _ppl(cfg, out.params, held_out)
+    # packed LUT artifacts (quant.looper.packed_params) — NOT out.params,
+    # whose leaves are fake-quant dense (the original version of this test
+    # mapped recode_w8 over dense leaves, a no-op: it compared a model to
+    # itself; round 3 made it a real A/B)
+    p_lut = packed_params(spec, out)
+    n_lut = sum(isinstance(x, QLinear) and x.kind == "lut"
+                for x in jax.tree_util.tree_leaves(
+                    p_lut, is_leaf=lambda x: isinstance(x, QLinear)))
+    assert n_lut > 0
+    ppl_exact = _ppl(cfg, p_lut, held_out)
     p_rec = jax.tree_util.tree_map(
-        lambda x: recode_w8(x) if isinstance(x, QLinear) else x, out.params,
+        lambda x: recode_w8(x) if isinstance(x, QLinear) else x, p_lut,
         is_leaf=lambda x: isinstance(x, QLinear))
+    n_w8 = sum(isinstance(x, QLinear) and x.kind == "w8"
+               for x in jax.tree_util.tree_leaves(
+                   p_rec, is_leaf=lambda x: isinstance(x, QLinear)))
+    assert n_w8 == n_lut
     ppl_rec = _ppl(cfg, p_rec, held_out)
-    # recorded 2026-08-19: |delta| ~ 1e-3 at this scale; 0.05 is ~50x slack
+    # recorded 2026-08-20 (real A/B): |delta| ~ 2e-3 at this scale
     assert abs(ppl_rec - ppl_exact) < 0.05, (ppl_exact, ppl_rec)
 
 
@@ -233,3 +247,62 @@ def test_rotation_ppl_envelope(rng):
     d_rot = res["hadamard"] - ppl_fp
     assert d_plain < 2.4  # 3x recorded +0.794
     assert d_rot < 2.0 * max(d_plain, 0.2), (d_plain, d_rot)
+
+
+def test_affine_codebook_whole_model_ab(rng):
+    """Whole-model A/B of the affine-constrained GANQ codebook
+    (ganq_codebook="affine_sym" -> quant/ganq.t_step_affine, the solve-time
+    certified W4 recode of VERDICT r2 #1b) vs the free 16-entry codebook,
+    plus the end-to-end losslessness of the serve-side certification
+    (ops/qlinear.certify_uniform): the certified-uniform params must give
+    the SAME held-out ppl as the LUT artifact they recode."""
+    import jax
+    from ganq_tpu.ops.qlinear import QLinear, certify_uniform
+    from ganq_tpu.quant.looper import packed_params
+
+    m = _model(seed=41)
+    cfg, p_fp = hf_import.params_from_torch_model(m)
+    _, p1 = hf_import.params_from_torch_model(m)
+    _, p2 = hf_import.params_from_torch_model(m)
+    spec = get_spec("llama")
+    calib_ids = _sample_from_model(cfg, p_fp, n_seqs=4, seed=27)
+    held_out = _sample_from_model(cfg, p_fp, n_seqs=6, seed=271).reshape(-1)
+    batches = [calib_ids[i:i + 2] for i in range(0, 4, 2)]
+
+    kw = dict(bits=4, quant_method="ganq", ganq_iterations=3,
+              act_sort="asc", l_damp_style="ganq", dead="mean")
+    out_free = quantize_model(cfg, p1, spec, QuantizeConfig(**kw), batches)
+    out_aff = quantize_model(cfg, p2, spec, QuantizeConfig(
+        ganq_codebook="affine_sym", **kw), batches)
+
+    # every affine LUT artifact must certify onto the uniform packed path
+    p_lut = packed_params(spec, out_aff)
+    n_lut = n_cert = 0
+    for leaf in jax.tree_util.tree_leaves(
+            p_lut, is_leaf=lambda x: isinstance(x, QLinear)):
+        if isinstance(leaf, QLinear) and leaf.kind == "lut":
+            n_lut += 1
+            q = certify_uniform(leaf)
+            if q is not None:
+                n_cert += 1
+                assert "zeros" not in q.arrays  # sym -> megastep-eligible
+    assert n_lut > 0 and n_cert == n_lut, (n_lut, n_cert)
+
+    ppl_fp = _ppl(cfg, p_fp, held_out)
+    ppl_free = _ppl(cfg, out_free.params, held_out)
+    ppl_aff = _ppl(cfg, out_aff.params, held_out)
+    ppl_lut = _ppl(cfg, p_lut, held_out)              # packed exact-LUT path
+    p_cert = jax.tree_util.tree_map(
+        lambda x: (certify_uniform(x) or x) if isinstance(x, QLinear) else x,
+        p_lut, is_leaf=lambda x: isinstance(x, QLinear))
+    ppl_cert = _ppl(cfg, p_cert, held_out)
+
+    # (1) certification is lossless end-to-end (bf16 codeword storage only):
+    # the certified-uniform serving params match the packed LUT artifact
+    assert abs(ppl_cert - ppl_lut) < 0.02, (ppl_lut, ppl_cert)
+    assert abs(ppl_lut - ppl_aff) < 0.02, (ppl_aff, ppl_lut)
+    # (2) the constraint's accuracy price is bounded: the affine grid may
+    # not blow up the KL-induced delta vs the free codebook
+    d_free = max(ppl_free - ppl_fp, 1e-3)
+    d_aff = ppl_aff - ppl_fp
+    assert d_aff <= max(3.0 * d_free, 0.5), (ppl_fp, ppl_free, ppl_aff)

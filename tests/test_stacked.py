@@ -63,3 +63,63 @@ def test_stacked_sliding_window_matches_unrolled(rng):
     ref_full = engine.Engine(full, params, max_seq=32).generate(
         prompt, max_new_tokens=8)
     assert not np.array_equal(ref, ref_full)
+
+
+def test_stacked_lut_affine_certifies_to_uniform(rng):
+    """An affine-grid LUT stacked model (what a ganq_codebook="affine"
+    solve emits) certifies onto the packed uniform path with the code
+    planes passing through zero-copy, and the recode is lossless up to
+    the bf16 codebook storage rounding (<= 2^-7 relative)."""
+    from ganq_tpu.ops.qlinear import dequantize_weight
+
+    cfg = synthetic.llama_config(hidden=128, inter=256, layers=2, heads=1,
+                                 kv_heads=1, vocab=256, max_pos=64)
+    sp = synthetic.make_stacked_model(cfg, kind="lut_affine", seed=4)
+    cert = stacked.certify_stacked(sp)
+    for path in (("attn", "qkv"), ("attn", "o"), ("mlp", "gateup"),
+                 ("mlp", "down")):
+        lut_m = sp["layers_stacked"][path[0]][path[1]]
+        uni_m = cert["layers_stacked"][path[0]][path[1]]
+        assert lut_m.kind == "lut" and uni_m.kind == "uniform"
+        # zero-copy: the packed code plane is the SAME buffer
+        assert uni_m["qweight"] is lut_m["idx_packed"]
+        for i in range(cfg.num_hidden_layers):
+            wl = np.asarray(dequantize_weight(
+                type(lut_m)(lut_m.kind,
+                            {k: v[i] for k, v in lut_m.arrays.items()},
+                            lut_m.bits, lut_m.in_features)), np.float32)
+            wu = np.asarray(dequantize_weight(
+                type(uni_m)(uni_m.kind,
+                            {k: v[i] for k, v in uni_m.arrays.items()},
+                            uni_m.bits, uni_m.in_features)), np.float32)
+            scale = np.abs(wl).max() + 1e-30
+            assert np.abs(wl - wu).max() / scale < 2.0 ** -7
+
+
+def test_stacked_lut_affine_decode_rides_megastep(rng, monkeypatch):
+    """prepack on a lut_affine_sym model (a ganq_codebook="affine_sym"
+    artifact) certifies in place and the decode routes through a W4
+    megastep variant; tokens agree with the exact-LUT reference decode
+    (GANQ_LUT_AFFINE=0). Asymmetric affine grids certify too (see above)
+    but carry zeros, which the sym-only megastep gate rejects."""
+    monkeypatch.setenv("GANQ_MEGASTEP", "1")
+    cfg = synthetic.llama_config(hidden=256, inter=512, layers=2, heads=2,
+                                 kv_heads=1, vocab=512, max_pos=128)
+    B, prompt_len, steps, T = 2, 8, 4, 64
+    sp = synthetic.make_stacked_model(cfg, kind="lut_affine_sym", seed=5)
+    ids = jnp.asarray(rng.integers(0, cfg.vocab_size, size=(B, prompt_len)),
+                      jnp.int32)
+
+    spp = stacked.prepack(cfg, sp, "reference", B)
+    assert stacked.mega_enabled(cfg, spp, "reference", B) in ("w4", "w4p")
+    ck, cv = stacked.init_cache(cfg, cfg.num_hidden_layers, B, T)
+    toks = np.asarray(stacked.greedy_decode(cfg, spp, ck, cv, ids, steps,
+                                            "reference"))
+
+    monkeypatch.setenv("GANQ_MEGASTEP", "0")
+    monkeypatch.setenv("GANQ_LUT_AFFINE", "0")
+    ck, cv = stacked.init_cache(cfg, cfg.num_hidden_layers, B, T)
+    ref = np.asarray(stacked.greedy_decode(cfg, sp, ck, cv, ids, steps,
+                                           "reference"))
+    agree = (toks == ref).mean()
+    assert agree >= 0.9, f"token agreement {agree:.2f}\n{toks}\n{ref}"
