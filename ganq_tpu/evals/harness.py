@@ -99,12 +99,14 @@ class GanqLM:
                 return out
 
             def loglikelihood_rolling(self, requests):
+                # returns List[float] (lm_eval.api.model.LM contract; the
+                # 0.3.x tuple convention is gone — see evals/lm_eval_vendor)
                 out = []
                 for req in requests:
                     (text,) = req.args
                     ids = self.tok(text)["input_ids"]
                     ll, _ = sequence_loglikelihood(self.m, ids[:1], ids[1:])
-                    out.append((ll,))
+                    out.append(ll)
                 return out
 
             def generate_until(self, requests):
