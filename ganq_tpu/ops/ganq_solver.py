@@ -173,4 +173,166 @@ def s_step_fits(m: int, n: int, block_m: int = 256) -> bool:
             and m % 128 == 0 and n % 8 == 0)
 
 
-__all__ = ["s_step_pallas", "s_step_fits"]
+# --------------------------------------------------- blocked-pipeline kernel
+def _sstep_blk_kernel(wt_ref, tt_ref, lband_ref, band8_ref, lt_ref,
+                      qt_ref, werrt_ref, r_ref, acc_ref, *, blk: int,
+                      nb: int, prec):
+    """One column block of the blocked S-step (grid = (m-tiles, col-blocks
+    right-to-left), every operand auto-pipelined by BlockSpec — the round-2
+    kernel's manual start();wait() DMAs were the measured bottleneck, not
+    the math; see scripts/sstep_isolate2.py).
+
+    Math (same assignments as quant/ganq.s_step): per column j = b0+t,
+    ``r_j = R[j] + (in-block corrections)`` where the scratch
+    ``R[c] = sum_{l >= b1} Werr[l] L[l, c]`` accumulates each finished
+    block's contribution to every remaining column via ONE MXU matmul
+    ``R += L[b0:b1, :]^T @ Werr[b0:b1]``. The in-block walk runs in
+    8-column sub-blocks: within a sub-block the <=7 corrections are
+    statically-unrolled scalar FMAs; each finished sub-block pushes its
+    contribution to the rest of the block with one [8, blk] x [8, TM]
+    mini-dot — O(blk) unrolled statements instead of O(blk^2), which keeps
+    Mosaic compile time sane at blk = 128. All L coefficients are scalar
+    reads, all row reads/writes static — no dynamic lane indexing.
+    """
+    tm = wt_ref.shape[1]
+    f32 = jnp.float32
+    bi = pl.program_id(1)
+
+    @pl.when(bi == 0)
+    def _():
+        r_ref[:] = jnp.zeros_like(r_ref)
+
+    base = (nb - 1 - bi) * blk
+    # Every row/scalar below slices its REF directly — materializing whole
+    # blocks as values ([blk, TM] = 128 KB) spills the vector register
+    # file and cost ~9 ms/step in the first cut. Rows in flight are staged
+    # through the OUTPUT refs (VMEM-resident until step end), not values.
+    # The sub-block walk is a fori_loop (dynamic sb) so the unrolled body
+    # is 8 columns, not blk — Mosaic compile time at blk=128 was ~7 min
+    # with a fully-unrolled block. Same-sub-block L coefficients come from
+    # the band8 operand (band8[j, o] = L[j+o, j], lanes STATIC) because a
+    # dynamic lane index into L is not expressible.
+    acc_ref[:] = jnp.zeros_like(acc_ref)            # in-block corrections
+
+    def sub_block(sbo, carry):
+        sb = blk // 8 - 1 - sbo
+        j0 = sb * 8
+        for t in range(7, -1, -1):
+            r = (r_ref[pl.ds(base + j0 + t, 1), :]
+                 + acc_ref[pl.ds(j0 + t, 1), :])
+            for tp in range(t + 1, 8):              # same-sub-block terms
+                # L[b0+j0+tp, b0+j0+t] = band8[b0+j0+t, tp-t]
+                r = r + (band8_ref[pl.ds(base + j0 + t, 1), :][0, tp - t]
+                         * werrt_ref[pl.ds(j0 + tp, 1), :])
+            wrow = wt_ref[pl.ds(j0 + t, 1), :]
+            eff = wrow + r / band8_ref[pl.ds(base + j0 + t, 1), :][0, 0]
+            dmin = jnp.abs(eff - tt_ref[0:1, :])
+            val = tt_ref[0:1, :]
+            code = jnp.zeros((1, tm), f32)
+            for s in range(1, 16):
+                d = jnp.abs(eff - tt_ref[s:s + 1, :])
+                better = (d < dmin).astype(f32)
+                dmin = dmin + better * (d - dmin)
+                val = val + better * (tt_ref[s:s + 1, :] - val)
+                code = code + better * (s - code)
+            werrt_ref[pl.ds(j0 + t, 1), :] = wrow - val
+            qt_ref[pl.ds(j0 + t, 1), :] = code.astype(jnp.int32)
+        # push the finished sub-block onto every remaining in-block column:
+        # acc[c] += sum_t L[b0+j0+t, b0+c] * werr[j0+t]. Columns >= the
+        # sub-block get zeros (L lower-tri) or pollute finished slots.
+        acc_ref[:] += jax.lax.dot_general(
+            lband_ref[pl.ds(j0, 8), :],
+            werrt_ref[pl.ds(j0, 8), :], (((0,), (0,)), ((), ())),
+            preferred_element_type=f32, precision=prec)
+        return carry
+
+    jax.lax.fori_loop(0, blk // 8, sub_block, jnp.int32(0))
+
+    # push this block's contribution to every remaining (left) column:
+    # R[c] += sum_t L[b0+t, c] * werr[t]  ==  L^T[:, b0:b1] @ werr_blk.
+    # Rows >= b0 get polluted (L upper part is zero except the block's own
+    # lower-tri, whose columns are never read again) — harmless.
+    r_ref[:] += jax.lax.dot_general(
+        lt_ref[:], werrt_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=f32, precision=prec)
+
+
+@functools.partial(jax.jit, static_argnames=("block_m", "blk", "precision"))
+def s_step_blocked_pallas(W: jax.Array, L: jax.Array, T: jax.Array,
+                          block_m: int = 256, blk: int = 128,
+                          precision: str = "highest"):
+    """Blocked-pipeline S-step. W [m, n] f32, L [n, n] lower-tri f32,
+    T [m, 16] f32 -> (Q [m, n] int32, Werr [m, n] f32).
+
+    The production GANQ S-step (quant/ganq.ganq_quantize auto-selects it
+    via :func:`s_step_blocked_fits`): ~40x the lax.scan path at the 1B
+    down-proj shape on this runtime (scan pays ~0.6 ms of dispatch per
+    column; here the whole chain runs in-kernel and the only O(m n^2) work
+    is MXU matmuls). Matches the reference backsolve semantics
+    (gptqmodel/quantization/ganq.py:533-567, the Metal compute_s design
+    39-270) with fp-identical-in-practice assignments (parity-tested).
+    """
+    m, n = W.shape
+    assert n % blk == 0, (n, blk)
+    nb = n // blk
+    tm = _pick_tile(m, (block_m, 256, 128))
+    prec = (jax.lax.Precision.HIGHEST if precision == "highest"
+            else jax.lax.Precision.DEFAULT)
+    Lf = L.astype(jnp.float32)
+    # band8[j, o] = L[j+o, j] (o in 0..7): the same-sub-block coefficient
+    # table, lane-static (see kernel docstring)
+    band8 = jnp.stack(
+        [jnp.pad(jnp.diagonal(Lf, offset=-o), (0, o)) for o in range(8)],
+        axis=1)
+    kern = functools.partial(_sstep_blk_kernel, blk=blk, nb=nb, prec=prec)
+    qt, werrt = pl.pallas_call(
+        kern,
+        grid=(m // tm, nb),
+        in_specs=[
+            # W^T block for column-block bi (right-to-left), m-tile mi
+            pl.BlockSpec((blk, tm), lambda mi, bi: (nb - 1 - bi, mi)),
+            pl.BlockSpec((16, tm), lambda mi, bi: (0, mi)),
+            # L[b0:b1, b0:b1] lower-tri band
+            pl.BlockSpec((blk, blk),
+                         lambda mi, bi: (nb - 1 - bi, nb - 1 - bi)),
+            # band8[j, o] = L[j+o, j] — same-sub-block coefficients with a
+            # STATIC lane index (dynamic lanes are not expressible)
+            pl.BlockSpec((n, 8), lambda mi, bi: (0, 0)),
+            # L^T[:, b0:b1] for the R-update matmul
+            pl.BlockSpec((n, blk), lambda mi, bi: (0, nb - 1 - bi)),
+        ],
+        out_specs=[
+            pl.BlockSpec((blk, tm), lambda mi, bi: (nb - 1 - bi, mi)),
+            pl.BlockSpec((blk, tm), lambda mi, bi: (nb - 1 - bi, mi)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n, m), jnp.int32),
+            jax.ShapeDtypeStruct((n, m), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((n, tm), jnp.float32),
+                        pltpu.VMEM((blk, tm), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m * n * n,
+            bytes_accessed=m * n * 4 * 3 + n * n * 4 * (m // tm),
+            transcendentals=0,
+        ),
+    )(W.T.astype(jnp.float32), T.T.astype(jnp.float32), Lf, band8, Lf.T)
+    return qt.T, werrt.T
+
+
+def s_step_blocked_fits(m: int, n: int, block_m: int = 256,
+                        blk: int = 128) -> bool:
+    """Eligibility for :func:`s_step_blocked_pallas`: lane/sublane-tileable
+    shapes (blk = 128 — every operand's lane dim is a column block) and the
+    [n, TM] + [n, blk] VMEM residents within budget."""
+    tm = _pick_tile(m, (block_m, 256, 128))
+    vmem = tm * n * 4 + n * blk * 4 * 2 + 4 * blk * tm * 4
+    return (blk == 128 and n % blk == 0 and m % 128 == 0 and n >= 2 * blk
+            and vmem < 90 * 1024 * 1024)
+
+
+__all__ = ["s_step_pallas", "s_step_fits", "s_step_blocked_pallas",
+           "s_step_blocked_fits"]

@@ -765,6 +765,8 @@ def megastep4_reference(x, lw_list, k_cache, v_cache, pos, cos_half,
             1e-12)
         a8 = jnp.clip(jnp.round(attn / sa), -127, 127).reshape(B, q_dim)
         o = (a8 @ lw["o_w"].T) * sa[:, :, 0]
+        if lw.get("o_bias") is not None:
+            o = o + lw["o_bias"][None, :]
         y1 = xf + o
         kns.append(k_new.reshape(B, kv_dim).astype(jnp.bfloat16))
         vns.append(v_new.reshape(B, kv_dim).astype(jnp.bfloat16))
@@ -781,6 +783,10 @@ def megastep4_reference(x, lw_list, k_cache, v_cache, pos, cos_half,
         for t0 in range(0, I, ti):
             g = (x8m.astype(f32) @ lw["gate_w"][t0:t0 + ti].T) * sxm
             u = (x8m.astype(f32) @ lw["up_w"][t0:t0 + ti].T) * sxm
+            if lw.get("gate_bias") is not None:
+                g = g + lw["gate_bias"][t0:t0 + ti][None, :]
+            if lw.get("up_bias") is not None:
+                u = u + lw["up_bias"][t0:t0 + ti][None, :]
             if act == "silu":
                 a = jax.nn.silu(g) * u
             elif act == "gelu_tanh":
@@ -789,6 +795,8 @@ def megastep4_reference(x, lw_list, k_cache, v_cache, pos, cos_half,
                 a = jax.nn.gelu(g, approximate=False) * u
             a8m, sam = _quant_rows(a)
             out = out + (a8m.astype(f32) @ lw["down_w"][:, t0:t0 + ti].T) * sam
+        if lw.get("down_bias") is not None:
+            out = out + lw["down_bias"][None, :]
         xs = (y1 + out).astype(x.dtype)
     return xs, jnp.stack(kns), jnp.stack(vns)
 

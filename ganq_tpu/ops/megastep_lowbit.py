@@ -166,10 +166,16 @@ def _megastep_lb_kernel(pos_ref, x_ref, anw_ref, mnw_ref,
                         gs: int, L: int, eps: float, rms_offset: float,
                         scale: float, act: str, bits: int,
                         ptq: int = 1, ptg: int = 1, gtp8k: int = 8,
-                        NV: int = 0):
+                        NV: int = 0, with_bias: bool = False):
+    # optional-operand layout: with_bias adds 3 inputs (o/gate-up/down
+    # biases — only streamed for models that HAVE them, VERDICT r2 #4c);
     # trailing-unembed mode adds 3 inputs (lm weights/scales, final norm)
     # and one output (logits); the grid is flat 1-D (L*P layer steps, then
     # NV vocab steps) so the lm_head tiles stream ONCE, not per layer
+    ob_ref = gub_ref = dnb_ref = None
+    if with_bias:
+        ob_ref, gub_ref, dnb_ref = rest[:3]
+        rest = rest[3:]
     if NV:
         (lmw_ref, lms_ref, fnw_ref, y_ref, kn_ref, vn_ref, lg_ref,
          x_s, x8_s, sx_s, qkv_s, acc_s, m_s, l_s, a8_s, ma_s) = rest
@@ -337,7 +343,8 @@ def _megastep_lb_kernel(pos_ref, x_ref, anw_ref, mnw_ref,
             bg = ow_ref[0, :, g * gs:(g + 1) * gs]       # [NP*tFo, gs]
             dd, S = group_dot(xs, [(bg, tFo)])
             o += fields_y(dd, S, tFo, os_ref[0, g])
-        x_s[:] += (o * sa)[:B]
+        x_s[:] += ((o * sa)[:B] + ob_ref[0] if with_bias
+                   else (o * sa)[:B])
         xf = x_s[:]
         var = jnp.mean(xf * xf, axis=1, keepdims=True)
         xf = xf * jax.lax.rsqrt(var + eps) * (
@@ -368,6 +375,10 @@ def _megastep_lb_kernel(pos_ref, x_ref, anw_ref, mnw_ref,
                                gus_ref[0, g, o2 + ti:o2 + 2 * ti], off=nd)
             gv = gv * sx_s[:B, :1]
             uv = uv * sx_s[:B, :1]
+            if with_bias:
+                o2b = sub * 2 * ti
+                gv = gv + gub_ref[0, :, o2b:o2b + ti]
+                uv = uv + gub_ref[0, :, o2b + ti:o2b + 2 * ti]
             if act == "silu":
                 a = jax.nn.silu(gv) * uv
             elif act == "gelu_tanh":
@@ -387,7 +398,7 @@ def _megastep_lb_kernel(pos_ref, x_ref, anw_ref, mnw_ref,
 
     @pl.when(p == O_STEP + NGS)
     def _():
-        x_s[:] += ma_s[:]
+        x_s[:] += (ma_s[:] + dnb_ref[0] if with_bias else ma_s[:])
 
         @pl.when(lix == L - 1)
         def _():
@@ -581,6 +592,21 @@ def megastep_lowbit_decode(x: jax.Array, mp: Dict[str, jax.Array],
                      lambda t, s: (_l(t), gi(t, s), 0),
                      memory_space=pltpu.VMEM),
     ]
+    with_bias = "o_bias" in mp
+    bias_ops = []
+    if with_bias:
+        # o / gate+up / down biases — operands exist only for models that
+        # have them (megapack_lowbit gates the keys)
+        in_specs += [
+            pl.BlockSpec((1, 1, H), lambda t, s: (_l(t), 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, ptg * 2 * ti),
+                         lambda t, s: (_l(t), 0, gi(t, s)),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, H), lambda t, s: (_l(t), 0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        bias_ops = [mp["o_bias"], mp["gu_bias"], mp["dn_bias"]]
     out_specs = [
         pl.BlockSpec((B, H), lambda t, s: (0, 0),
                      memory_space=pltpu.VMEM),
@@ -633,7 +659,7 @@ def megastep_lowbit_decode(x: jax.Array, mp: Dict[str, jax.Array],
             _megastep_lb_kernel, B=B, d=d, Hq=Hq, Hkv=Hkv, qpk=qpk, NQ=NQ,
             NT=NT, NG=NG, Tb=Tb, tq=tq, ti=ti, gs=gs, L=L, eps=eps,
             rms_offset=rms_offset, scale=scale, act=act, bits=bits,
-            ptq=ptq, ptg=ptg, gtp8k=gtp8, NV=NV),
+            ptq=ptq, ptg=ptg, gtp8k=gtp8, NV=NV, with_bias=with_bias),
         grid_spec=grid_spec,
         out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
@@ -652,7 +678,7 @@ def megastep_lowbit_decode(x: jax.Array, mp: Dict[str, jax.Array],
       cos_t, sin_t, R,
       k_cache, v_cache, mp["o_pk"], mp["o_s"],
       mp["gu_pk"], mp["gu_pk"], mp["gu_s"], mp["dn_pk"], mp["dn_s"],
-      *lm_ops)
+      *bias_ops, *lm_ops)
     return tuple(out)
 
 
@@ -741,7 +767,7 @@ def megapack_lowbit(cfg, sp: Dict[str, Any], bits: int = 3
     bias = qkv.arrays.get("bias")
     if bias is None:
         bias = jnp.zeros((L, Dq_all), jnp.float32)
-    return {
+    out = {
         "qkv_pk": qkv_pk, "qkv_s": qsc,
         "o_pk": o_pk, "o_s": osc,
         "gu_pk": jnp.concatenate([gate_pk, up_pk], axis=1), "gu_s": gu_s,
@@ -752,6 +778,28 @@ def megapack_lowbit(cfg, sp: Dict[str, Any], bits: int = 3
         "mlp_norm": ls["post_norm"]["weight"].astype(
             jnp.float32).reshape(L, 1, H),
     }
+    # o/gate-up/down biases stream into the kernel as extra operands ONLY
+    # when the model has any (VERDICT r2 #4c); bias-free models compile
+    # the leaner program
+    if any("bias" in mod.arrays for mod in (o, gu, dn)):
+        def _bias3(mod, width):
+            b = mod.arrays.get("bias")
+            if b is None:
+                b = jnp.zeros((L, width), jnp.float32)
+            return jnp.asarray(b, jnp.float32).reshape(L, 1, width)
+
+        # gate/up bias rearranged tile-major like gu_s: [gate_t | up_t]
+        gub = gu.arrays.get("bias")
+        if gub is None:
+            gub = jnp.zeros((L, 2 * I), jnp.float32)
+        gub = jnp.asarray(gub, jnp.float32)
+        out["o_bias"] = _bias3(o, H)
+        out["gu_bias"] = jnp.concatenate(
+            [gub[:, a * I + t * ti:a * I + (t + 1) * ti]
+             for t in range(I // ti) for a in (0, 1)],
+            axis=1).reshape(L, 1, 2 * I)
+        out["dn_bias"] = _bias3(dn, H)
+    return out
 
 
 def mega_lm_operands(cfg, sp: Dict[str, Any], max_tile_bytes: int = 4 * 1024 * 1024):
@@ -812,8 +860,8 @@ def megastep_lowbit_fusable(cfg, sp: Dict[str, Any], bits: int) -> bool:
         return False
     if any("g_idx" in m.arrays or "lora_a" in m.arrays for m in mats):
         return False
-    if any("bias" in m.arrays for m in (o, gu, dn)):
-        return False
+    # biases on any projection are streamed into the kernel (zeros
+    # otherwise) — no gate needed (VERDICT r2 #4c)
     gss = set()
     for m in mats:
         if "zeros" in m.arrays:           # sym only (structural, as in W4)

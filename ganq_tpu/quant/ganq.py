@@ -220,10 +220,11 @@ def _h_terms(H: jax.Array, fast):
     return _split_f32_bf16(H), jax.lax.Precision.DEFAULT
 
 
-@partial(jax.jit, static_argnames=("k", "row_chunk", "fast"))
+@partial(jax.jit, static_argnames=("k", "row_chunk", "fast", "stats",
+                                   "snap8"))
 def t_step(WH: jax.Array, H: jax.Array, Q: jax.Array, k: int,
            row_chunk: int = 256, rcond: float = 16 * 1.19e-7,
-           fast=False) -> jax.Array:
+           fast=False, stats: bool = False, snap8: bool = False):
     """Codebook refit: T[i] = (WH S_i^T) (S_i H S_i^T)^+ per row.
 
     Min-norm pseudo-inverse via symmetric eigh with a gelsd-style relative
@@ -236,6 +237,15 @@ def t_step(WH: jax.Array, H: jax.Array, Q: jax.Array, k: int,
     VERDICT r2 #2); ``"bf16"`` (QuantizeConfig.hessian_dtype="bfloat16")
     trades H to 8 mantissa bits for one fewer pass; ``"strict"`` is the
     6-pass HIGHEST oracle. The 16x16 solves stay f32 in all modes.
+
+    ``stats=True`` returns ``(T, rel)`` where ``rel = sum_r(-2 t_r y_r +
+    t_r A_r t_r)`` — the quadratic loss minus the iteration-constant
+    tr(W H W^T), computed from the ALREADY-BUILT normal operands. The
+    alternating loop tracks best-(T, Q) with this instead of a dense
+    O(m n^2) quad_loss evaluation + host sync per iteration (the round-3
+    quantization-throughput fix). ``snap8=True`` snaps t onto the per-row
+    int8 grid INSIDE the chunk (codebook="lut8") so rel scores the
+    snapped codebook actually kept.
     """
     m, n = Q.shape
     pad = (-m) % row_chunk
@@ -251,17 +261,29 @@ def t_step(WH: jax.Array, H: jax.Array, Q: jax.Array, k: int,
         inv = jnp.where(lam > cutoff, 1.0 / jnp.where(lam > cutoff, lam, 1.0), 0.0)
         # T = WHST @ V diag(inv) V^T
         t = jnp.einsum("ra,rab,rb,rcb->rc", WHST, V, inv, V, precision=HIGH)
-        return t
+        if snap8:
+            b = jnp.maximum(jnp.max(jnp.abs(t), axis=1, keepdims=True),
+                            1e-30) / 127.0
+            t = jnp.clip(jnp.round(t / b), -127, 127) * b
+        if not stats:
+            return t
+        rel = (jnp.einsum("ra,rab,rb->", t, SHST, t, precision=HIGH)
+               - 2.0 * jnp.sum(t * WHST))
+        return t, rel
 
     chunks = (Qp.reshape(-1, row_chunk, n), WHp.reshape(-1, row_chunk, n))
-    T = jax.lax.map(solve_chunk, chunks).reshape(-1, k)
-    return T[:m]
+    out = jax.lax.map(solve_chunk, chunks)
+    if not stats:
+        return out.reshape(-1, k)[:m]
+    T, rels = out
+    return T.reshape(-1, k)[:m], jnp.sum(rels)
 
 
-@partial(jax.jit, static_argnames=("k", "row_chunk", "fast", "sym"))
+@partial(jax.jit, static_argnames=("k", "row_chunk", "fast", "sym",
+                                   "stats"))
 def t_step_affine(WH: jax.Array, H: jax.Array, Q: jax.Array, k: int,
                   row_chunk: int = 256, fast=False,
-                  sym: bool = False) -> jax.Array:
+                  sym: bool = False, stats: bool = False):
     """Affine-constrained codebook refit: ``T[r, s] = a_r + b_r (s - c)``
     with center ``c = 2^(bits-1)`` — the per-row 4-bit *grid* that serves
     losslessly through the uniform megastep kernels at W4 bytes (the
@@ -307,11 +329,21 @@ def t_step_affine(WH: jax.Array, H: jax.Array, Q: jax.Array, k: int,
             a = jnp.where(ok, (bb * y1 - ab * yu) / safe,
                           y1 / jnp.maximum(aa, eps))
             b = jnp.where(ok, (aa * yu - ab * y1) / safe, 0.0)
-        return a[:, None] + b[:, None] * u[None, :]
+        t = a[:, None] + b[:, None] * u[None, :]
+        if not stats:
+            return t
+        # rel loss from the same normal operands (see t_step stats):
+        # t A t = a^2 1A1 + 2ab 1Au + b^2 uAu ; t.y = a y1 + b yu
+        rel = jnp.sum(a * a * aa + 2.0 * a * b * ab + b * b * bb
+                      - 2.0 * (a * y1 + b * yu))
+        return t, rel
 
     chunks = (Qp.reshape(-1, row_chunk, n), WHp.reshape(-1, row_chunk, n))
-    T = jax.lax.map(solve_chunk, chunks).reshape(-1, k)
-    return T[:m]
+    out = jax.lax.map(solve_chunk, chunks)
+    if not stats:
+        return out.reshape(-1, k)[:m]
+    T, rels = out
+    return T.reshape(-1, k)[:m], jnp.sum(rels)
 
 
 @jax.jit
@@ -369,26 +401,37 @@ def ganq_quantize(W: jax.Array, H: jax.Array, qcfg: QuantizeConfig,
     Hd = prep.Xxt_damped
     WH = jnp.dot(prep.W, Hd, precision=HIGH)  # constant across iterations
 
-    # fused Pallas S-step: measured on-chip (scripts/sstep_ab.py,
-    # 2026-08-19) it beats the XLA scan by only 1.08-1.14x at 2048^2 /
-    # 4096x1024 — the per-column sequential dependency dominates both.
-    # auto therefore prefers the XLA scan (identical indices, parity-
-    # tested); "pallas" stays available as an explicit opt-in.
-    use_pallas = qcfg.solver_backend == "pallas"
-    if use_pallas:
-        from ..ops.ganq_solver import s_step_fits, s_step_pallas
+    # S-step backend (round-3 re-measurement, scripts/solver_profile.py
+    # with ON-DEVICE reduction barriers — round 2's host-fetch barriers
+    # were dominated by the ~40 MB/s tunnel transfer of the [m, n]
+    # outputs and mis-ranked every implementation):
+    #   blocked-pipeline Pallas kernel (ops/ganq_solver.
+    #   s_step_blocked_pallas): 65-79 ms at the 1B module shapes vs the
+    #   XLA scan's 133-333 ms — 2-5x, exact index parity. auto uses it
+    #   whenever shapes tile; "jax" pins the scan; "pallas" pins the
+    #   legacy whole-column kernel (kept for A/Bs).
+    backend = qcfg.solver_backend
+    use_blocked = use_pallas = False
+    if backend == "pallas":
+        from ..ops.ganq_solver import s_step_fits
         use_pallas = s_step_fits(m, n)
+    elif backend != "jax" and jax.default_backend() != "cpu":
+        from ..ops.ganq_solver import s_step_blocked_fits
+        use_blocked = s_step_blocked_fits(m, n)
 
     fast_t = {"bfloat16": "bf16", "float32_strict": "strict"}.get(
         qcfg.hessian_dtype, False)
     codebook = getattr(qcfg, "ganq_codebook", "free")
 
     def refit(Q):
+        """(T, rel) — rel = quad loss minus the constant tr(W H W^T),
+        computed from the T-step's own normal operands (no extra O(m n^2)
+        pass, no host sync; see t_step stats)."""
         if codebook in ("affine", "affine_sym"):
             return t_step_affine(WH, Hd, Q, k, fast=fast_t,
-                                 sym=codebook == "affine_sym")
-        Tn = t_step(WH, Hd, Q, k, fast=fast_t)
-        return snap_lut8(Tn) if codebook == "lut8" else Tn
+                                 sym=codebook == "affine_sym", stats=True)
+        return t_step(WH, Hd, Q, k, fast=fast_t, stats=True,
+                      snap8=codebook == "lut8")
 
     if codebook in ("affine", "affine_sym"):
         # minmax grid init: the uniform quantizer's per-row grid covers
@@ -409,26 +452,43 @@ def ganq_quantize(W: jax.Array, H: jax.Array, qcfg: QuantizeConfig,
     elif codebook == "lut8":
         T = snap_lut8(T)
 
-    best = (float("inf"), T, None)
+    # best-(T, Q) tracking stays ON DEVICE: per-iteration relative losses
+    # come from the T-step's normal operands and the best pair is kept
+    # with jnp.where selects — the whole K-round alternation dispatches
+    # without a single host sync (round 2 paid a dense quad_loss + float()
+    # fetch per iteration; at the 1B down shape that was ~10x the S-step).
+    best_rel, bT, bQ, found = jnp.float32(jnp.inf), None, None, None
+    T_init = T
     for _ in range(qcfg.ganq_iterations):
-        if use_pallas:
+        if use_blocked:
+            from ..ops.ganq_solver import s_step_blocked_pallas
+            Q, _werr = s_step_blocked_pallas(prep.W, prep.L, T)
+        elif use_pallas:
             from ..ops.ganq_solver import s_step_pallas
             Q, _werr = s_step_pallas(prep.W, prep.L, T)
         else:
             Q, _werr = s_step(prep.W, prep.L, T)
-        T = refit(Q)
+        T, rel = refit(Q)
+        better = jnp.isfinite(rel) & (rel < best_rel)
+        if bT is None:
+            bT, bQ, found = T, Q, better
+            best_rel = jnp.where(better, rel, best_rel)
+            continue
+        best_rel = jnp.where(better, rel, best_rel)
+        bT = jnp.where(better, T, bT)
+        bQ = jnp.where(better, Q, bQ)
+        found = found | better
+
+    if bQ is not None and bool(found):      # ONE device fetch for the loop
+        T, Q = bT, bQ
         Wq = jnp.take_along_axis(T, Q, axis=1)
         dist = float(quad_loss(prep.W, Wq, Hd))
-        if dist < best[0]:
-            best = (dist, T, Q)
-
-    dist, T, Q = best
-    if Q is None:  # no iteration improved (K=0 or NaN) — one assignment pass
+    else:  # no iteration improved (K=0 or NaN) — one assignment pass
+        # against the INITIAL codebook (refit output may be NaN)
+        T = T_init
         Q, _ = s_step(prep.W, prep.L, T)
         Wq = jnp.take_along_axis(T, Q, axis=1)
         dist = float(quad_loss(prep.W, Wq, Hd))
-    else:
-        Wq = jnp.take_along_axis(T, Q, axis=1)
 
     quad_free = None
     if codebook != "free" and Q is not None:

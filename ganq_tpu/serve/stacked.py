@@ -212,15 +212,16 @@ def mega_enabled(cfg: ModelConfig, sp, backend: str, batch: int):
     from ..ops.megastep import megastep_fusable
     from ..ops.megastep4 import megastep4_fusable
     from ..ops.megastep_lowbit import megastep_lowbit_fusable
+    # the same uniform-W4 artifact can ride the plane kernel (bits=4 is
+    # one plane of two nibble fields — the identical pair algebra) which
+    # walks MULTIPLE packed tiles per sequential grid step (ptq/ptg),
+    # cutting the ~5.5us/step floor, and additionally serves biased
+    # projections. GANQ_W4_PLANE=0 falls back to the pair kernel
+    # (ops/megastep4.py) where its narrower gate admits the model.
+    if (os.environ.get("GANQ_W4_PLANE", "1") != "0"
+            and megastep_lowbit_fusable(cfg, sp, 4)):
+        return "w4p"
     if megastep4_fusable(cfg, sp):
-        # the same uniform-W4 artifact can ride the plane kernel (bits=4 is
-        # one plane of two nibble fields — the identical pair algebra) which
-        # walks MULTIPLE packed tiles per sequential grid step (ptq/ptg),
-        # cutting the ~5.5us/step floor. GANQ_W4_PLANE=0 falls back to the
-        # original pair kernel (ops/megastep4.py).
-        if (os.environ.get("GANQ_W4_PLANE", "1") != "0"
-                and megastep_lowbit_fusable(cfg, sp, 4)):
-            return "w4p"
         return "w4"
     if megastep_lowbit_fusable(cfg, sp, 3):
         return "w3"

@@ -31,24 +31,30 @@ np.asarray(WH)  # materialize
 
 
 def timeit(f, *args, reps=3, **kw):
-    outs = f(*args, **kw)
-    jax.tree_util.tree_map(lambda x: np.asarray(x), outs)  # compile + barrier
+    # ON-DEVICE reduction barrier: fetch a scalar sum, not the outputs.
+    # Fetching [m, n] outputs over the tunnel (~40 MB/s) dominated every
+    # round-2 solver measurement and mis-ranked the implementations
+    # (128 MB of outputs = ~3-4 s of pure transfer billed to the kernel).
+    red = jax.jit(lambda *a: [jnp.sum(o.astype(jnp.float32))
+                              for o in jax.tree_util.tree_leaves(
+                                  f(*a, **kw))])
+    [np.asarray(x) for x in red(*args)]        # compile + warm
     best = float("inf")
     for _ in range(reps):
         t0 = time.perf_counter()
-        outs = f(*args, **kw)
-        jax.tree_util.tree_map(lambda x: np.asarray(x), outs)
+        [np.asarray(x) for x in red(*args)]
         best = min(best, time.perf_counter() - t0)
     return best
 
 
 print(f"shape m={m} n={n}")
 print(f"s_step scan           : {timeit(s_step, W, L, T)*1e3:8.1f} ms")
-from ganq_tpu.quant.ganq import s_step_blocked
-for blk in (128, 256, 512):
-    if n % blk == 0:
-        print(f"s_step blocked b{blk:<4} : "
-              f"{timeit(s_step_blocked, W, L, T, blk=blk)*1e3:8.1f} ms")
+from ganq_tpu.ops.ganq_solver import (s_step_blocked_fits,
+                                      s_step_blocked_pallas)
+for blk in (32, 64, 128):
+    if s_step_blocked_fits(m, n, blk=blk):
+        print(f"s_step blkpallas b{blk:<3}: "
+              f"{timeit(s_step_blocked_pallas, W, L, T, blk=blk)*1e3:8.1f} ms")
 try:
     from ganq_tpu.ops.ganq_solver import s_step_fits, s_step_pallas
     if s_step_fits(m, n):

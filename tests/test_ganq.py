@@ -181,3 +181,30 @@ def test_ganq_fast_hessian_dtype(rng):
     res32 = ganq_quantize(W, H, cfg32, nsamples)
     # fast path stays within a few percent of the exact quad loss
     assert res.quad_loss < res32.quad_loss * 1.1
+
+
+def test_s_step_blocked_pallas_matches_scan(rng):
+    """Blocked-pipeline Pallas S-step (the round-3 production kernel,
+    ops/ganq_solver.s_step_blocked_pallas) vs the lax.scan implementation:
+    exact index parity across several tiled shapes."""
+    import os
+    from jax.experimental.pallas import tpu as pltpu
+    from ganq_tpu.ops.ganq_solver import (s_step_blocked_fits,
+                                          s_step_blocked_pallas)
+
+    for (m, n) in [(128, 256), (256, 512), (384, 256)]:
+        W = rng.normal(size=(m, n)).astype(np.float32)
+        _, L = random_chol(rng, n)
+        T = np.sort(rng.normal(size=(m, 16)).astype(np.float32), axis=1)
+        assert s_step_blocked_fits(m, n)
+
+        Qref, Werr_ref = s_step(W, L, T)
+        if os.environ.get("GANQ_TPU_TEST_TPU"):
+            Q, Werr = s_step_blocked_pallas(W, L, T)
+        else:
+            with pltpu.force_tpu_interpret_mode():
+                Q, Werr = s_step_blocked_pallas(W, L, T)
+        agree = np.mean(np.asarray(Q) == np.asarray(Qref))
+        assert agree > 0.999, f"blocked S-step agreement {agree} ({m},{n})"
+        np.testing.assert_allclose(np.asarray(Werr), np.asarray(Werr_ref),
+                                   rtol=1e-4, atol=1e-4)
