@@ -131,6 +131,16 @@ def main():
     tps_w8a8 = safe("w8a8", "w8", "pallas_a8" if on_tpu else "reference",
                     batch, prompt, steps, max_seq)
     tps_lut = safe("lut", "lut", backend, batch, prompt, steps, max_seq)
+    # batch-32 legs (VERDICT r2 #4a): the plane megastep tiles the batch
+    # stride in octets, so b=32 decode rides the same whole-stack kernel.
+    # Honest expectation on this chip: at b=32 bf16 batches well on the MXU
+    # while the serial-grid megastep goes compute-bound — the quantized win
+    # at this batch is HBM footprint (4.3x smaller weights + headroom for
+    # more slots), not decode latency (PERF.md round 3).
+    tps_w4_b32 = (safe("w4a8_b32", "uniform", "pallas_a8", 32, prompt,
+                       steps, max_seq) if on_tpu else 0.0)
+    tps_dense_b32 = (safe("bf16_b32", "dense", "reference", 32, prompt,
+                          steps, max_seq) if on_tpu else 0.0)
     if tps_dense <= 0:
         tps_dense = 1e-9
 
@@ -170,6 +180,11 @@ def main():
             "tokens_per_s_lut_exact": round(tps_lut, 1),
             "tokens_per_s_w8a8_dynamic": round(tps_w8a8, 1),
             "tokens_per_s_bf16": round(tps_dense, 1),
+            "tokens_per_s_w4a8_b32": round(tps_w4_b32, 1),
+            "tokens_per_s_bf16_b32": round(tps_dense_b32, 1),
+            "w4a8_b32_speedup": round(
+                tps_w4_b32 / max(tps_dense_b32, 1e-9), 4) if tps_dense_b32
+            else 0.0,
             "reference_baseline": ("GANQ paper Table 5 (RTX 4090): W4 2.11x,"
                                    " W3 2.39x vs fp16 decode; vs_baseline ="
                                    " ganq_lut_speedup / 2.11 (the flagship"

@@ -707,7 +707,11 @@ def megastep4_reference(x, lw_list, k_cache, v_cache, pos, cos_half,
 
     ``lw_list``: per-layer dicts with keys attn_norm, mlp_norm [H];
     qkv_w [Dqkv, H]; qkv_bias [Dqkv]; o_w [H, q_dim]; gate_w/up_w [I, H];
-    down_w [H, I] — all dequantized f32."""
+    down_w [H, I] — all dequantized f32. Optional EoRA adapters (applied
+    in full precision on the pre-quantization activations, exactly like
+    the kernels): qkv_la [rq, H] / qkv_lb [Dqkv, rq]; o_la [ro, q_dim] /
+    o_lb [H, ro]; gu_la [rg, H] / gu_lb [2I, rg] (fused gate;up rows);
+    down_la [rd, I] / down_lb [H, rd]."""
     f32 = jnp.float32
     B, H = x.shape
     d = head_dim
@@ -745,6 +749,8 @@ def megastep4_reference(x, lw_list, k_cache, v_cache, pos, cos_half,
             lw["attn_norm"].astype(f32) + rms_offset)
         x8, sx = _quant_rows(h)
         y = (x8.astype(f32) @ lw["qkv_w"].T) * sx + lw["qkv_bias"][None, :]
+        if lw.get("qkv_la") is not None:
+            y = y + (h @ lw["qkv_la"].T) @ lw["qkv_lb"].T
         y = rope_rows(y, q_dim + kv_dim)
         q = y[:, :q_dim].reshape(B, Hq, d)
         k_new = y[:, q_dim:q_dim + kv_dim].reshape(B, Hkv, d)
@@ -765,6 +771,8 @@ def megastep4_reference(x, lw_list, k_cache, v_cache, pos, cos_half,
             1e-12)
         a8 = jnp.clip(jnp.round(attn / sa), -127, 127).reshape(B, q_dim)
         o = (a8 @ lw["o_w"].T) * sa[:, :, 0]
+        if lw.get("o_la") is not None:
+            o = o + (attn.reshape(B, q_dim) @ lw["o_la"].T) @ lw["o_lb"].T
         if lw.get("o_bias") is not None:
             o = o + lw["o_bias"][None, :]
         y1 = xf + o
@@ -780,9 +788,14 @@ def megastep4_reference(x, lw_list, k_cache, v_cache, pos, cos_half,
         while I % ti or (ti // 2) % 128:
             ti //= 2
         out = jnp.zeros((B, H), f32)
+        xg = (h2 @ lw["gu_la"].T if lw.get("gu_la") is not None else None)
+        xa_dn = 0.0
         for t0 in range(0, I, ti):
             g = (x8m.astype(f32) @ lw["gate_w"][t0:t0 + ti].T) * sxm
             u = (x8m.astype(f32) @ lw["up_w"][t0:t0 + ti].T) * sxm
+            if xg is not None:
+                g = g + xg @ lw["gu_lb"][t0:t0 + ti].T
+                u = u + xg @ lw["gu_lb"][I + t0:I + t0 + ti].T
             if lw.get("gate_bias") is not None:
                 g = g + lw["gate_bias"][t0:t0 + ti][None, :]
             if lw.get("up_bias") is not None:
@@ -795,6 +808,10 @@ def megastep4_reference(x, lw_list, k_cache, v_cache, pos, cos_half,
                 a = jax.nn.gelu(g, approximate=False) * u
             a8m, sam = _quant_rows(a)
             out = out + (a8m.astype(f32) @ lw["down_w"][:, t0:t0 + ti].T) * sam
+            if lw.get("down_la") is not None:
+                xa_dn = xa_dn + a @ lw["down_la"][:, t0:t0 + ti].T
+        if lw.get("down_la") is not None:
+            out = out + xa_dn @ lw["down_lb"].T
         if lw.get("down_bias") is not None:
             out = out + lw["down_bias"][None, :]
         xs = (y1 + out).astype(x.dtype)

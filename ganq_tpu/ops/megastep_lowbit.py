@@ -166,22 +166,52 @@ def _megastep_lb_kernel(pos_ref, x_ref, anw_ref, mnw_ref,
                         gs: int, L: int, eps: float, rms_offset: float,
                         scale: float, act: str, bits: int,
                         ptq: int = 1, ptg: int = 1, gtp8k: int = 8,
-                        NV: int = 0, with_bias: bool = False):
-    # optional-operand layout: with_bias adds 3 inputs (o/gate-up/down
-    # biases — only streamed for models that HAVE them, VERDICT r2 #4c);
+                        NV: int = 0, with_bias: bool = False, Bp: int = 8,
+                        with_aperm: bool = False, with_lora: bool = False):
+    # optional-operand layout (order matches the wrapper's in_specs):
+    # with_aperm adds 3 inputs (qkv/gate-up/o Beneš lane-routing masks —
+    # act-order artifacts, VERDICT r2 #4b); with_lora adds 8 inputs (EoRA
+    # lora_a/b per projection, fused rank-r epilogue, VERDICT r2 #4d);
+    # with_bias adds 3 inputs (o/gate-up/down biases, VERDICT r2 #4c);
     # trailing-unembed mode adds 3 inputs (lm weights/scales, final norm)
     # and one output (logits); the grid is flat 1-D (L*P layer steps, then
-    # NV vocab steps) so the lm_head tiles stream ONCE, not per layer
+    # NV vocab steps) so the lm_head tiles stream ONCE, not per layer.
+    # Scratch tail: of_s (aperm|lora), then xaq/xag/xad (lora).
+    from .lane_perm import lane_permute
     ob_ref = gub_ref = dnb_ref = None
+    apq_ref = apg_ref = apo_ref = None
+    if with_aperm:
+        apq_ref, apg_ref, apo_ref = rest[:3]
+        rest = rest[3:]
+    if with_lora:
+        (laq_ref, lbq_ref, lao_ref, lbo_ref, lag_ref, lbg_ref,
+         lad_ref, lbd_ref) = rest[:8]
+        rest = rest[8:]
     if with_bias:
         ob_ref, gub_ref, dnb_ref = rest[:3]
         rest = rest[3:]
     if NV:
-        (lmw_ref, lms_ref, fnw_ref, y_ref, kn_ref, vn_ref, lg_ref,
-         x_s, x8_s, sx_s, qkv_s, acc_s, m_s, l_s, a8_s, ma_s) = rest
-    else:
-        (y_ref, kn_ref, vn_ref,
-         x_s, x8_s, sx_s, qkv_s, acc_s, m_s, l_s, a8_s, ma_s) = rest
+        lmw_ref, lms_ref, fnw_ref = rest[:3]
+        rest = rest[3:]
+    y_ref, kn_ref, vn_ref = rest[:3]
+    rest = rest[3:]
+    if NV:
+        lg_ref = rest[0]
+        rest = rest[1:]
+    x_s, x8_s, sx_s, qkv_s, acc_s, m_s, l_s, a8_s, ma_s = rest[:9]
+    rest = rest[9:]
+    of_s = None
+    if with_aperm or with_lora:
+        of_s = rest[0]
+        rest = rest[1:]
+    if with_lora:
+        xaq_s, xag_s, xad_s = rest[:3]
+
+    def _lora_dot(xv, w_ref_val):
+        """xv [B, K] f32 @ w [R, K] -> [B, R] f32 (adapters stream bf16)."""
+        return jax.lax.dot_general(
+            xv, w_ref_val.astype(jnp.float32), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=_DEF)
     pos = pos_ref[B]
     f32 = jnp.float32
     NQS, NGS = NQ // ptq, NG // ptg        # grid steps walk ptq/ptg tiles
@@ -228,6 +258,10 @@ def _megastep_lb_kernel(pos_ref, x_ref, anw_ref, mnw_ref,
         var = jnp.mean(xf * xf, axis=1, keepdims=True)
         xf = xf * jax.lax.rsqrt(var + eps) * (
             anw_ref[0].astype(f32) + rms_offset)
+        if with_aperm:        # act-order: qkv columns are group-sorted
+            xf = lane_permute(xf, apq_ref[0])
+        if with_lora:         # x @ A.T once; tiles each apply their B rows
+            xaq_s[:] = _lora_dot(xf, laq_ref[0])
         x8, sx = _quant_rows(xf)
         x8_s[:] = x8
         sx_s[:B, :1] = sx
@@ -248,6 +282,9 @@ def _megastep_lb_kernel(pos_ref, x_ref, anw_ref, mnw_ref,
                 y += fields_y(dd, S, tFq,
                               qs_ref[0, g, sub * tq:(sub + 1) * tq])
             y = y * sx_s[:B, :1] + qb_ref[0, :, sub * tq:(sub + 1) * tq]
+            if with_lora:
+                y = y + _lora_dot(xaq_s[:],
+                                  lbq_ref[0, sub * tq:(sub + 1) * tq, :])
             rot = jax.lax.dot_general(y.astype(jnp.bfloat16), r_ref[:],
                                       (((1,), (0,)), ((), ())),
                                       preferred_element_type=f32,
@@ -255,16 +292,16 @@ def _megastep_lb_kernel(pos_ref, x_ref, anw_ref, mnw_ref,
             y = (y * cos_ref[sub] + rot * sin_ref[sub]).astype(jnp.bfloat16)
             t_idx = p * ptq + sub
             for i in range(tq // d):
-                qkv_s[pl.ds((t_idx * (tq // d) + i) * 8, 8), :] = jnp.pad(
-                    y[:, i * d:(i + 1) * d], ((0, 8 - B), (0, 0)))
+                qkv_s[pl.ds((t_idx * (tq // d) + i) * Bp, Bp), :] = jnp.pad(
+                    y[:, i * d:(i + 1) * d], ((0, Bp - B), (0, 0)))
 
     @pl.when(p == NQS - 1)
     def _():
         for g in range(Hkv):
             kn_ref[0, :, g * d:(g + 1) * d] = qkv_s[
-                (Hq + g) * 8:(Hq + g) * 8 + B, :]
+                (Hq + g) * Bp:(Hq + g) * Bp + B, :]
             vn_ref[0, :, g * d:(g + 1) * d] = qkv_s[
-                (Hq + Hkv + g) * 8:(Hq + Hkv + g) * 8 + B, :]
+                (Hq + Hkv + g) * Bp:(Hq + Hkv + g) * Bp + B, :]
 
     # ---- phase B: flash attention over one cache block
     tb = p - NQS
@@ -272,7 +309,7 @@ def _megastep_lb_kernel(pos_ref, x_ref, anw_ref, mnw_ref,
 
     def _rows(base_s, b, g, n):
         return jnp.concatenate(
-            [base_s[(g * qpk + i) * 8 + b:(g * qpk + i) * 8 + b + 1, :]
+            [base_s[(g * qpk + i) * Bp + b:(g * qpk + i) * Bp + b + 1, :]
              for i in range(n)], axis=0)
 
     def _online(b, g, s_blk, v_blk):
@@ -283,14 +320,14 @@ def _megastep_lb_kernel(pos_ref, x_ref, anw_ref, mnw_ref,
         m_new = jnp.maximum(m_prev, smax)
         alpha = jnp.exp(m_prev - m_new)
         pexp = jnp.exp(s_blk - m_new[:, :1])
-        l_new = l_prev * alpha + jnp.sum(pexp, axis=1, keepdims=True)
         pv = jax.lax.dot_general(pexp.astype(jnp.bfloat16), v_blk,
                                  (((1,), (0,)), ((), ())),
                                  preferred_element_type=jnp.float32,
                                  precision=_DEF)
+        l_new = l_prev * alpha + jnp.sum(pexp, axis=1, keepdims=True)
         a_new = a_prev * alpha + pv
         for i in range(qpk):
-            r = (g * qpk + i) * 8 + b
+            r = (g * qpk + i) * Bp + b
             m_s[r:r + 1, :] = m_new[i:i + 1, :]
             l_s[r:r + 1, :] = l_new[i:i + 1, :]
             acc_s[r:r + 1, :] = a_new[i:i + 1, :]
@@ -315,8 +352,9 @@ def _megastep_lb_kernel(pos_ref, x_ref, anw_ref, mnw_ref,
         for b in range(B):
             for g in range(Hkv):
                 q3 = _rows(qkv_s, b, g, qpk).astype(jnp.float32)
-                kcur = qkv_s[(Hq + g) * 8 + b:(Hq + g) * 8 + b + 1, :]
-                vcur = qkv_s[(Hq + Hkv + g) * 8 + b:(Hq + Hkv + g) * 8 + b + 1, :]
+                kcur = qkv_s[(Hq + g) * Bp + b:(Hq + g) * Bp + b + 1, :]
+                vcur = qkv_s[(Hq + Hkv + g) * Bp + b:
+                             (Hq + Hkv + g) * Bp + b + 1, :]
                 s_c = jnp.sum(q3 * kcur.astype(jnp.float32), axis=1,
                               keepdims=True) * scale
                 _online(b, g, s_c, vcur.astype(jnp.bfloat16))
@@ -325,30 +363,58 @@ def _megastep_lb_kernel(pos_ref, x_ref, anw_ref, mnw_ref,
     # residual, then MLP norm + quant
     @pl.when(p == O_STEP)
     def _():
-        sa = jnp.zeros((8, 1), f32) + 1e-12
+        use_of = with_aperm or with_lora
+        sa = jnp.zeros((Bp, 1), f32) + 1e-12
         for h in range(Hq):
-            a_h = acc_s[h * 8:(h + 1) * 8, :] / jnp.maximum(
-                l_s[h * 8:(h + 1) * 8, :1], 1e-30)
-            acc_s[h * 8:(h + 1) * 8, :] = a_h
+            a_h = acc_s[h * Bp:(h + 1) * Bp, :] / jnp.maximum(
+                l_s[h * Bp:(h + 1) * Bp, :1], 1e-30)
+            if use_of:
+                of_s[:, h * d:(h + 1) * d] = a_h
+            else:
+                acc_s[h * Bp:(h + 1) * Bp, :] = a_h
             sa = jnp.maximum(sa, jnp.max(jnp.abs(a_h), axis=1, keepdims=True))
         sa = sa / 127.0
-        for h in range(Hq):
-            a8_s[:, h * d:(h + 1) * d] = jnp.clip(
-                jnp.round(acc_s[h * 8:(h + 1) * 8, :] / sa),
-                -127, 127).astype(jnp.int8)
+        if with_aperm:
+            # o columns are group-sorted: route the flat attention output
+            # through o's Beneš masks IN PLACE before its quantization
+            # (8-row chunks keep the live value small); the lora epilogue
+            # then reads the permuted of_s against pack-permuted la_o
+            for rb in range(0, Bp, 8):
+                of_s[rb:rb + 8, :] = lane_permute(of_s[rb:rb + 8, :],
+                                                  apo_ref[0])
+        if use_of:
+            for rb in range(0, Bp, 8):
+                a8_s[rb:rb + 8, :Hq * d] = jnp.clip(
+                    jnp.round(of_s[rb:rb + 8, :] / sa[rb:rb + 8]),
+                    -127, 127).astype(jnp.int8)
+        else:
+            for h in range(Hq):
+                a8_s[:, h * d:(h + 1) * d] = jnp.clip(
+                    jnp.round(acc_s[h * Bp:(h + 1) * Bp, :] / sa),
+                    -127, 127).astype(jnp.int8)
         Dq = Hq * d
-        o = jnp.zeros((8, H), f32)
+        o = jnp.zeros((Bp, H), f32)
         for g in range(Dq // gs):
             xs = a8_s[:, g * gs:(g + 1) * gs]
             bg = ow_ref[0, :, g * gs:(g + 1) * gs]       # [NP*tFo, gs]
             dd, S = group_dot(xs, [(bg, tFo)])
             o += fields_y(dd, S, tFo, os_ref[0, g])
-        x_s[:] += ((o * sa)[:B] + ob_ref[0] if with_bias
-                   else (o * sa)[:B])
+        upd = (o * sa)[:B]
+        if with_lora:     # o epilogue: of_s holds the exact fp attn output
+            xao = _lora_dot(of_s[:], lao_ref[0])
+            upd = upd + _lora_dot(xao, lbo_ref[0])[:B]
+        if with_bias:
+            upd = upd + ob_ref[0]
+        x_s[:] += upd
         xf = x_s[:]
         var = jnp.mean(xf * xf, axis=1, keepdims=True)
         xf = xf * jax.lax.rsqrt(var + eps) * (
             mnw_ref[0].astype(f32) + rms_offset)
+        if with_aperm:    # act-order: gate/up columns are group-sorted
+            xf = lane_permute(xf, apg_ref[0])
+        if with_lora:
+            xag_s[:] = _lora_dot(xf, lag_ref[0])
+            xad_s[:] = jnp.zeros_like(xad_s)
         x8, sx = _quant_rows(xf)
         x8_s[:] = x8
         sx_s[:B, :1] = sx
@@ -375,6 +441,12 @@ def _megastep_lb_kernel(pos_ref, x_ref, anw_ref, mnw_ref,
                                gus_ref[0, g, o2 + ti:o2 + 2 * ti], off=nd)
             gv = gv * sx_s[:B, :1]
             uv = uv * sx_s[:B, :1]
+            if with_lora:
+                o2l = sub * 2 * ti
+                gv = gv + _lora_dot(xag_s[:],
+                                    lbg_ref[0, o2l:o2l + ti, :])
+                uv = uv + _lora_dot(xag_s[:],
+                                    lbg_ref[0, o2l + ti:o2l + 2 * ti, :])
             if with_bias:
                 o2b = sub * 2 * ti
                 gv = gv + gub_ref[0, :, o2b:o2b + ti]
@@ -386,6 +458,9 @@ def _megastep_lb_kernel(pos_ref, x_ref, anw_ref, mnw_ref,
             else:
                 a = jax.nn.gelu(gv, approximate=False) * uv
             a8, sa = _quant_rows(a)
+            if with_lora:   # accumulate x@A.T for down's rank-r epilogue
+                xad_s[:] += _lora_dot(
+                    a, lad_ref[0, :, sub * ti:(sub + 1) * ti])
             a8_s[:B, :ti] = a8
             y = jnp.zeros((B, H), f32)
             for g2 in range(gti):
@@ -398,7 +473,12 @@ def _megastep_lb_kernel(pos_ref, x_ref, anw_ref, mnw_ref,
 
     @pl.when(p == O_STEP + NGS)
     def _():
-        x_s[:] += (ma_s[:] + dnb_ref[0] if with_bias else ma_s[:])
+        upd = ma_s[:]
+        if with_lora:
+            upd = upd + _lora_dot(xad_s[:], lbd_ref[0])
+        if with_bias:
+            upd = upd + dnb_ref[0]
+        x_s[:] += upd
 
         @pl.when(lix == L - 1)
         def _():
@@ -449,8 +529,9 @@ def megastep_lowbit_decode(x: jax.Array, mp: Dict[str, jax.Array],
     compute; saves the separate unembed program + logits round-trip).
     Returns ``(y, kn, vn, logits)`` instead of ``(y, kn, vn)``."""
     B, H = x.shape
-    if B > 8:
-        raise ValueError("megastep_lowbit_decode: B <= 8 (stride-8 rows)")
+    if B > 32:
+        raise ValueError("megastep_lowbit_decode: B <= 32")
+    Bp = -(-B // 8) * 8       # per-head batch row stride (sublane multiple)
     metas, coef, nd, g_r = _plan_meta(bits)
     npl = len(metas)
     L = mp["qkv_pk"].shape[0]
@@ -592,6 +673,52 @@ def megastep_lowbit_decode(x: jax.Array, mp: Dict[str, jax.Array],
                      lambda t, s: (_l(t), gi(t, s), 0),
                      memory_space=pltpu.VMEM),
     ]
+    with_aperm = "ap_q" in mp
+    aperm_ops = []
+    if with_aperm:
+        # Beneš routing masks [L, S, n] bf16 (qkv / gate-up over H, o over
+        # q_dim) — fetched once per layer; ~(2*log2(H)-1)*H*2 bytes each
+        S_h = mp["ap_q"].shape[1]
+        S_o = mp["ap_o"].shape[1]
+        in_specs += [
+            pl.BlockSpec((1, S_h, H), lambda t, s: (_l(t), 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, S_h, H), lambda t, s: (_l(t), 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, S_o, q_dim), lambda t, s: (_l(t), 0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        aperm_ops = [mp["ap_q"], mp["ap_g"], mp["ap_o"]]
+    with_lora = "la_q" in mp
+    lora_ops = []
+    if with_lora:
+        # EoRA rank-r factors: A's fetched once per layer, B's sliced in
+        # step with the qkv / MLP tile walk (fused epilogue, VERDICT r2 #4d)
+        rq, ro = mp["la_q"].shape[1], mp["la_o"].shape[1]
+        rg, rdn = mp["la_g"].shape[1], mp["la_d"].shape[1]
+        in_specs += [
+            pl.BlockSpec((1, rq, H), lambda t, s: (_l(t), 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ptq * tq, rq),
+                         lambda t, s: (_l(t), qi(t, s), 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ro, q_dim), lambda t, s: (_l(t), 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H, ro), lambda t, s: (_l(t), 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, rg, H), lambda t, s: (_l(t), 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ptg * 2 * ti, rg),
+                         lambda t, s: (_l(t), gi(t, s), 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, rdn, ptg * ti),
+                         lambda t, s: (_l(t), 0, gi(t, s)),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H, rdn), lambda t, s: (_l(t), 0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        lora_ops = [mp["la_q"], mp["lb_q"], mp["la_o"], mp["lb_o"],
+                    mp["la_g"], mp["lb_g"], mp["la_d"], mp["lb_d"]]
     with_bias = "o_bias" in mp
     bias_ops = []
     if with_bias:
@@ -644,14 +771,19 @@ def megastep_lowbit_decode(x: jax.Array, mp: Dict[str, jax.Array],
         scratch_shapes=[
             pltpu.VMEM((B, H), jnp.float32),
             pltpu.VMEM((B, H), jnp.int8),
-            pltpu.VMEM((8, 128), jnp.float32),
-            pltpu.VMEM(((Hq + 2 * Hkv) * 8, d), jnp.bfloat16),
-            pltpu.VMEM((Hq * 8, d), jnp.float32),
-            pltpu.VMEM((Hq * 8, 128), jnp.float32),
-            pltpu.VMEM((Hq * 8, 128), jnp.float32),
-            pltpu.VMEM((8, max(q_dim, ti)), jnp.int8),
+            pltpu.VMEM((Bp, 128), jnp.float32),
+            pltpu.VMEM(((Hq + 2 * Hkv) * Bp, d), jnp.bfloat16),
+            pltpu.VMEM((Hq * Bp, d), jnp.float32),
+            pltpu.VMEM((Hq * Bp, 128), jnp.float32),
+            pltpu.VMEM((Hq * Bp, 128), jnp.float32),
+            pltpu.VMEM((Bp, max(q_dim, ti)), jnp.int8),
             pltpu.VMEM((B, H), jnp.float32),
-        ],
+        ] + ([pltpu.VMEM((Bp, q_dim), jnp.float32)]
+             if (with_aperm or with_lora) else [])
+          + ([pltpu.VMEM((B, mp["la_q"].shape[1]), jnp.float32),
+              pltpu.VMEM((B, mp["la_g"].shape[1]), jnp.float32),
+              pltpu.VMEM((B, mp["la_d"].shape[1]), jnp.float32)]
+             if with_lora else []),
     )
     weight_bytes = (L * (Dqkv * H + q_dim * H + 3 * I * H) * bits) // 8
     out = pl.pallas_call(
@@ -659,7 +791,8 @@ def megastep_lowbit_decode(x: jax.Array, mp: Dict[str, jax.Array],
             _megastep_lb_kernel, B=B, d=d, Hq=Hq, Hkv=Hkv, qpk=qpk, NQ=NQ,
             NT=NT, NG=NG, Tb=Tb, tq=tq, ti=ti, gs=gs, L=L, eps=eps,
             rms_offset=rms_offset, scale=scale, act=act, bits=bits,
-            ptq=ptq, ptg=ptg, gtp8k=gtp8, NV=NV, with_bias=with_bias),
+            ptq=ptq, ptg=ptg, gtp8k=gtp8, NV=NV, with_bias=with_bias,
+            Bp=Bp, with_aperm=with_aperm, with_lora=with_lora),
         grid_spec=grid_spec,
         out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
@@ -678,7 +811,7 @@ def megastep_lowbit_decode(x: jax.Array, mp: Dict[str, jax.Array],
       cos_t, sin_t, R,
       k_cache, v_cache, mp["o_pk"], mp["o_s"],
       mp["gu_pk"], mp["gu_pk"], mp["gu_s"], mp["dn_pk"], mp["dn_s"],
-      *bias_ops, *lm_ops)
+      *aperm_ops, *lora_ops, *bias_ops, *lm_ops)
     return tuple(out)
 
 
@@ -709,13 +842,151 @@ def _plane_pack(codes, tile: int, bits: int):
     return ((out.astype(xp.int32) + 128) % 256 - 128).astype(xp.int8)
 
 
-def megapack_lowbit(cfg, sp: Dict[str, Any], bits: int = 3
-                    ) -> Dict[str, jax.Array]:
-    """Plane-packed megakernel operands from stacked UNIFORM W3/W2 layers.
-    Pure jnp (traces under jit); serving calls serve.stacked.prepack once."""
+def _gidx_perm(g_idx_l, gs: int):
+    """Stable group-contiguous column order for one layer's g_idx, or None
+    if already sequential. Raises on unbalanced groups (every group must
+    hold exactly gs columns — true for any perm-derived act order)."""
+    gi = np.asarray(g_idx_l, np.int64)
+    n = gi.shape[0]
+    if np.array_equal(gi, np.arange(n) // gs):
+        return None
+    counts = np.bincount(gi, minlength=n // gs)
+    if counts.shape[0] != n // gs or not np.all(counts == gs):
+        raise ValueError("act-order g_idx with unbalanced groups")
+    return np.argsort(gi, kind="stable").astype(np.int32)
+
+
+def actorder_transform(cfg, sp: Dict[str, Any], bits: int):
+    """Bake act-order (``g_idx``) artifacts onto the plane-kernel fast path
+    (VERDICT r2 #4b — the exllama column_remap analog,
+    reference ``gptqmodel_ext/exllama/cuda_func/column_remap.cu``).
+
+    Returns ``(tsp, masks)``: a pack-only copy of ``sp`` whose qkv/o/
+    gateup/down columns are sorted group-contiguous (g_idx dropped), plus
+    the Beneš lane-routing masks (ops/lane_perm) the kernel applies to the
+    matching activations at run time. down's remap is purely pack-time:
+    its input is the gate/up OUTPUT rows, which are permuted to match —
+    no runtime work. ``masks`` is empty when nothing carries g_idx; the
+    ORIGINAL ``sp`` must keep serving every non-megastep path (its
+    artifacts still carry g_idx and expect unpermuted activations)."""
+    from .lane_perm import benes_masks, benes_strides
+    from .packing import pack_int_rows, unpack_int_rows
+    from .qlinear import QLinear
+
     ls = sp["layers_stacked"]
     qkv, o = ls["attn"]["qkv"], ls["attn"]["o"]
     gu, dn = ls["mlp"]["gateup"], ls["mlp"]["down"]
+    mats = {"qkv": qkv, "o": o, "gu": gu, "dn": dn}
+    if not any("g_idx" in m.arrays for m in mats.values()):
+        return sp, {}
+    L = qkv["qweight"].shape[0]
+
+    def perms_of(m):
+        if "g_idx" not in m.arrays:
+            return None
+        gs = m.in_features // m.arrays["scales"].shape[2]
+        gi = np.asarray(m["g_idx"])
+        if gi.ndim == 1:                       # shared across layers
+            gi = np.broadcast_to(gi, (L, gi.shape[0]))
+        out = [_gidx_perm(gi[l], gs) for l in range(L)]
+        return None if all(p is None for p in out) else out
+
+    perms = {k: perms_of(m) for k, m in mats.items()}
+
+    def perm_arr(per, n):
+        return jnp.asarray(np.stack([
+            p if p is not None else np.arange(n, dtype=np.int32)
+            for p in per]))
+
+    @functools.partial(jax.jit, static_argnums=(2, 3))
+    def permute_cols(qw, pa, bits, n):
+        def one(args):
+            qw_l, p_l = args
+            codes = unpack_int_rows(qw_l, bits, n)
+            return pack_int_rows(jnp.take(codes, p_l, axis=1), bits)
+        return jax.lax.map(one, (qw, pa))
+
+    def rewrite(m, col_perm, row_perm=None):
+        arrays = dict(m.arrays)
+        arrays.pop("g_idx", None)
+        if col_perm is not None:
+            pa = perm_arr(col_perm, m.in_features)
+            arrays["qweight"] = permute_cols(m["qweight"], pa,
+                                             m.bits, m.in_features)
+            if "lora_a" in arrays:
+                # adapter input columns follow the weight's sorted order
+                # (the kernel computes x@A.T from the PERMUTED activation)
+                arrays["lora_a"] = jnp.take_along_axis(
+                    arrays["lora_a"], pa[:, None, :], axis=2)
+        if row_perm is not None:
+            # gate/up output rows follow down's input order: both halves
+            # of the stacked [2I] row axis get the same per-layer perm
+            I = m["scales"].shape[1] // 2
+            rp = perm_arr(row_perm, I)
+            full = jnp.concatenate([rp, rp + I], axis=1)     # [L, 2I]
+            for k in ("qweight", "scales", "lora_b"):
+                if k in arrays:
+                    arrays[k] = jnp.take_along_axis(
+                        arrays[k], full[:, :, None], axis=1)
+            if "bias" in arrays:
+                arrays["bias"] = jnp.take_along_axis(arrays["bias"], full,
+                                                     axis=1)
+        return QLinear(m.kind, arrays, m.bits, m.in_features)
+
+    masks = {}
+
+    def runtime_masks(per, n):
+        if per is None:
+            return None
+        if n & (n - 1):
+            raise ValueError("act-order runtime remap needs power-of-two "
+                             f"lane count, got {n}")
+        S = len(benes_strides(n))
+        out = np.zeros((L, S, n), np.float32)
+        for l, p in enumerate(per):
+            if p is not None:
+                out[l] = benes_masks(p)
+        return jnp.asarray(out, jnp.bfloat16)        # 0/1: exact in bf16
+
+    mq = runtime_masks(perms["qkv"], cfg.hidden_size)
+    mg = runtime_masks(perms["gu"], cfg.hidden_size)
+    mo = runtime_masks(perms["o"], cfg.q_dim)
+    if mq is not None or mg is not None or mo is not None:
+        S_h = len(benes_strides(cfg.hidden_size))
+        S_o = len(benes_strides(cfg.q_dim))
+        zh = jnp.zeros((L, S_h, cfg.hidden_size), jnp.bfloat16)
+        zo = jnp.zeros((L, S_o, cfg.q_dim), jnp.bfloat16)
+        masks = {"ap_q": mq if mq is not None else zh,
+                 "ap_g": mg if mg is not None else zh,
+                 "ap_o": mo if mo is not None else zo}
+
+    new_attn = dict(ls["attn"])
+    new_mlp = dict(ls["mlp"])
+    new_attn["qkv"] = rewrite(qkv, perms["qkv"])
+    new_attn["o"] = rewrite(o, perms["o"])
+    new_mlp["gateup"] = rewrite(gu, perms["gu"], row_perm=perms["dn"])
+    new_mlp["down"] = rewrite(dn, perms["dn"])
+    tls = dict(ls)
+    tls["attn"] = new_attn
+    tls["mlp"] = new_mlp
+    tsp = dict(sp)
+    tsp["layers_stacked"] = tls
+    return tsp, masks
+
+
+def megapack_lowbit(cfg, sp: Dict[str, Any], bits: int = 3
+                    ) -> Dict[str, jax.Array]:
+    """Plane-packed megakernel operands from stacked UNIFORM W3/W2 layers.
+    Pure jnp (traces under jit); serving calls serve.stacked.prepack once.
+    Act-order artifacts must be baked first (:func:`actorder_transform` —
+    needs concrete g_idx, so it cannot run under this function's jit)."""
+    ls = sp["layers_stacked"]
+    qkv, o = ls["attn"]["qkv"], ls["attn"]["o"]
+    gu, dn = ls["mlp"]["gateup"], ls["mlp"]["down"]
+    if any("g_idx" in m.arrays for m in (qkv, o, gu, dn)):
+        raise ValueError("megapack_lowbit: act-order artifacts must go "
+                         "through serve.stacked.prepack (actorder_transform"
+                         " needs concrete g_idx values)")
     H = cfg.hidden_size
     d = cfg.head_dim
     L = qkv["qweight"].shape[0]
@@ -799,6 +1070,25 @@ def megapack_lowbit(cfg, sp: Dict[str, Any], bits: int = 3
              for t in range(I // ti) for a in (0, 1)],
             axis=1).reshape(L, 1, 2 * I)
         out["dn_bias"] = _bias3(dn, H)
+    # EoRA adapters ride the kernel as a fused rank-r epilogue (VERDICT r2
+    # #4d — the exllama_eora fused-GEMM analog): lora_a/b streamed bf16,
+    # applied in full precision on the pre-quantization activations.
+    # Engaged only when ALL FOUR projections carry adapters (our EoRA flow
+    # adapts whole subsets; a partial set means a foreign layout).
+    if all("lora_a" in m.arrays for m in (qkv, o, gu, dn)):
+        bf = jnp.bfloat16
+        out["la_q"] = qkv["lora_a"].astype(bf)        # [L, rq, H]
+        out["lb_q"] = qkv["lora_b"].astype(bf)        # [L, Dqkv, rq]
+        out["la_o"] = o["lora_a"].astype(bf)          # [L, ro, q_dim]
+        out["lb_o"] = o["lora_b"].astype(bf)          # [L, H, ro]
+        out["la_g"] = gu["lora_a"].astype(bf)         # [L, rg, H]
+        lbg = gu["lora_b"].astype(bf)                 # [L, 2I, rg]
+        # tile-major rows like gu_s: [gate_t | up_t] per MLP tile
+        out["lb_g"] = jnp.concatenate(
+            [lbg[:, a * I + t * ti:a * I + (t + 1) * ti]
+             for t in range(I // ti) for a in (0, 1)], axis=1)
+        out["la_d"] = dn["lora_a"].astype(bf)         # [L, rd, I]
+        out["lb_d"] = dn["lora_b"].astype(bf)         # [L, H, rd]
     return out
 
 
@@ -858,7 +1148,25 @@ def megastep_lowbit_fusable(cfg, sp: Dict[str, Any], bits: int) -> bool:
     if any(getattr(m, "kind", None) != "uniform" or m.bits != bits
            for m in mats):
         return False
-    if any("g_idx" in m.arrays or "lora_a" in m.arrays for m in mats):
+    # EoRA adapters: all-or-nothing — all four projections adapted rides
+    # the fused rank-r epilogue; a partial set falls back to per-layer
+    n_lora = sum("lora_a" in m.arrays for m in mats)
+    if n_lora not in (0, 4):
+        return False
+    # act-order (g_idx) artifacts ride the Beneš activation remap
+    # (actorder_transform, VERDICT r2 #4b); the runtime lane routing
+    # needs power-of-two lane counts (qkv/gate-up remap H, o remaps
+    # q_dim); down's remap is purely pack-time, any I works. This check
+    # is structural (key presence + static dims) so it stays decidable
+    # under jit; group balance is validated at prepack time on concrete
+    # values (any perm-derived act order is balanced).
+    def _pow2(v):
+        return v & (v - 1) == 0
+
+    if ("g_idx" in qkv.arrays or "g_idx" in gu.arrays) \
+            and not _pow2(cfg.hidden_size):
+        return False
+    if "g_idx" in o.arrays and not _pow2(cfg.q_dim):
         return False
     # biases on any projection are streamed into the kernel (zeros
     # otherwise) — no gate needed (VERDICT r2 #4c)

@@ -355,14 +355,41 @@ def concat_rows(linears) -> QLinear:
     bits = {p.bits for p in linears}
     if len(kinds) != 1 or len(bits) != 1:
         raise ValueError("cannot fuse linears of mixed kind/bits")
-    if any("lora_a" in p.arrays for p in linears):
-        # LoRA factors are rank-indexed, not output-row-indexed: fusing
-        # would need a block-diagonal A — callers fall back to per-layer
-        raise ValueError("cannot fuse linears carrying LoRA adapters")
+    has_lora = ["lora_a" in p.arrays for p in linears]
+    if any(has_lora) and not all(has_lora):
+        # rank-0 pads would change pytree structure mid-stack; our EoRA
+        # flow adapts whole subsets uniformly, so mixed means foreign
+        raise ValueError("cannot fuse a mix of adapted and plain linears")
     keys = linears[0].arrays.keys()
     arrays = {}
+    if all(has_lora):
+        # block-diagonal LoRA fusion: A' = rows-stacked A_i ([sum r, in]),
+        # B' = blockdiag(B_i) ([sum out, sum r]) so each fused output
+        # section sees only its own adapter — y += (x @ A'.T) @ B'.T is
+        # exactly the per-linear sum (the exllama_eora fused-GEMM analog,
+        # reference gptqmodel_ext/exllama_eora/q_gemm.cu)
+        keys = [k for k in keys if k not in ("lora_a", "lora_b")]
+        arrays["lora_a"] = jnp.concatenate([p["lora_a"] for p in linears],
+                                           axis=0)
+        outs = [p["lora_b"].shape[0] for p in linears]
+        ranks = [p["lora_b"].shape[1] for p in linears]
+        bd = jnp.zeros((sum(outs), sum(ranks)), linears[0]["lora_b"].dtype)
+        o = r = 0
+        for p, no, nr in zip(linears, outs, ranks):
+            bd = jax.lax.dynamic_update_slice(bd, p["lora_b"], (o, r))
+            o += no
+            r += nr
+        arrays["lora_b"] = bd
     for k in keys:
         if k == "g_idx":  # shared input-column map
+            # all fused linears must agree (our looper quantizes a subset
+            # with one shared Hessian so they do; a foreign checkpoint
+            # with divergent per-module act orders cannot fuse)
+            import numpy as _np
+            g0 = _np.asarray(linears[0][k])
+            if any(not _np.array_equal(g0, _np.asarray(p[k]))
+                   for p in linears[1:]):
+                raise ValueError("cannot fuse linears with divergent g_idx")
             arrays[k] = linears[0][k]
         else:
             arrays[k] = jnp.concatenate([p[k] for p in linears], axis=0)

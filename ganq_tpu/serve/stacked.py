@@ -221,13 +221,13 @@ def mega_enabled(cfg: ModelConfig, sp, backend: str, batch: int):
     if (os.environ.get("GANQ_W4_PLANE", "1") != "0"
             and megastep_lowbit_fusable(cfg, sp, 4)):
         return "w4p"
-    if megastep4_fusable(cfg, sp):
+    if batch <= 8 and megastep4_fusable(cfg, sp):
         return "w4"
     if megastep_lowbit_fusable(cfg, sp, 3):
         return "w3"
     if megastep_lowbit_fusable(cfg, sp, 2):
         return "w2"
-    if megastep_fusable(cfg, sp):
+    if batch <= 8 and megastep_fusable(cfg, sp):
         return "w8"
     return None
 
@@ -236,7 +236,10 @@ def mega_env_enabled(backend: str, batch: int) -> bool:
     """The cheap env/backend/batch part of the megastep gate — callable
     BEFORE building a stacked copy of the model (it needs no params)."""
     env = os.environ.get("GANQ_MEGASTEP", "")
-    if env == "0" or batch > 8:
+    # the plane kernels tile the per-head batch stride in octets (Bp),
+    # so decode batches up to 32 ride the megastep (VERDICT r2 #4a); the
+    # pair-nibble w4 / w8 kernels keep the original B <= 8 gate
+    if env == "0" or batch > 32:
         return False
     # default-on only for the w8a8 backend on a real TPU; GANQ_MEGASTEP=1
     # forces the decode path under any backend (CPU tests run it in
@@ -284,11 +287,17 @@ def prepack(cfg: ModelConfig, sp, backend: str, batch: int):
         # multi-GB int32 code intermediates never materialize in HBM
         sp["megapack4"] = jax.jit(lambda t: megapack4(cfg, t))(sp)
     elif variant in ("w4p", "w3", "w2") and "megapack_lb" not in sp:
-        from ..ops.megastep_lowbit import megapack_lowbit
+        from ..ops.megastep_lowbit import actorder_transform, megapack_lowbit
         sp = dict(sp)
         bits = _LB_BITS[variant]
-        sp["megapack_lb"] = jax.jit(
-            lambda t: megapack_lowbit(cfg, t, bits))(sp)
+        # act-order artifacts: bake group-sorted columns into a pack-only
+        # copy and carry the Beneš activation-routing masks in the mp
+        # (ops/megastep_lowbit.actorder_transform). The ORIGINAL sp keeps
+        # serving prefill and every non-mega path (g_idx intact there).
+        tsp, ap_masks = actorder_transform(cfg, sp, bits)
+        mp = dict(jax.jit(lambda t: megapack_lowbit(cfg, t, bits))(tsp))
+        mp.update(ap_masks)
+        sp["megapack_lb"] = mp
     elif variant == "w8" and "megapack_w8" not in sp:
         from ..ops.megastep import megapack
         sp = dict(sp)

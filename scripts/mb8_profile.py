@@ -1,0 +1,99 @@
+"""8B-shape megastep decomposition (VERDICT r2 #3): kernel-only ms/step vs
+the greedy_decode engine step, plus grid geometry. Run on the real chip."""
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ganq_tpu.models import synthetic
+from ganq_tpu.serve import stacked
+
+
+def main():
+    cfg = synthetic.llama_config(hidden=4096, inter=14336, layers=32,
+                                 heads=32, kv_heads=8, vocab=32768,
+                                 max_pos=2048)
+    B, T = 8, 256
+    sp = synthetic.make_stacked_model(cfg, kind="uniform", seed=0,
+                                      lm_head_kind="w8", bits=4)
+    sp = stacked.prepack(cfg, sp, "pallas_a8", B)
+    variant = stacked.mega_enabled(cfg, sp, "pallas_a8", B)
+    print("variant:", variant)
+    mp = sp["megapack_lb" if variant in ("w4p", "w3", "w2") else "megapack4"]
+    L = cfg.num_hidden_layers
+    Hkv = cfg.num_key_value_heads
+    d = cfg.head_dim
+    ck = jnp.zeros((L, B * Hkv, T, d), jnp.bfloat16)
+    cv = jnp.zeros((L, B * Hkv, T, d), jnp.bfloat16)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(B, cfg.hidden_size)) * 0.3, jnp.bfloat16)
+    from ganq_tpu.ops.megastep_lowbit import mega_lm_operands, megastep_lowbit_decode
+    lm = mega_lm_operands(cfg, sp)
+    half = jnp.ones((d // 2,), jnp.float32)
+    kw = dict(q_dim=cfg.q_dim, kv_dim=Hkv * d, head_dim=d, rotary_dim=d,
+              scale=0.088, bits=4)
+
+    # kernel-only: chain steps back-to-back (x fed forward, fixed pos)
+    @jax.jit
+    def chain(x, ck, cv, n=8):
+        def body(c, _):
+            x, ck, cv = c
+            out = megastep_lowbit_decode(x, mp, ck, cv, jnp.int32(128),
+                                         half, half, lm=lm, **kw)
+            y = out[0]
+            return (y.astype(x.dtype), ck, cv), out[3][:, 0]
+        c, lg = jax.lax.scan(body, (x, ck, cv), None, length=n)
+        return lg
+
+    np.asarray(chain(x, ck, cv))
+    best = 1e9
+    for _ in range(4):
+        t0 = time.perf_counter()
+        np.asarray(chain(x, ck, cv))
+        best = min(best, time.perf_counter() - t0)
+    print(f"kernel-only (with lm fold): {best / 8 * 1e3:.2f} ms/step")
+
+    # kernel without the lm fold
+    @jax.jit
+    def chain_nolm(x, ck, cv, n=8):
+        def body(c, _):
+            x, ck, cv = c
+            out = megastep_lowbit_decode(x, mp, ck, cv, jnp.int32(128),
+                                         half, half, **kw)
+            return (out[0].astype(x.dtype), ck, cv), out[0][:, 0]
+        c, lg = jax.lax.scan(body, (x, ck, cv), None, length=n)
+        return lg
+
+    np.asarray(chain_nolm(x, ck, cv))
+    best = 1e9
+    for _ in range(4):
+        t0 = time.perf_counter()
+        np.asarray(chain_nolm(x, ck, cv))
+        best = min(best, time.perf_counter() - t0)
+    print(f"kernel-only (no lm fold):  {best / 8 * 1e3:.2f} ms/step")
+
+    # full engine step for comparison
+    ids = jnp.asarray(rng.integers(0, cfg.vocab_size, size=(B, 64)), jnp.int32)
+    def run(steps):
+        ck2, cv2 = stacked.init_cache(cfg, L, B, T)
+        return stacked.greedy_decode(cfg, sp, ck2, cv2, ids, steps, "pallas_a8")
+    np.asarray(run(32))
+    best = 1e9
+    for _ in range(3):
+        t0 = time.perf_counter()
+        np.asarray(run(32))
+        t32 = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        np.asarray(run(8))
+        t8 = time.perf_counter() - t0
+        best = min(best, (t32 - t8) / 24)
+    print(f"engine marginal:           {best * 1e3:.2f} ms/step")
+
+
+if __name__ == "__main__":
+    main()

@@ -125,6 +125,8 @@ def _setup(rng, cfg, B, T, pos, bits, bias=False):
     (3, 8, 50, 64),
     (3, 4, 3, 64),
     (2, 8, 20, 64),
+    (4, 16, 50, 64),      # batch > 8: octet-tiled row stride (Bp = 16)
+    (3, 12, 20, 64),      # batch > 8, not an octet multiple (Bp = 16)
 ])
 def test_megastep_lowbit_matches_reference(rng, bits, B, pos, T):
     cfg = _cfg()
@@ -140,12 +142,15 @@ def test_megastep_lowbit_matches_reference(rng, bits, B, pos, T):
         y, kn, vn = megastep_lowbit_decode(x, mp, kc, vc, jnp.int32(pos),
                                            cos, sin, block_t=64, bits=bits,
                                            **kw)
+    # 3e-2: kernel group-sequential f32 sums vs the oracle's single dot can
+    # flip an int8 activation code at the round-to-nearest boundary (one
+    # quant step ~2.5e-2 at these magnitudes); more batch rows, more flips
     np.testing.assert_allclose(np.asarray(kn, np.float32),
                                np.asarray(ref_k, np.float32),
-                               atol=2e-2, rtol=2e-2)
+                               atol=3e-2, rtol=2e-2)
     np.testing.assert_allclose(np.asarray(vn, np.float32),
                                np.asarray(ref_v, np.float32),
-                               atol=2e-2, rtol=2e-2)
+                               atol=3e-2, rtol=2e-2)
     np.testing.assert_allclose(np.asarray(y, np.float32),
                                np.asarray(ref_y, np.float32),
                                atol=5e-2, rtol=5e-2)
@@ -329,6 +334,185 @@ def test_megastep_lowbit_biased_projections(rng, bits):
     np.testing.assert_allclose(np.asarray(kn, np.float32),
                                np.asarray(ref_k, np.float32),
                                atol=3e-2, rtol=3e-2)
+    np.testing.assert_allclose(np.asarray(y, np.float32),
+                               np.asarray(ref_y, np.float32),
+                               atol=5e-2, rtol=5e-2)
+
+
+def _inject_gidx(rng, sp, which=("qkv", "o", "gu", "dn")):
+    """Turn sequential-group stacked uniform artifacts into act-order ones:
+    shuffle each matrix's input columns by a random per-layer permutation
+    and record g_idx accordingly (a balanced, perm-derived act order — the
+    shape desc_act/act_sort artifacts have). The dequantized weights stay
+    valid (dequantize_weight honors g_idx), so the megastep4 oracle on
+    them is the parity reference."""
+    import jax.numpy as jnp
+
+    from ganq_tpu.ops.packing import pack_int_rows, unpack_int_rows
+
+    ls = sp["layers_stacked"]
+    mats = {"qkv": ls["attn"]["qkv"], "o": ls["attn"]["o"],
+            "gu": ls["mlp"]["gateup"], "dn": ls["mlp"]["down"]}
+    for k in which:
+        m = mats[k]
+        L = m["qweight"].shape[0]
+        n = m.in_features
+        gs = n // m["scales"].shape[2]
+        qws, gidx = [], []
+        for l in range(L):
+            p = rng.permutation(n)
+            codes = np.asarray(unpack_int_rows(m["qweight"][l], m.bits, n))
+            qws.append(np.asarray(pack_int_rows(
+                jnp.asarray(codes[:, p]), m.bits)))
+            gidx.append((p // gs).astype(np.int32))
+        m.arrays["qweight"] = jnp.asarray(np.stack(qws))
+        m.arrays["g_idx"] = jnp.asarray(np.stack(gidx))
+
+
+@pytest.mark.parametrize("bits,B,which", [
+    (4, 8, ("qkv", "o", "gu", "dn")),
+    (3, 4, ("dn",)),              # pack-time-only remap (no runtime masks)
+])
+def test_megastep_lowbit_actorder(rng, bits, B, which):
+    """Act-order (g_idx) artifacts through the Beneš activation remap
+    (ops/lane_perm + actorder_transform) match the dequantized oracle —
+    the exllama column_remap capability, TPU-native (VERDICT r2 #4b)."""
+    from ganq_tpu.ops.megastep_lowbit import actorder_transform
+
+    cfg = _cfg()
+    pos, T = 20, 64
+    sp, _, kc, vc, x, cos, sin = _setup(rng, cfg, B, T, pos, bits)
+    _inject_gidx(rng, sp, which)
+    assert megastep_lowbit_fusable(cfg, sp, bits)
+    tsp, masks = actorder_transform(cfg, sp, bits)
+    assert ("ap_q" in masks) == any(k in which for k in ("qkv", "o", "gu"))
+    mp = dict(megapack_lowbit(cfg, tsp, bits))
+    mp.update(masks)
+
+    kv_dim = cfg.num_key_value_heads * cfg.head_dim
+    kw = dict(q_dim=cfg.q_dim, kv_dim=kv_dim, head_dim=cfg.head_dim,
+              rotary_dim=cfg.head_dim, eps=1e-5,
+              scale=float(1.0 / np.sqrt(cfg.head_dim)))
+    lw = _lw_list(cfg, sp)              # dequantizes WITH g_idx (original)
+    ref_y, ref_k, ref_v = megastep_lowbit_reference(x, lw, kc, vc, pos,
+                                                    cos, sin, **kw)
+    with _ctx():
+        y, kn, vn = megastep_lowbit_decode(x, mp, kc, vc, jnp.int32(pos),
+                                           cos, sin, block_t=64, bits=bits,
+                                           **kw)
+    np.testing.assert_allclose(np.asarray(kn, np.float32),
+                               np.asarray(ref_k, np.float32),
+                               atol=3e-2, rtol=2e-2)
+    np.testing.assert_allclose(np.asarray(vn, np.float32),
+                               np.asarray(ref_v, np.float32),
+                               atol=3e-2, rtol=2e-2)
+    np.testing.assert_allclose(np.asarray(y, np.float32),
+                               np.asarray(ref_y, np.float32),
+                               atol=5e-2, rtol=5e-2)
+
+
+def test_megastep_actorder_greedy_serving(rng, monkeypatch):
+    """Act-order artifacts through the FULL serving wiring: prepack bakes
+    the transform (actorder_transform) + attaches the routing masks, and
+    greedy_decode through the megastep matches the per-layer reference
+    path on the ORIGINAL g_idx artifacts (VERDICT r2 #4b done-criteria)."""
+    from ganq_tpu.serve import stacked
+
+    monkeypatch.setenv("GANQ_MEGASTEP", "1")
+    cfg = _cfg(layers=2)
+    B, prompt, steps, T = 4, 8, 4, 64
+    sp, _, _, _, _, _, _ = _setup(rng, cfg, B, T, 1, 3)
+    _inject_gidx(rng, sp, ("qkv", "o", "gu", "dn"))
+    assert stacked.mega_enabled(cfg, sp, "reference", B) == "w3"
+    psp = stacked.prepack(cfg, sp, "reference", B)
+    assert "megapack_lb" in psp and "ap_q" in psp["megapack_lb"]
+    ids = jnp.asarray(rng.integers(0, cfg.vocab_size, size=(B, prompt)),
+                      jnp.int32)
+    ck, cv = stacked.init_cache(cfg, cfg.num_hidden_layers, B, T)
+    toks = np.asarray(stacked.greedy_decode(cfg, psp, ck, cv, ids, steps,
+                                            "reference"))
+    monkeypatch.setenv("GANQ_MEGASTEP", "0")
+    ck, cv = stacked.init_cache(cfg, cfg.num_hidden_layers, B, T)
+    ref = np.asarray(stacked.greedy_decode(cfg, sp, ck, cv, ids, steps,
+                                           "reference"))
+    agree = (toks == ref).mean()
+    assert agree >= 0.9, f"token agreement {agree:.2f}\n{toks}\n{ref}"
+
+
+def _inject_lora(rng, sp, rank=16):
+    """Attach random EoRA adapters to all four stacked projections (the
+    kernel's all-or-nothing gate) and return oracle-side per-layer arrays.
+    Factors are cast to bf16 first — the kernel streams them bf16, so the
+    oracle must see the identical values."""
+    import jax.numpy as jnp
+
+    ls = sp["layers_stacked"]
+    mats = {"qkv": ls["attn"]["qkv"], "o": ls["attn"]["o"],
+            "gu": ls["mlp"]["gateup"], "dn": ls["mlp"]["down"]}
+    oracle = {}
+    for k, m in mats.items():
+        L = m["qweight"].shape[0]
+        n_in = m.in_features
+        n_out = m["scales"].shape[1]
+        la = (rng.normal(size=(L, rank, n_in)) * 0.02).astype(np.float32)
+        lb = (rng.normal(size=(L, n_out, rank)) * 0.02).astype(np.float32)
+        la = np.asarray(jnp.asarray(la, jnp.bfloat16), np.float32)
+        lb = np.asarray(jnp.asarray(lb, jnp.bfloat16), np.float32)
+        m.arrays["lora_a"] = jnp.asarray(la)
+        m.arrays["lora_b"] = jnp.asarray(lb)
+        oracle[k] = (la, lb)
+    return oracle
+
+
+@pytest.mark.parametrize("bits,B,actorder", [
+    (4, 8, False),
+    (3, 4, False),
+    (4, 8, True),                 # EoRA epilogue composed with act-order
+])
+def test_megastep_lowbit_eora_epilogue(rng, bits, B, actorder):
+    """EoRA rank-r adapters as a fused in-kernel epilogue (the
+    exllama_eora fused-GEMM analog, VERDICT r2 #4d): kernel matches the
+    oracle's full-precision adapter math on pre-quantization activations."""
+    from ganq_tpu.ops.megastep_lowbit import actorder_transform
+
+    cfg = _cfg()
+    pos, T = 20, 64
+    sp, _, kc, vc, x, cos, sin = _setup(rng, cfg, B, T, pos, bits)
+    oracle_lora = _inject_lora(rng, sp)
+    if actorder:
+        _inject_gidx(rng, sp, ("qkv", "o", "gu", "dn"))
+    assert megastep_lowbit_fusable(cfg, sp, bits)
+    tsp, masks = actorder_transform(cfg, sp, bits)
+    mp = dict(megapack_lowbit(cfg, tsp, bits))
+    mp.update(masks)
+    assert "la_q" in mp
+
+    kv_dim = cfg.num_key_value_heads * cfg.head_dim
+    kw = dict(q_dim=cfg.q_dim, kv_dim=kv_dim, head_dim=cfg.head_dim,
+              rotary_dim=cfg.head_dim, eps=1e-5,
+              scale=float(1.0 / np.sqrt(cfg.head_dim)))
+    lw = _lw_list(cfg, sp)
+    for i, lwd in enumerate(lw):
+        lwd["qkv_la"] = jnp.asarray(oracle_lora["qkv"][0][i])
+        lwd["qkv_lb"] = jnp.asarray(oracle_lora["qkv"][1][i])
+        lwd["o_la"] = jnp.asarray(oracle_lora["o"][0][i])
+        lwd["o_lb"] = jnp.asarray(oracle_lora["o"][1][i])
+        lwd["gu_la"] = jnp.asarray(oracle_lora["gu"][0][i])
+        lwd["gu_lb"] = jnp.asarray(oracle_lora["gu"][1][i])
+        lwd["down_la"] = jnp.asarray(oracle_lora["dn"][0][i])
+        lwd["down_lb"] = jnp.asarray(oracle_lora["dn"][1][i])
+    ref_y, ref_k, ref_v = megastep_lowbit_reference(x, lw, kc, vc, pos,
+                                                    cos, sin, **kw)
+    with _ctx():
+        y, kn, vn = megastep_lowbit_decode(x, mp, kc, vc, jnp.int32(pos),
+                                           cos, sin, block_t=64, bits=bits,
+                                           **kw)
+    np.testing.assert_allclose(np.asarray(kn, np.float32),
+                               np.asarray(ref_k, np.float32),
+                               atol=3e-2, rtol=2e-2)
+    np.testing.assert_allclose(np.asarray(vn, np.float32),
+                               np.asarray(ref_v, np.float32),
+                               atol=3e-2, rtol=2e-2)
     np.testing.assert_allclose(np.asarray(y, np.float32),
                                np.asarray(ref_y, np.float32),
                                atol=5e-2, rtol=5e-2)
