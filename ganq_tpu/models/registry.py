@@ -3248,3 +3248,114 @@ register(ArchSpec(
     },
     layers_prefix="transformer.encoder.layers",
 ))
+
+
+# ---------------------------------------------------------------------- hymba
+def _hymba_config(hf: Dict[str, Any]) -> ModelConfig:
+    """Hymba hybrid-head (reference models/definitions/hymba.py declares
+    the arch; block structure per the Hymba paper, NVIDIA 2024). The real
+    checkpoint is remote-code with no local oracle (reference
+    require_trust_remote_code), so HF config keys are mapped on a
+    best-effort basis and documented; the functional contract is pinned by
+    the handwritten numpy oracle in tests/test_hymba.py instead.
+
+    Constraint of our hybrid block: d_inner == q_dim (the normed attention
+    and SSM branch outputs are averaged elementwise)."""
+    heads = hf["num_attention_heads"]
+    hidden = hf["hidden_size"]
+    head_dim = hf.get("head_dim", hidden // heads)
+    d_inner = hf.get("mamba_d_inner", hf.get("ssm_inner", heads * head_dim))
+    if d_inner != heads * head_dim:
+        raise ValueError("hymba: d_inner must equal num_heads*head_dim "
+                         f"(got {d_inner} vs {heads * head_dim})")
+    reuse = hf.get("kv_reuse_map")
+    return ModelConfig(
+        model_type="hymba",
+        vocab_size=hf["vocab_size"],
+        hidden_size=hidden,
+        intermediate_size=hf["intermediate_size"],
+        num_hidden_layers=hf["num_hidden_layers"],
+        num_attention_heads=heads,
+        num_key_value_heads=hf.get("num_key_value_heads", heads),
+        head_dim=head_dim,
+        max_position_embeddings=hf.get("max_position_embeddings", 2048),
+        norm="rmsnorm",
+        norm_eps=hf.get("rms_norm_eps", 1e-6),
+        act=hf.get("hidden_act", "silu"),
+        gated_mlp=True,
+        pos="rope",
+        rope_theta=hf.get("rope_theta", 10000.0),
+        tie_word_embeddings=hf.get("tie_word_embeddings", True),
+        ssm_hybrid=True,
+        ssm_inner=d_inner,
+        ssm_state=hf.get("ssm_state_size", hf.get("mamba_d_state", 16)),
+        ssm_conv=hf.get("conv_kernel", hf.get("mamba_d_conv", 4)),
+        ssm_dt_rank=hf.get("time_step_rank", hf.get("mamba_dt_rank")),
+        num_meta_tokens=hf.get("num_memory_tokens",
+                               hf.get("num_meta_tokens", 0)),
+        kv_reuse_map=tuple(reuse) if reuse is not None else None,
+    )
+
+
+def _hymba_convert_state(sd: Dict[str, Any], hf: Dict[str, Any]):
+    """Depthwise conv weight [Di, 1, K] -> our [K, Di] tap layout."""
+    out = {}
+    for k, v in sd.items():
+        if k.endswith("conv1d.weight") and getattr(v, "ndim", 0) == 3:
+            v = v[:, 0, :].T
+        out[k] = v
+    return out
+
+
+HYMBA_NAME_MAP = {
+    "embed_tokens.weight": "model.embed_tokens.weight",
+    "final_norm.weight": "model.final_layernorm.weight",
+    "lm_head.weight": "lm_head.weight",
+    "meta_tokens": "model.meta_tokens",
+    "layers.{i}.input_norm.weight": "model.layers.{i}.input_layernorm.weight",
+    "layers.{i}.post_norm.weight":
+        "model.layers.{i}.pre_moe_layernorm.weight",
+    "layers.{i}.mamba.in_proj.weight": "model.layers.{i}.mamba.in_proj.weight",
+    "layers.{i}.mamba.out_proj.weight":
+        "model.layers.{i}.mamba.out_proj.weight",
+    "layers.{i}.mamba.conv_w": "model.layers.{i}.mamba.conv1d.weight",
+    "layers.{i}.mamba.conv_b": "model.layers.{i}.mamba.conv1d.bias",
+    "layers.{i}.mamba.x_proj.weight": "model.layers.{i}.mamba.x_proj.0.weight",
+    "layers.{i}.mamba.dt_proj.weight":
+        "model.layers.{i}.mamba.dt_proj.0.weight",
+    "layers.{i}.mamba.dt_proj.bias": "model.layers.{i}.mamba.dt_proj.0.bias",
+    "layers.{i}.mamba.A_log": "model.layers.{i}.mamba.A_log",
+    "layers.{i}.mamba.D": "model.layers.{i}.mamba.D",
+    "layers.{i}.mamba.attn_norm.weight":
+        "model.layers.{i}.mamba.attn_norm.weight",
+    "layers.{i}.mamba.ssm_norm.weight":
+        "model.layers.{i}.mamba.ssm_norm.weight",
+    "layers.{i}.mlp.gate.weight":
+        "model.layers.{i}.moe.experts.0.gate_proj.weight",
+    "layers.{i}.mlp.up.weight":
+        "model.layers.{i}.moe.experts.0.up_proj.weight",
+    "layers.{i}.mlp.down.weight":
+        "model.layers.{i}.moe.experts.0.down_proj.weight",
+}
+
+register(ArchSpec(
+    model_type="hymba",
+    make_config=_hymba_config,
+    convert_state=_hymba_convert_state,
+    name_map=HYMBA_NAME_MAP,
+    # reference hymba.py layer_modules: mamba.in_proj / mamba.out_proj /
+    # the single-expert MLP (x_proj/dt_proj stay unquantized there too)
+    layer_modules=[
+        ["mamba.in_proj"],
+        ["mamba.out_proj"],
+        ["moe.experts.0.up_proj", "moe.experts.0.gate_proj"],
+        ["moe.experts.0.down_proj"],
+    ],
+    module_slots={
+        "mamba.in_proj": "mamba.in_proj",
+        "mamba.out_proj": "mamba.out_proj",
+        "moe.experts.0.gate_proj": "mlp.gate",
+        "moe.experts.0.up_proj": "mlp.up",
+        "moe.experts.0.down_proj": "mlp.down",
+    },
+))

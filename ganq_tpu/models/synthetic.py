@@ -11,6 +11,7 @@ from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..ops import qlinear
 from .transformer import ModelConfig
@@ -219,3 +220,86 @@ def make_stacked_model(cfg: ModelConfig, kind: str = "lut", seed: int = 0,
 
 
 __all__ = ["llama_config", "make_model", "make_stacked_model"]
+
+
+def hymba_config(hidden: int = 256, inter: int = 512, layers: int = 3,
+                 heads: int = 4, kv_heads: int = 2, vocab: int = 512,
+                 ssm_state: int = 8, ssm_conv: int = 4, dt_rank: int = 16,
+                 meta_tokens: int = 4,
+                 kv_reuse_map=None, max_pos: int = 512) -> ModelConfig:
+    """Hymba-style hybrid-head config (reference
+    models/definitions/hymba.py): attention∥SSM layers with fused in_proj,
+    meta tokens, optional cross-layer KV reuse. d_inner == q_dim (the two
+    branch outputs average)."""
+    return ModelConfig(
+        model_type="hymba", vocab_size=vocab, hidden_size=hidden,
+        intermediate_size=inter, num_hidden_layers=layers,
+        num_attention_heads=heads, num_key_value_heads=kv_heads,
+        head_dim=hidden // heads, max_position_embeddings=max_pos,
+        norm="rmsnorm", act="silu", gated_mlp=True, pos="rope",
+        tie_word_embeddings=True, ssm_hybrid=True,
+        ssm_inner=hidden, ssm_state=ssm_state, ssm_conv=ssm_conv,
+        ssm_dt_rank=dt_rank, num_meta_tokens=meta_tokens,
+        kv_reuse_map=kv_reuse_map)
+
+
+def make_hymba_model(cfg: ModelConfig, kind: str = "dense", seed: int = 0,
+                     dtype=jnp.bfloat16, bits: int = 4) -> Dict[str, Any]:
+    """Random hymba params: per layer one fused mamba.in_proj
+    [2*Di + q_dim + 2*kv_dim, H] and mamba.out_proj [H, Di] (the
+    quantization targets, reference hymba.py layer_modules) plus the SSM
+    internals (x_proj/dt_proj/conv/A_log/D, kept dense like the reference,
+    which skips them) and the single-expert gated MLP."""
+    _rl = functools.partial(_rand_linear, bits=bits)
+    key = jax.random.PRNGKey(seed)
+    ks = iter(jax.random.split(key, 16 + cfg.num_hidden_layers * 10))
+    h, q, kv, it = (cfg.hidden_size, cfg.q_dim, cfg.kv_dim,
+                    cfg.intermediate_size)
+    Di = cfg.ssm_inner or q
+    N, K = cfg.ssm_state, cfg.ssm_conv
+    dtr = cfg.ssm_dt_rank or max(1, h // 16)
+    params: Dict[str, Any] = {
+        "embed_tokens": {"weight": jax.random.normal(
+            next(ks), (cfg.vocab_size, h), dtype) * 0.02},
+        "final_norm": {"weight": jnp.ones((h,), dtype)},
+        "layers": [],
+    }
+    if cfg.num_meta_tokens:
+        params["meta_tokens"] = jax.random.normal(
+            next(ks), (cfg.num_meta_tokens, h), jnp.float32) * 0.02
+    for _ in range(cfg.num_hidden_layers):
+        # dt_proj bias initialized so softplus(dt) starts near 0.1-1.0
+        # (mamba's inverse-softplus init keeps the scan stable)
+        dt_b = jnp.log(jnp.expm1(jnp.asarray(
+            np.random.default_rng(3).uniform(0.1, 1.0, size=(Di,))
+            .astype(np.float32))))
+        lp = {
+            "input_norm": {"weight": jnp.ones((h,), dtype)},
+            "post_norm": {"weight": jnp.ones((h,), dtype)},
+            "mamba": {
+                "in_proj": _rl(next(ks), 2 * Di + q + 2 * kv, h, kind,
+                               dtype),
+                "out_proj": _rl(next(ks), h, Di, kind, dtype),
+                "conv_w": jax.random.normal(next(ks), (K, Di),
+                                            jnp.float32) * 0.2,
+                "conv_b": jnp.zeros((Di,), jnp.float32),
+                "x_proj": {"weight": jax.random.normal(
+                    next(ks), (dtr + 2 * N, Di), jnp.float32) * 0.05},
+                "dt_proj": {"weight": jax.random.normal(
+                    next(ks), (Di, dtr), jnp.float32) * 0.05,
+                    "bias": dt_b},
+                "A_log": jnp.log(jnp.broadcast_to(
+                    jnp.arange(1, N + 1, dtype=jnp.float32)[None, :],
+                    (Di, N))),
+                "D": jnp.ones((Di,), jnp.float32),
+                "attn_norm": {"weight": jnp.ones((Di,), jnp.float32)},
+                "ssm_norm": {"weight": jnp.ones((Di,), jnp.float32)},
+            },
+            "mlp": {
+                "gate": _rl(next(ks), it, h, kind, dtype),
+                "up": _rl(next(ks), it, h, kind, dtype),
+                "down": _rl(next(ks), h, it, kind, dtype),
+            },
+        }
+        params["layers"].append(lp)
+    return params

@@ -152,8 +152,29 @@ class ModelConfig:
     # layer's kv width from its projection tensors, so per-layer caches and
     # attention need no layer index plumbing.
     kv_heads_per_layer: Optional[Tuple[int, ...]] = None
+    # hymba hybrid-head layers (reference models/definitions/hymba.py; the
+    # block follows the Hymba paper: one in_proj feeds parallel SSM and
+    # attention heads, their normed outputs are averaged, out_proj closes):
+    # ssm_hybrid turns the layer into attn∥mamba; ssm_inner = d_inner (must
+    # equal q_dim so the two branch outputs can average); ssm_state = N;
+    # ssm_conv = depthwise kernel K; ssm_dt_rank = Δ low-rank width.
+    ssm_hybrid: bool = False
+    ssm_inner: Optional[int] = None
+    ssm_state: int = 16
+    ssm_conv: int = 4
+    ssm_dt_rank: Optional[int] = None
+    # learnable prompt-prefix tokens (hymba meta tokens): prepended at
+    # prefill, occupy cache rows [0, m) and rope positions [0, m)
+    num_meta_tokens: int = 0
+    # cross-layer KV sharing: kv_reuse_map[i] = j (j <= i) means layer i
+    # attends over layer j's (updated) KV cache instead of its own; j == i
+    # (or None map) = every layer computes its own
+    kv_reuse_map: Optional[Tuple[int, ...]] = None
 
     def __post_init__(self):
+        if isinstance(self.kv_reuse_map, list):
+            object.__setattr__(self, "kv_reuse_map",
+                               tuple(self.kv_reuse_map))
         if isinstance(self.rope_scaling, dict):
             object.__setattr__(self, "rope_scaling",
                                _HashableDict(self.rope_scaling))
@@ -769,6 +790,136 @@ def _fused_act_kind(cfg: ModelConfig) -> str:
     return "gelu"
 
 
+def _hymba_layer(cfg: ModelConfig, lp: Dict[str, Any], x: jax.Array,
+                 mask, rope, cache, cache_pos, want_taps: bool,
+                 backend: str, kv_override=None):
+    """Hymba hybrid-head decoder layer (reference
+    models/definitions/hymba.py declares the arch and quantizes
+    mamba.in_proj / mamba.out_proj / the single-expert MLP; the block
+    structure follows the Hymba paper, NVIDIA 2024): ONE fused in_proj
+    emits the SSM stream (x, z) AND the attention q/k/v on the same normed
+    input; the two branch outputs are RMS-normed and averaged before
+    out_proj. The SSM math is ops/ssm.py (lax.scan selective state space);
+    attention is the standard GQA path with rope and KV cache.
+
+    ``kv_override``: another layer's (already updated) {"k","v"} cache —
+    hymba's cross-layer KV sharing (cfg.kv_reuse_map). The consumer layer
+    attends over the producer's keys/values; its own cache rows and the
+    k/v sections of its in_proj output are unused.
+
+    Scope notes (recorded, not silent): scalar cache positions only (no
+    continuous-batching vector positions), no sliding-window overlay, and
+    the quantization looper calibrates consumer layers with their OWN k/v
+    (kv_reuse only binds at serving) — quantize with kv_reuse_map=None.
+    """
+    from ..ops.ssm import causal_conv1d, selective_scan
+
+    taps: Dict[str, jax.Array] = {}
+    b, s, H = x.shape
+    d = cfg.head_dim
+    Hq = cfg.num_attention_heads
+    scale = (cfg.attn_scale if cfg.attn_scale is not None
+             else 1.0 / math.sqrt(d))
+    if cache_pos is not None and not isinstance(cache_pos, int) \
+            and getattr(cache_pos, "ndim", 0) == 1:
+        raise NotImplementedError("hymba: vector cache positions "
+                                  "(continuous batching) not supported")
+    residual = x
+    h = apply_norm(lp["input_norm"], x, cfg.norm, cfg.norm_eps,
+                   cfg.rms_offset)
+    mp = lp["mamba"]
+    if want_taps:
+        taps["mamba.in_proj"] = h
+    proj = qlinear.apply(mp["in_proj"], h, backend) \
+        if isinstance(mp["in_proj"], qlinear.QLinear) else \
+        (h @ mp["in_proj"]["weight"].T.astype(h.dtype))
+    Di = mp["A_log"].shape[0]
+    q_dim = Hq * d
+    kvd = (proj.shape[-1] - 2 * Di - q_dim) // 2
+    xs, z = proj[..., :Di], proj[..., Di:2 * Di]
+    qf = proj[..., 2 * Di:2 * Di + q_dim]
+    kf = proj[..., 2 * Di + q_dim:2 * Di + q_dim + kvd]
+    vf = proj[..., 2 * Di + q_dim + kvd:]
+
+    # ---- SSM branch (streaming state rides the cache)
+    conv_state = None if cache is None else cache["conv"]
+    xs, conv_new = causal_conv1d(xs, mp["conv_w"], mp.get("conv_b"),
+                                 conv_state)
+    xs = jax.nn.silu(xs.astype(jnp.float32)).astype(proj.dtype)
+    dbc = xs @ mp["x_proj"]["weight"].T.astype(xs.dtype)
+    dt_rank = dbc.shape[-1] - 2 * cfg.ssm_state
+    dt = dbc[..., :dt_rank] @ mp["dt_proj"]["weight"].T.astype(dbc.dtype)
+    dt = jax.nn.softplus(dt.astype(jnp.float32)
+                         + mp["dt_proj"]["bias"].astype(jnp.float32))
+    Bc = dbc[..., dt_rank:dt_rank + cfg.ssm_state]
+    Cc = dbc[..., dt_rank + cfg.ssm_state:]
+    h0 = None if cache is None else cache["ssm"]
+    y_ssm, hT = selective_scan(xs, dt, mp["A_log"], Bc, Cc, mp["D"],
+                               z=z, h0=h0)
+    y_ssm = _rms_vec(y_ssm, mp["ssm_norm"]["weight"], cfg.norm_eps)
+
+    # ---- attention branch
+    q = qf.reshape(b, s, Hq, d)
+    k = kf.reshape(b, s, -1, d)
+    v = vf.reshape(b, s, -1, d)
+    if cfg.pos == "rope" and rope is not None:
+        cos, sin = rope
+        q = apply_rope(q, cos, sin, cfg.rope_interleaved)
+        k = apply_rope(k, cos, sin, cfg.rope_interleaved)
+    is_prefill = cache is None or (isinstance(cache_pos, int)
+                                   and cache_pos == 0 and s > 1)
+    own_kv = None
+    if cache is not None and kv_override is None:
+        ck = jax.lax.dynamic_update_slice(
+            cache["k"], k.astype(cache["k"].dtype), (0, cache_pos, 0, 0))
+        cv = jax.lax.dynamic_update_slice(
+            cache["v"], v.astype(cache["v"].dtype), (0, cache_pos, 0, 0))
+        own_kv = (ck, cv)
+    if kv_override is not None:
+        k_att = kv_override["k"].astype(q.dtype)
+        v_att = kv_override["v"].astype(q.dtype)
+        att_mask = mask if not is_prefill else causal_mask(s, k_att.shape[1])
+    elif is_prefill:
+        k_att, v_att = k.astype(q.dtype), v.astype(q.dtype)
+        att_mask = causal_mask(s, s)
+    else:
+        k_att, v_att = own_kv[0].astype(q.dtype), own_kv[1].astype(q.dtype)
+        att_mask = mask
+    y_attn = attention(q, k_att, v_att, att_mask, scale).reshape(b, s, -1)
+    y_attn = _rms_vec(y_attn, mp["attn_norm"]["weight"], cfg.norm_eps)
+
+    ymix = 0.5 * (y_attn.astype(jnp.float32)
+                  + y_ssm.astype(jnp.float32)).astype(x.dtype)
+    if want_taps:
+        taps["mamba.out_proj"] = ymix
+    out = qlinear.apply(mp["out_proj"], ymix, backend) \
+        if isinstance(mp["out_proj"], qlinear.QLinear) else \
+        (ymix @ mp["out_proj"]["weight"].T.astype(ymix.dtype))
+    x = residual + out
+
+    # ---- standard gated MLP (reference quantizes it as moe.experts.0.*)
+    h2 = apply_norm(lp["post_norm"], x, cfg.norm, cfg.norm_eps,
+                    cfg.rms_offset)
+    if want_taps:
+        taps["mlp.gate"] = taps["mlp.up"] = h2
+    g = qlinear.apply(lp["mlp"]["gate"], h2, backend)
+    u = qlinear.apply(lp["mlp"]["up"], h2, backend)
+    a = _activation(g, cfg.act) * u
+    if want_taps:
+        taps["mlp.down"] = a
+    x = x + qlinear.apply(lp["mlp"]["down"], a, backend)
+
+    if cache is not None:
+        new_cache = {"k": own_kv[0] if own_kv is not None else cache["k"],
+                     "v": own_kv[1] if own_kv is not None else cache["v"],
+                     "conv": conv_new, "ssm": hT}
+    else:
+        # cache-free forward still exposes this layer's fresh k/v so
+        # forward() can thread kv_reuse to consumer layers
+        new_cache = {"k": k, "v": v, "conv": conv_new, "ssm": hT}
+    return x, new_cache, taps
+
+
 def layer_forward(cfg: ModelConfig, lp: Dict[str, Any], x: jax.Array,
                   mask: Optional[jax.Array],
                   rope: Optional[Tuple[jax.Array, jax.Array]] = None,
@@ -776,7 +927,8 @@ def layer_forward(cfg: ModelConfig, lp: Dict[str, Any], x: jax.Array,
                   cache_pos: Optional[jax.Array] = None,
                   want_taps: bool = False,
                   backend: str = "reference",
-                  window: Optional[Any] = None):
+                  window: Optional[Any] = None,
+                  kv_override: Optional[Dict[str, jax.Array]] = None):
     """One decoder layer. Returns (y, new_cache, taps).
 
     ``taps`` maps reference-convention submodule names to their *inputs*
@@ -787,6 +939,9 @@ def layer_forward(cfg: ModelConfig, lp: Dict[str, Any], x: jax.Array,
     traced int32 scalar (stacked-scan callers, where per-layer windows ride
     the scan as data so the layer body stays homogeneous).
     """
+    if cfg.ssm_hybrid:
+        return _hymba_layer(cfg, lp, x, mask, rope, cache, cache_pos,
+                            want_taps, backend, kv_override)
     taps: Dict[str, jax.Array] = {}
     b, s, _ = x.shape
     scale = cfg.attn_scale if cfg.attn_scale is not None else 1.0 / math.sqrt(cfg.head_dim)
@@ -1124,16 +1279,33 @@ def unembed(cfg: ModelConfig, params: Dict[str, Any], x: jax.Array,
 
 def forward(cfg: ModelConfig, params: Dict[str, Any], input_ids: jax.Array,
             backend: str = "reference") -> jax.Array:
-    """Full forward, no cache: input_ids [b, s] -> logits [b, s, vocab]."""
+    """Full forward, no cache: input_ids [b, s] -> logits [b, s, vocab].
+    Hymba extras handled here: meta tokens are prepended (their logit rows
+    are stripped, so the [b, s, vocab] contract holds) and kv_reuse
+    consumer layers read the producer layer's fresh k/v."""
     b, s = input_ids.shape
-    positions = jnp.broadcast_to(jnp.arange(s), (b, s))
+    m = cfg.num_meta_tokens
+    positions = jnp.broadcast_to(jnp.arange(s) + m, (b, s))
     x = embed(cfg, params, input_ids, positions)
-    mask = causal_mask(s, s)
+    if m:
+        meta = params["meta_tokens"].astype(x.dtype)      # [m, H]
+        x = jnp.concatenate(
+            [jnp.broadcast_to(meta[None], (b, m, meta.shape[1])), x], axis=1)
+        positions = jnp.broadcast_to(jnp.arange(s + m), (b, s + m))
+    mask = causal_mask(s + m, s + m)
     rope = rope_tables_all(cfg, positions) if cfg.pos == "rope" else None
+    lcs = []
     for i, lp in enumerate(params["layers"]):
-        x, _, _ = layer_forward(cfg, lp, x, mask,
-                                rope_for_layer(cfg, rope, i), backend=backend,
-                                window=cfg.layer_window(i))
+        ko = None
+        if cfg.kv_reuse_map is not None and cfg.kv_reuse_map[i] != i:
+            src = lcs[cfg.kv_reuse_map[i]]
+            ko = {"k": src["k"], "v": src["v"]}
+        x, lc, _ = layer_forward(cfg, lp, x, mask,
+                                 rope_for_layer(cfg, rope, i), backend=backend,
+                                 window=cfg.layer_window(i), kv_override=ko)
+        lcs.append(lc)
+    if m:
+        x = x[:, m:]
     return unembed(cfg, params, x)
 
 

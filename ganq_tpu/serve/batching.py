@@ -212,6 +212,7 @@ class BatchingEngine:
         # cheap env/backend gate FIRST: stack_layers copies the whole
         # model on device, so only attempt it when the path could engage
         if (_stacked.mega_env_enabled(backend, slots) and not cfg.mla
+                and not cfg.ssm_hybrid
                 and cfg.kv_heads_per_layer is None
                 and isinstance(layers, list) and len(layers) > 1
                 and len({jax.tree_util.tree_structure(lp)

@@ -40,11 +40,23 @@ def init_cache(cfg: ModelConfig, batch: int, max_seq: int,
              "kpe": jnp.zeros((batch, max_seq, cfg.qk_rope_head_dim), dtype)}
             for _ in range(cfg.num_hidden_layers)
         ]
+    extra = {}
+    if cfg.ssm_hybrid:
+        # hymba: streaming SSM state rides the layer cache next to k/v
+        # (f32 — the selective-scan recurrence accumulates there)
+        Di = cfg.ssm_inner or cfg.q_dim
+        extra = {
+            "ssm": lambda: jnp.zeros((batch, Di, cfg.ssm_state),
+                                     jnp.float32),
+            "conv": lambda: jnp.zeros((batch, cfg.ssm_conv - 1, Di),
+                                      jnp.float32),
+        }
     return [
         {"k": jnp.zeros((batch, max_seq, cfg.layer_kv_heads(i),
                          cfg.k_cache_dim), dtype),
          "v": jnp.zeros((batch, max_seq, cfg.layer_kv_heads(i),
-                         cfg.v_cache_dim), dtype)}
+                         cfg.v_cache_dim), dtype),
+         **{k: mk() for k, mk in extra.items()}}
         for i in range(cfg.num_hidden_layers)
     ]
 
@@ -62,17 +74,27 @@ def prefill(cfg: ModelConfig, params: Dict[str, Any], cache: list,
     input_ids: [B, S]. Returns (logits_last [B, vocab], cache).
     """
     b, s = input_ids.shape
+    m = cfg.num_meta_tokens
     max_seq = _cache_len(cache)
-    positions = jnp.broadcast_to(jnp.arange(s), (b, s))
+    positions = jnp.broadcast_to(jnp.arange(s) + m, (b, s))
     x = embed(cfg, params, input_ids, positions)
-    mask = causal_mask(s, max_seq)
+    if m:  # hymba meta tokens: learnable prefix at cache rows [0, m)
+        meta = params["meta_tokens"].astype(x.dtype)
+        x = jnp.concatenate(
+            [jnp.broadcast_to(meta[None], (b, m, meta.shape[1])), x], axis=1)
+        positions = jnp.broadcast_to(jnp.arange(s + m), (b, s + m))
+    mask = causal_mask(s + m, max_seq)
     rope = rope_tables_all(cfg, positions) if cfg.pos == "rope" else None
     new_cache = []
     for i, (lp, lc) in enumerate(zip(params["layers"], cache)):
+        ko = None
+        if cfg.kv_reuse_map is not None and cfg.kv_reuse_map[i] != i:
+            src = new_cache[cfg.kv_reuse_map[i]]
+            ko = {"k": src["k"], "v": src["v"]}
         x, lc, _ = layer_forward(cfg, lp, x, mask,
                                  rope_for_layer(cfg, rope, i), cache=lc,
                                  cache_pos=0, backend=backend,
-                                 window=cfg.layer_window(i))
+                                 window=cfg.layer_window(i), kv_override=ko)
         new_cache.append(lc)
     logits = unembed(cfg, params, x[:, -1:, :], backend)
     return logits[:, 0, :], new_cache
@@ -89,10 +111,14 @@ def _decode_one(cfg: ModelConfig, params, cache, token: jax.Array,
     rope = rope_tables_all(cfg, positions) if cfg.pos == "rope" else None
     new_cache = []
     for i, (lp, lc) in enumerate(zip(params["layers"], cache)):
+        ko = None
+        if cfg.kv_reuse_map is not None and cfg.kv_reuse_map[i] != i:
+            src = new_cache[cfg.kv_reuse_map[i]]
+            ko = {"k": src["k"], "v": src["v"]}
         x, lc, _ = layer_forward(cfg, lp, x, mask,
                                  rope_for_layer(cfg, rope, i), cache=lc,
                                  cache_pos=pos, backend=backend,
-                                 window=cfg.layer_window(i))
+                                 window=cfg.layer_window(i), kv_override=ko)
         new_cache.append(lc)
     logits = unembed(cfg, params, x, backend)[:, 0, :]
     return logits, new_cache
@@ -138,6 +164,7 @@ def generate_tokens(cfg: ModelConfig, params, cache, input_ids, key,
     eos_id once finished). The whole loop is on-device; one dispatch total.
     """
     b, s = input_ids.shape
+    s = s + cfg.num_meta_tokens      # decode continues after the prefix
     logits0, cache = prefill(cfg, params, cache, input_ids, backend)
     key, k0 = jax.random.split(key)
     tok0 = _sample(logits0, k0, temperature, top_k, top_p)
@@ -194,6 +221,7 @@ class Engine:
             self.params = absorb_mla_params(self.cfg, self.params)
         self._sp = None
         if (self.layout != "perlayer" and not self.cfg.mla
+                and not self.cfg.ssm_hybrid
                 and self.cfg.kv_heads_per_layer is None):
             layers = self.params.get("layers")
             if isinstance(layers, list) and len(layers) > 1:
@@ -224,7 +252,7 @@ class Engine:
         ids = jnp.asarray(input_ids)
         if ids.ndim == 1:
             ids = ids[None, :]
-        total = ids.shape[1] + max_new_tokens
+        total = ids.shape[1] + max_new_tokens + self.cfg.num_meta_tokens
         if total > self.max_seq:
             raise ValueError(f"sequence {total} exceeds max_seq {self.max_seq}")
         if self._sp is not None:
@@ -255,11 +283,11 @@ class Engine:
             ids = ids[None, :]
         if ids.shape[0] != 1:
             raise ValueError("stream() is single-sequence (batch=1)")
-        total = ids.shape[1] + max_new_tokens
+        total = ids.shape[1] + max_new_tokens + self.cfg.num_meta_tokens
         if total > self.max_seq:
             raise ValueError(f"sequence {total} exceeds max_seq {self.max_seq}")
         key = jax.random.PRNGKey(seed)
-        pos = ids.shape[1]
+        pos = ids.shape[1] + self.cfg.num_meta_tokens
         if self._sp is not None:
             from . import stacked as _stacked
             ck, cv = _stacked.init_cache(self.cfg, self.cfg.num_hidden_layers,

@@ -197,7 +197,8 @@ def test_unsupported_arch_fails_loudly():
     from ganq_tpu.models.registry import get_spec
     import pytest as _pt
     with _pt.raises(KeyError, match="Unsupported architecture"):
-        get_spec("hymba")  # mamba-hybrid remote-code arch; must not alias
+        get_spec("not_a_real_arch")
+    get_spec("hymba")  # round 3: hybrid attn/SSM arch is now registered
 
 
 def test_qwen3_forward_parity(rng):
