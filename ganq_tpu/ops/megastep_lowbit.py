@@ -159,7 +159,7 @@ def _mlp_tile_lb(I: int, g_r: int) -> int | None:
 def _megastep_lb_kernel(pos_ref, x_ref, anw_ref, mnw_ref,
                         qw_ref, qs_ref, qb_ref, cos_ref, sin_ref, r_ref,
                         kc_ref, vc_ref, ow_ref, os_ref,
-                        gw_ref, uw_ref, gus_ref, dw_ref, ds_ref,
+                        gw_ref, uw_ref, gus_ref, dw_ref, ds_ref, pb_ref,
                         *rest,
                         B: int, d: int, Hq: int, Hkv: int, qpk: int,
                         NQ: int, NT: int, NG: int, Tb: int, tq: int, ti: int,
@@ -291,107 +291,115 @@ def _megastep_lb_kernel(pos_ref, x_ref, anw_ref, mnw_ref,
                                       precision=_DEF)
             y = (y * cos_ref[sub] + rot * sin_ref[sub]).astype(jnp.bfloat16)
             t_idx = p * ptq + sub
-            for i in range(tq // d):
-                qkv_s[pl.ds((t_idx * (tq // d) + i) * Bp, Bp), :] = jnp.pad(
-                    y[:, i * d:(i + 1) * d], ((0, Bp - B), (0, 0)))
+            # one [tq/d * Bp, d] store per tile (head-major scratch rows)
+            yt = jnp.pad(y, ((0, Bp - B), (0, 0))).reshape(
+                Bp, tq // d, d).transpose(1, 0, 2).reshape(tq // d * Bp, d)
+            qkv_s[pl.ds(t_idx * (tq // d) * Bp, tq // d * Bp), :] = yt
 
     @pl.when(p == NQS - 1)
     def _():
-        for g in range(Hkv):
-            kn_ref[0, :, g * d:(g + 1) * d] = qkv_s[
-                (Hq + g) * Bp:(Hq + g) * Bp + B, :]
-            vn_ref[0, :, g * d:(g + 1) * d] = qkv_s[
-                (Hq + Hkv + g) * Bp:(Hq + Hkv + g) * Bp + B, :]
+        kv = qkv_s[Hq * Bp:(Hq + 2 * Hkv) * Bp, :].reshape(
+            2 * Hkv, Bp, d).transpose(1, 0, 2)         # [Bp, 2Hkv, d]
+        kn_ref[0] = kv[:B, :Hkv].reshape(B, Hkv * d)
+        vn_ref[0] = kv[:B, Hkv:].reshape(B, Hkv * d)
 
-    # ---- phase B: flash attention over one cache block
+    # ---- phase B: flash attention over one cache block. ONE batched dot
+    # over all (b, kv-head) pairs per block (batch dim B*Hkv matches the
+    # cache row order b*Hkv+g) — the unrolled per-(b,g) loop cost ~10x the
+    # kernel's DMA share at the 8B shape (PERF.md round 3, VERDICT r2 #3).
     tb = p - NQS
     in_flash = (p >= NQS) & (p < NQS + NT)
+    BG = B * Hkv
 
-    def _rows(base_s, b, g, n):
-        return jnp.concatenate(
-            [base_s[(g * qpk + i) * Bp + b:(g * qpk + i) * Bp + b + 1, :]
-             for i in range(n)], axis=0)
+    def _fview(s, rows=Hq, base=0):
+        """Scratch [rows*Bp, n] (row h*Bp+b, h=g*qpk+i) -> batched view
+        [Bp*Hkv, per, n] (row b*Hkv+g) — a free reshape + one transpose."""
+        n = s.shape[1]
+        per = rows // Hkv
+        v = s[base * Bp:(base + rows) * Bp, :].reshape(Hkv, per, Bp, n)
+        return v.transpose(2, 0, 1, 3).reshape(Bp * Hkv, per, n)
 
-    def _online(b, g, s_blk, v_blk):
-        m_prev = _rows(m_s, b, g, qpk)
-        l_prev = _rows(l_s, b, g, qpk)
-        a_prev = _rows(acc_s, b, g, qpk)
-        smax = jnp.max(s_blk, axis=1, keepdims=True)
+    def _fstore(ref, v, per=None):
+        """Inverse of _fview: [B*Hkv, per, n] -> full scratch block (padded
+        batch rows, if any, are overwritten with zeros — they are never
+        read: finalize's l-clamp maps them to 0)."""
+        per = per if per is not None else qpk
+        n = v.shape[2]
+        if Bp != B:
+            v = jnp.pad(v, ((0, (Bp - B) * Hkv), (0, 0), (0, 0)))
+        v = v.reshape(Bp, Hkv, per, n).transpose(1, 2, 0, 3)
+        ref[:] = v.reshape(Hkv * per * Bp, n)
+
+    def _online_all(s_blk, v_blk):
+        """Vectorized online-softmax update: s_blk [B*Hkv, qpk, Tb'] f32,
+        v_blk [B*Hkv, Tb', d] bf16."""
+        m_prev = _fview(m_s)[:BG]             # [BG, qpk, 128]
+        l_prev = _fview(l_s)[:BG]
+        a_prev = _fview(acc_s)[:BG]
+        smax = jnp.max(s_blk, axis=2, keepdims=True)
         m_new = jnp.maximum(m_prev, smax)
         alpha = jnp.exp(m_prev - m_new)
-        pexp = jnp.exp(s_blk - m_new[:, :1])
+        pexp = jnp.exp(s_blk - m_new[:, :, :1])
         pv = jax.lax.dot_general(pexp.astype(jnp.bfloat16), v_blk,
-                                 (((1,), (0,)), ((), ())),
+                                 (((2,), (1,)), ((0,), (0,))),
                                  preferred_element_type=jnp.float32,
                                  precision=_DEF)
-        l_new = l_prev * alpha + jnp.sum(pexp, axis=1, keepdims=True)
+        l_new = l_prev * alpha + jnp.sum(pexp, axis=2, keepdims=True)
         a_new = a_prev * alpha + pv
-        for i in range(qpk):
-            r = (g * qpk + i) * Bp + b
-            m_s[r:r + 1, :] = m_new[i:i + 1, :]
-            l_s[r:r + 1, :] = l_new[i:i + 1, :]
-            acc_s[r:r + 1, :] = a_new[i:i + 1, :]
+        _fstore(m_s, m_new)
+        _fstore(l_s, l_new)
+        _fstore(acc_s, a_new)
+
+    def _qview():
+        return _fview(qkv_s)[:BG].astype(jnp.bfloat16)   # [BG, qpk, d]
 
     @pl.when(in_flash & (tb * Tb < pos))
     def _():
-        t_abs = tb * Tb + jax.lax.broadcasted_iota(jnp.int32, (1, Tb), 1)
-        for b in range(B):
-            valid = t_abs < pos_ref[b]        # per-slot history length
-            for g in range(Hkv):
-                q3 = _rows(qkv_s, b, g, qpk).astype(jnp.bfloat16)
-                kg = kc_ref[0, b * Hkv + g, :, :].astype(jnp.bfloat16)
-                vg = vc_ref[0, b * Hkv + g, :, :].astype(jnp.bfloat16)
-                sc = jax.lax.dot_general(q3, kg, (((1,), (1,)), ((), ())),
-                                         preferred_element_type=jnp.float32,
-                                         precision=_DEF)
-                sc = jnp.where(valid, sc * scale, -1e30)
-                _online(b, g, sc, vg)
+        t_abs = jax.lax.broadcasted_iota(jnp.int32, (BG, qpk, Tb), 2)
+        kg = kc_ref[0].astype(jnp.bfloat16)              # [BG, Tb, d]
+        vg = vc_ref[0].astype(jnp.bfloat16)
+        sc = jax.lax.dot_general(_qview(), kg, (((2,), (2,)), ((0,), (0,))),
+                                 preferred_element_type=jnp.float32,
+                                 precision=_DEF)         # [BG, qpk, Tb]
+        # per-slot history length, pre-expanded to cache row order by the
+        # wrapper (pb_ref row b*Hkv+g holds pos[b])
+        posr = pb_ref[:BG, :1].reshape(BG, 1, 1)
+        valid = (tb * Tb + t_abs) < posr
+        sc = jnp.where(valid, sc * scale, -1e30)
+        _online_all(sc, vg)
 
     @pl.when(in_flash & (tb == NT - 1))
     def _():
-        for b in range(B):
-            for g in range(Hkv):
-                q3 = _rows(qkv_s, b, g, qpk).astype(jnp.float32)
-                kcur = qkv_s[(Hq + g) * Bp + b:(Hq + g) * Bp + b + 1, :]
-                vcur = qkv_s[(Hq + Hkv + g) * Bp + b:
-                             (Hq + Hkv + g) * Bp + b + 1, :]
-                s_c = jnp.sum(q3 * kcur.astype(jnp.float32), axis=1,
-                              keepdims=True) * scale
-                _online(b, g, s_c, vcur.astype(jnp.bfloat16))
+        kcur = _fview(qkv_s, Hkv, Hq)[:BG]               # [BG, 1, d]
+        vcur = _fview(qkv_s, Hkv, Hq + Hkv)[:BG]
+        s_c = jax.lax.dot_general(
+            _qview().astype(jnp.float32), kcur.astype(jnp.float32),
+            (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+            precision=_DEF) * scale                      # [BG, qpk, 1]
+        _online_all(s_c, vcur.astype(jnp.bfloat16))
 
     # ---- phase C: flash finalize -> o (plane dots over q_dim groups) ->
     # residual, then MLP norm + quant
     @pl.when(p == O_STEP)
     def _():
         use_of = with_aperm or with_lora
-        sa = jnp.zeros((Bp, 1), f32) + 1e-12
-        for h in range(Hq):
-            a_h = acc_s[h * Bp:(h + 1) * Bp, :] / jnp.maximum(
-                l_s[h * Bp:(h + 1) * Bp, :1], 1e-30)
-            if use_of:
-                of_s[:, h * d:(h + 1) * d] = a_h
-            else:
-                acc_s[h * Bp:(h + 1) * Bp, :] = a_h
-            sa = jnp.maximum(sa, jnp.max(jnp.abs(a_h), axis=1, keepdims=True))
-        sa = sa / 127.0
+        # flash finalize, all heads at once: [Hq, Bp, d] -> [Bp, Hq*d]
+        a = acc_s[:].reshape(Hq, Bp, d) / jnp.maximum(
+            l_s[:, :1].reshape(Hq, Bp, 1), 1e-30)
+        a_bt = a.transpose(1, 0, 2).reshape(Bp, Hq * d)
+        sa = jnp.maximum(jnp.max(jnp.abs(a_bt), axis=1, keepdims=True),
+                         1e-12) / 127.0
         if with_aperm:
             # o columns are group-sorted: route the flat attention output
-            # through o's Beneš masks IN PLACE before its quantization
-            # (8-row chunks keep the live value small); the lora epilogue
-            # then reads the permuted of_s against pack-permuted la_o
-            for rb in range(0, Bp, 8):
-                of_s[rb:rb + 8, :] = lane_permute(of_s[rb:rb + 8, :],
-                                                  apo_ref[0])
+            # through o's Beneš masks before its quantization; the lora
+            # epilogue then reads the permuted of_s against pack-permuted
+            # la_o
+            a_bt = lane_permute(a_bt, apo_ref[0])
         if use_of:
-            for rb in range(0, Bp, 8):
-                a8_s[rb:rb + 8, :Hq * d] = jnp.clip(
-                    jnp.round(of_s[rb:rb + 8, :] / sa[rb:rb + 8]),
-                    -127, 127).astype(jnp.int8)
-        else:
-            for h in range(Hq):
-                a8_s[:, h * d:(h + 1) * d] = jnp.clip(
-                    jnp.round(acc_s[h * Bp:(h + 1) * Bp, :] / sa),
-                    -127, 127).astype(jnp.int8)
+            of_s[:] = a_bt
+        a8_s[:, :Hq * d] = jnp.clip(
+            jnp.round(a_bt / sa), -127, 127).astype(jnp.int8)
         Dq = Hq * d
         o = jnp.zeros((Bp, H), f32)
         for g in range(Dq // gs):
@@ -578,6 +586,13 @@ def megastep_lowbit_decode(x: jax.Array, mp: Dict[str, jax.Array],
     pos_vec = jnp.broadcast_to(
         jnp.asarray(pos, jnp.int32).reshape(-1), (B,))
     pos_arr = jnp.concatenate([pos_vec, jnp.max(pos_vec)[None]])
+    # per-slot positions expanded to the cache row order (row b*Hkv+g),
+    # padded to a sublane multiple — a VMEM vector operand for the flash
+    # mask (SMEM scalars cannot form a vector inside Mosaic)
+    BGp = -(-B * Hkv // 8) * 8
+    pos_bg = jnp.broadcast_to(
+        jnp.pad(jnp.repeat(pos_vec, Hkv), (0, BGp - B * Hkv))[:, None],
+        (BGp, 128))
 
     rd = rotary_dim or 0
     if rd:
@@ -671,6 +686,11 @@ def megastep_lowbit_decode(x: jax.Array, mp: Dict[str, jax.Array],
         # down scales, tile-major padded rows [L, NG*gtp, H]
         pl.BlockSpec((1, ptg * gtp8, H),
                      lambda t, s: (_l(t), gi(t, s), 0),
+                     memory_space=pltpu.VMEM),
+        # per-slot positions in cache row order (row b*Hkv+g = pos[b]) —
+        # the flash mask reads a VECTOR; Mosaic cannot build one from
+        # SMEM scalars (infer-vector-layout: unsupported shape cast)
+        pl.BlockSpec((BGp, 128), lambda t, s: (0, 0),
                      memory_space=pltpu.VMEM),
     ]
     with_aperm = "ap_q" in mp
@@ -811,7 +831,7 @@ def megastep_lowbit_decode(x: jax.Array, mp: Dict[str, jax.Array],
       cos_t, sin_t, R,
       k_cache, v_cache, mp["o_pk"], mp["o_s"],
       mp["gu_pk"], mp["gu_pk"], mp["gu_s"], mp["dn_pk"], mp["dn_s"],
-      *aperm_ops, *lora_ops, *bias_ops, *lm_ops)
+      pos_bg, *aperm_ops, *lora_ops, *bias_ops, *lm_ops)
     return tuple(out)
 
 
