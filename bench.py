@@ -58,7 +58,12 @@ def measure(cfg, kind, backend, batch, prompt_len, steps, max_seq, reps=6,
 def measure_8b_shape(reps=3):
     """Llama-3-8B-shape quantized-only decode (VERDICT r1 #9): no bf16 twin
     fits at this scale, so the W4A8 path is measured alone against its own
-    weight-read roofline (HBM spec 819 GB/s, v5e)."""
+    weight-read roofline (HBM spec 819 GB/s, v5e). Also measures the
+    FLAGSHIP artifact (GANQ-LUT affine_sym, certified onto the same packed
+    path) at 8B — certification overheads must hold at scale (VERDICT r3
+    weak #4)."""
+    import sys
+
     from ganq_tpu.models import synthetic
     from ganq_tpu.serve import stacked
 
@@ -68,12 +73,49 @@ def measure_8b_shape(reps=3):
     batch, prompt, steps, max_seq = 8, 64, 64, 256
     tps = measure(cfg, "uniform", "pallas_a8", batch, prompt, steps,
                   max_seq, reps=reps)
+    try:
+        tps_lut = measure(cfg, "lut_affine_sym", "pallas_a8", batch, prompt,
+                          steps, max_seq, reps=reps)
+    except Exception as e:
+        print(f"8B ganq_lut leg failed: {e}", file=sys.stderr)
+        tps_lut = 0.0
     h, i = 4096, 14336
     # q (h*h) + o (h*h) + k,v (2*(h/4)*h) + gate/up/down (3*i*h), int4
     w4_bytes = 32 * (2 * h * h + 2 * (h // 4) * h + 3 * i * h) // 2
     roofline_tps = batch / (w4_bytes / 819e9)
     return {"tokens_per_s": round(tps, 1),
-            "weight_roofline_frac": round(tps / roofline_tps, 4)}
+            "weight_roofline_frac": round(tps / roofline_tps, 4),
+            "tokens_per_s_ganq_lut": round(tps_lut, 1),
+            "ganq_lut_roofline_frac": round(tps_lut / roofline_tps, 4)}
+
+
+def measure_prefill(cfg, kind, backend, batch, seq, reps=4, bits=4):
+    """Batched quantized prefill tokens/s (VERDICT r3 #5): one compiled
+    prefill over [batch, seq] — compute-bound, so parity with bf16 is the
+    bar (the reference's exllamav2/marlin bs>1 GEMM story)."""
+    from ganq_tpu.models import synthetic
+    from ganq_tpu.serve import stacked
+
+    lm_kind = None if kind == "dense" else "w8"
+    sp = synthetic.make_stacked_model(cfg, kind=kind, seed=0,
+                                      lm_head_kind=lm_kind, bits=bits)
+    rng = np.random.default_rng(0)
+    ids = jnp.asarray(rng.integers(0, cfg.vocab_size, size=(batch, seq)),
+                      jnp.int32)
+
+    def run():
+        ck, cv = stacked.init_cache(cfg, cfg.num_hidden_layers, batch, seq)
+        return stacked.prefill(cfg, sp, ck, cv, ids, backend)[0]
+
+    np.asarray(run())
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        np.asarray(run())
+        best = min(best, time.perf_counter() - t0)
+    del sp
+    gc.collect()
+    return batch * seq / best
 
 
 def main():
@@ -93,6 +135,8 @@ def main():
                                      max_pos=256)
         batch, prompt, steps, max_seq = 2, 16, 16, 64
 
+    failed = []                 # surfaced in the JSON (VERDICT r3 weak #3)
+
     def safe(label, *args, **kw):
         try:
             return measure(cfg, *args, **kw)
@@ -102,6 +146,7 @@ def main():
             traceback.print_exc()
             sys.last_traceback = None  # drop frames pinning device arrays
             gc.collect()
+            failed.append(label)
             return 0.0
 
     backend = "pallas" if on_tpu else "reference"
@@ -141,8 +186,30 @@ def main():
                        steps, max_seq) if on_tpu else 0.0)
     tps_dense_b32 = (safe("bf16_b32", "dense", "reference", 32, prompt,
                           steps, max_seq) if on_tpu else 0.0)
+    # free-codebook (w8 recode -> w8p plane megastep) at serving batch:
+    # VERDICT r3 #2a — must beat the per-layer path by >= 1.7x
+    tps_w8_b32 = (safe("w8a8_b32", "w8", "pallas_a8", 32, prompt,
+                       steps, max_seq) if on_tpu else 0.0)
     if tps_dense <= 0:
         tps_dense = 1e-9
+
+    # batched 2048-token prefill (VERDICT r3 #5): compute-bound, parity bar
+    def safe_pf(label, kind, backend, bits=4):
+        try:
+            return measure_prefill(cfg, kind, backend, 8, 2048, bits=bits)
+        except Exception as e:
+            import sys
+            print(f"bench prefill {label} failed: {e}", file=sys.stderr)
+            gc.collect()
+            failed.append(label)
+            return 0.0
+
+    if on_tpu:
+        pf_dense = safe_pf("prefill_bf16", "dense", "reference")
+        pf_w4 = safe_pf("prefill_w4a8", "uniform", "pallas_a8")
+        pf_lut = safe_pf("prefill_ganq_lut", "lut_affine_sym", "pallas_a8")
+    else:
+        pf_dense = pf_w4 = pf_lut = 0.0
 
     best = max(tps_lut, tps_w8a8, tps_w4a8, tps_w3a8, tps_ganq_lut)
     speedup = best / tps_dense
@@ -185,6 +252,14 @@ def main():
             "w4a8_b32_speedup": round(
                 tps_w4_b32 / max(tps_dense_b32, 1e-9), 4) if tps_dense_b32
             else 0.0,
+            "tokens_per_s_w8a8_b32": round(tps_w8_b32, 1),
+            "prefill_tokens_per_s_bf16": round(pf_dense, 1),
+            "prefill_tokens_per_s_w4a8": round(pf_w4, 1),
+            "prefill_tokens_per_s_ganq_lut": round(pf_lut, 1),
+            "prefill_w4a8_vs_bf16": round(
+                pf_w4 / max(pf_dense, 1e-9), 4) if pf_dense else 0.0,
+            "failed_legs": failed,
+            "ganq_lut_failed": "ganq_lut" in failed,
             "reference_baseline": ("GANQ paper Table 5 (RTX 4090): W4 2.11x,"
                                    " W3 2.39x vs fp16 decode; vs_baseline ="
                                    " ganq_lut_speedup / 2.11 (the flagship"

@@ -80,7 +80,11 @@ def _rand_arrays(key, out_f: int, in_f: int, kind: str, dtype=jnp.bfloat16,
         gs = 128 if in_f % 128 == 0 else in_f
         ng = in_f // gs
         qidx = jax.random.randint(k1, (out_f, in_f), 0, 2 ** bits, jnp.int32)
-        scales = jax.random.uniform(k2, (out_f, ng), jnp.float32, 0.001, 0.004)
+        # scale capped so the dequantized weight RANGE (scale * 2^(b-1))
+        # never exceeds the bits=4 range — activation magnitudes (and the
+        # test tolerances calibrated at bits=4) stay comparable at bits=8
+        scales = jax.random.uniform(k2, (out_f, ng), jnp.float32,
+                                    0.001, 0.004) * min(1.0, 16.0 / (1 << bits))
         # sym (zero point 2^(bits-1)), sequential groups: both structural
         # (omitted)
         return {"qweight": pack_int_rows(qidx, bits), "scales": scales}
@@ -127,7 +131,8 @@ def _rand_linear(key, out_f: int, in_f: int, kind: str, dtype=jnp.bfloat16,
         gs = 128 if in_f % 128 == 0 else in_f
         ng = in_f // gs
         qidx = jax.random.randint(k1, (out_f, in_f), 0, 2 ** bits, jnp.int32)
-        scales = jax.random.uniform(k2, (out_f, ng), jnp.float32, 0.001, 0.004)
+        scales = jax.random.uniform(k2, (out_f, ng), jnp.float32,
+                                    0.001, 0.004) * min(1.0, 16.0 / (1 << bits))
         zeros = jnp.full((out_f, ng), float(2 ** (bits - 1)), jnp.float32)
         g_idx = (jnp.arange(in_f) // gs).astype(jnp.int32)
         return qlinear.uniform_linear(qidx, scales, zeros, g_idx, bits)

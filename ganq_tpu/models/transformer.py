@@ -808,9 +808,11 @@ def _hymba_layer(cfg: ModelConfig, lp: Dict[str, Any], x: jax.Array,
     k/v sections of its in_proj output are unused.
 
     Scope notes (recorded, not silent): scalar cache positions only (no
-    continuous-batching vector positions), no sliding-window overlay, and
-    the quantization looper calibrates consumer layers with their OWN k/v
-    (kv_reuse only binds at serving) — quantize with kv_reuse_map=None.
+    continuous-batching vector positions) and no sliding-window overlay.
+    The quantization looper calibrates consumer layers on the PRODUCER's
+    k/v (quant/looper.py threads kv_override — the reference's shared-KV
+    calibration semantics, module_looper.py:305-313); GANQ_HYMBA_OWNKV=1
+    restores own-KV calibration for A/B.
     """
     from ..ops.ssm import causal_conv1d, selective_scan
 

@@ -751,6 +751,20 @@ def megastep4_reference(x, lw_list, k_cache, v_cache, pos, cos_half,
         y = (x8.astype(f32) @ lw["qkv_w"].T) * sx + lw["qkv_bias"][None, :]
         if lw.get("qkv_la") is not None:
             y = y + (h @ lw["qkv_la"].T) @ lw["qkv_lb"].T
+        if lw.get("q_norm") is not None:
+            # per-head RMS over head_dim pre-rope (qwen3; gemma3's (1+w)
+            # via rms_offset) — mirrors transformer._rms_vec semantics
+            def _hn(t, w):
+                tb = t.reshape(B, -1, d)
+                ms = jnp.mean(tb * tb, axis=-1, keepdims=True)
+                tb = tb * jax.lax.rsqrt(ms + eps) * (
+                    w.astype(f32)[None, None, :] + rms_offset)
+                return tb.reshape(B, -1)
+
+            y = jnp.concatenate(
+                [_hn(y[:, :q_dim], lw["q_norm"]),
+                 _hn(y[:, q_dim:q_dim + kv_dim], lw["k_norm"]),
+                 y[:, q_dim + kv_dim:]], axis=1)
         y = rope_rows(y, q_dim + kv_dim)
         q = y[:, :q_dim].reshape(B, Hq, d)
         k_new = y[:, q_dim:q_dim + kv_dim].reshape(B, Hkv, d)

@@ -78,7 +78,49 @@ _PLAN = {
     2: (
         ((0, 0, 2), (1, 0, 2), (2, 0, 2), (3, 0, 2)),
     ),
+    # bits=8 ("w8p"): one plane, one field — the signed byte read IS the
+    # centered code (coef folds to 0), so int8 artifacts (free-codebook
+    # GANQ recodes, ops/qlinear.recode_uniform8 / w8_to_uniform8) ride the
+    # same kernel: multi-tile grid steps, batch <= 32, trailing-unembed.
+    8: (
+        ((0, 0, 8),),
+    ),
 }
+
+
+def _rope_rot(y, rd: int, interleaved: bool):
+    """rotate_half (or interleaved pair-rotate) of each head's rope window
+    via two cyclic lane rolls + a parity select — replaces the [tq, tq]
+    sign-permutation matmul (megastep4._rope_rows R), whose VMEM window
+    costs tq^2 bytes (19 MB at the 8B qkv tile). Lanes outside the rope
+    window get arbitrary values; the caller's sin mask is 0 there. Head
+    stride is 128 lanes (the megastep gate pins head_dim=128)."""
+    n = y.shape[-1]
+    ax = y.ndim - 1
+    iota = jax.lax.broadcasted_iota(jnp.int32, y.shape, ax)
+    if interleaved:
+        up = pltpu.roll(y, n - 1, axis=ax)           # y[i + 1]
+        dn = pltpu.roll(y, 1, axis=ax)               # y[i - 1]
+        return jnp.where((iota & 1) == 0, -up, dn)
+    h = rd // 2
+    up = pltpu.roll(y, n - h, axis=ax)               # y[i + h]
+    dn = pltpu.roll(y, h, axis=ax)                   # y[i - h]
+    return jnp.where((iota % 128) < h, -up, dn)
+
+
+def _block_sum128(x):
+    """Per-128-lane-block sum, broadcast to every lane of its block: a
+    7-stage XOR butterfly of cyclic rolls (stages stay within 128-aligned
+    blocks since every stride < 128). Powers the in-kernel per-head
+    reductions (qk-norm RMS) without lane-dim reshapes."""
+    n = x.shape[-1]
+    ax = x.ndim - 1
+    iota = jax.lax.broadcasted_iota(jnp.int32, x.shape, ax)
+    for s in (1, 2, 4, 8, 16, 32, 64):
+        up = pltpu.roll(x, n - s, axis=ax)
+        dn = pltpu.roll(x, s, axis=ax)
+        x = x + jnp.where((iota & s) == 0, up, dn)
+    return x
 
 
 def _plan_meta(bits: int):
@@ -157,7 +199,7 @@ def _mlp_tile_lb(I: int, g_r: int) -> int | None:
 
 
 def _megastep_lb_kernel(pos_ref, x_ref, anw_ref, mnw_ref,
-                        qw_ref, qs_ref, qb_ref, cos_ref, sin_ref, r_ref,
+                        qw_ref, qs_ref, qb_ref, cos_ref, sin_ref,
                         kc_ref, vc_ref, ow_ref, os_ref,
                         gw_ref, uw_ref, gus_ref, dw_ref, ds_ref, pb_ref,
                         *rest,
@@ -165,9 +207,11 @@ def _megastep_lb_kernel(pos_ref, x_ref, anw_ref, mnw_ref,
                         NQ: int, NT: int, NG: int, Tb: int, tq: int, ti: int,
                         gs: int, L: int, eps: float, rms_offset: float,
                         scale: float, act: str, bits: int,
+                        rd: int = 0, interleaved: bool = False,
                         ptq: int = 1, ptg: int = 1, gtp8k: int = 8,
                         NV: int = 0, with_bias: bool = False, Bp: int = 8,
-                        with_aperm: bool = False, with_lora: bool = False):
+                        with_aperm: bool = False, with_lora: bool = False,
+                        with_zp: bool = False, with_qkn: bool = False):
     # optional-operand layout (order matches the wrapper's in_specs):
     # with_aperm adds 3 inputs (qkv/gate-up/o Beneš lane-routing masks —
     # act-order artifacts, VERDICT r2 #4b); with_lora adds 8 inputs (EoRA
@@ -187,6 +231,14 @@ def _megastep_lb_kernel(pos_ref, x_ref, anw_ref, mnw_ref,
         (laq_ref, lbq_ref, lao_ref, lbo_ref, lag_ref, lbg_ref,
          lad_ref, lbd_ref) = rest[:8]
         rest = rest[8:]
+    qsz_ref = osz_ref = gusz_ref = dnsz_ref = None
+    if with_zp:
+        qsz_ref, osz_ref, gusz_ref, dnsz_ref = rest[:4]
+        rest = rest[4:]
+    qn_ref = None
+    if with_qkn:
+        qn_ref = rest[0]
+        rest = rest[1:]
     if with_bias:
         ob_ref, gub_ref, dnb_ref = rest[:3]
         rest = rest[3:]
@@ -239,13 +291,19 @@ def _megastep_lb_kernel(pos_ref, x_ref, anw_ref, mnw_ref,
         S = jnp.sum(xs.astype(jnp.int32), axis=1, keepdims=True)
         return dd, S
 
-    def fields_y(dd, S, tF, sc_row, off=0):
-        """Scaled field parts concat -> [B, g_r*tF] f32 contribution."""
+    def fields_y(dd, S, tF, sc_row, off=0, sz_row=None):
+        """Scaled field parts concat -> [B, g_r*tF] f32 contribution.
+        ``sz_row`` (asym artifacts): per-col scale*(center-zero), applied
+        as + sz * S (S = the group's activation sum)."""
         zs = _recover(dd, tF, metas, coef, S, off)
+        Sf = S.astype(f32)
         parts = []
         for f in range(g_r):
             sl = sc_row[f * tF:(f + 1) * tF][None, :].astype(f32)
-            parts.append(sl * zs[f].astype(f32))
+            p = sl * zs[f].astype(f32)
+            if sz_row is not None:
+                p = p + sz_row[f * tF:(f + 1) * tF][None, :] * Sf
+            parts.append(p)
         return jnp.concatenate(parts, axis=1)
 
     # ---- layer entry: residual init, attn norm + int8 quant, flash init
@@ -279,17 +337,28 @@ def _megastep_lb_kernel(pos_ref, x_ref, anw_ref, mnw_ref,
                 bg = qw_ref[0, sub * pq:(sub + 1) * pq,
                             g * gs:(g + 1) * gs]          # [NP*tFq, gs]
                 dd, S = group_dot(xs, [(bg, tFq)])
-                y += fields_y(dd, S, tFq,
-                              qs_ref[0, g, sub * tq:(sub + 1) * tq])
+                y += fields_y(
+                    dd, S, tFq, qs_ref[0, g, sub * tq:(sub + 1) * tq],
+                    sz_row=(qsz_ref[0, g, sub * tq:(sub + 1) * tq]
+                            if with_zp else None))
             y = y * sx_s[:B, :1] + qb_ref[0, :, sub * tq:(sub + 1) * tq]
             if with_lora:
                 y = y + _lora_dot(xaq_s[:],
                                   lbq_ref[0, sub * tq:(sub + 1) * tq, :])
-            rot = jax.lax.dot_general(y.astype(jnp.bfloat16), r_ref[:],
-                                      (((1,), (0,)), ((), ())),
-                                      preferred_element_type=f32,
-                                      precision=_DEF)
-            y = (y * cos_ref[sub] + rot * sin_ref[sub]).astype(jnp.bfloat16)
+            if with_qkn:
+                # per-head RMS over head_dim on q/k lanes, pre-rope
+                # (qwen3 / gemma3's (1+w) via rms_offset); v lanes pass
+                # through (mask row 0)
+                wv = qn_ref[0, 0, sub * tq:(sub + 1) * tq][None, :]
+                mv = qn_ref[0, 1, sub * tq:(sub + 1) * tq][None, :]
+                msq = _block_sum128(y * y) * (1.0 / d)
+                y = y * jnp.where(
+                    mv != 0.0,
+                    jax.lax.rsqrt(msq + eps) * (wv + rms_offset), 1.0)
+            if rd:
+                rot = _rope_rot(y, rd, interleaved)
+                y = (y * cos_ref[sub] + rot * sin_ref[sub])
+            y = y.astype(jnp.bfloat16)
             t_idx = p * ptq + sub
             # one [tq/d * Bp, d] store per tile (head-major scratch rows)
             yt = jnp.pad(y, ((0, Bp - B), (0, 0))).reshape(
@@ -406,7 +475,8 @@ def _megastep_lb_kernel(pos_ref, x_ref, anw_ref, mnw_ref,
             xs = a8_s[:, g * gs:(g + 1) * gs]
             bg = ow_ref[0, :, g * gs:(g + 1) * gs]       # [NP*tFo, gs]
             dd, S = group_dot(xs, [(bg, tFo)])
-            o += fields_y(dd, S, tFo, os_ref[0, g])
+            o += fields_y(dd, S, tFo, os_ref[0, g],
+                          sz_row=osz_ref[0, g] if with_zp else None)
         upd = (o * sa)[:B]
         if with_lora:     # o epilogue: of_s holds the exact fp attn output
             xao = _lora_dot(of_s[:], lao_ref[0])
@@ -443,10 +513,14 @@ def _megastep_lb_kernel(pos_ref, x_ref, anw_ref, mnw_ref,
                              g * gs:(g + 1) * gs]
                 dd, S = group_dot(xs, [(gbg, tFi), (ubg, tFi)])
                 o2 = sub * 2 * ti
-                gv += fields_y(dd, S, tFi,
-                               gus_ref[0, g, o2:o2 + ti])
-                uv += fields_y(dd, S, tFi,
-                               gus_ref[0, g, o2 + ti:o2 + 2 * ti], off=nd)
+                gv += fields_y(
+                    dd, S, tFi, gus_ref[0, g, o2:o2 + ti],
+                    sz_row=(gusz_ref[0, g, o2:o2 + ti]
+                            if with_zp else None))
+                uv += fields_y(
+                    dd, S, tFi, gus_ref[0, g, o2 + ti:o2 + 2 * ti], off=nd,
+                    sz_row=(gusz_ref[0, g, o2 + ti:o2 + 2 * ti]
+                            if with_zp else None))
             gv = gv * sx_s[:B, :1]
             uv = uv * sx_s[:B, :1]
             if with_lora:
@@ -476,7 +550,10 @@ def _megastep_lb_kernel(pos_ref, x_ref, anw_ref, mnw_ref,
                 bg = dw_ref[0, :, (sub * gti + g2) * gs:
                             (sub * gti + g2 + 1) * gs]   # [NP*tFo, gs]
                 dd, S = group_dot(xs, [(bg, tFo)])
-                y += fields_y(dd, S, tFo, ds_ref[0, sub * gtp8k + g2])
+                y += fields_y(
+                    dd, S, tFo, ds_ref[0, sub * gtp8k + g2],
+                    sz_row=(dnsz_ref[0, sub * gtp8k + g2]
+                            if with_zp else None))
             ma_s[:] += y * sa
 
     @pl.when(p == O_STEP + NGS)
@@ -601,10 +678,11 @@ def megastep_lowbit_decode(x: jax.Array, mp: Dict[str, jax.Array],
         if ch.ndim == 1:
             ch = jnp.broadcast_to(ch[None, :], (B, ch.shape[0]))
             sh = jnp.broadcast_to(sh[None, :], (B, sh.shape[0]))
-        R, cos_t, sin_t = _rope_rows(Dqkv, tq, d, rd, interleaved,
+        # rot is computed in-kernel via lane rolls (_rope_rot) — only the
+        # per-row cos/sin masks stream; the [tq, tq] R matrix is gone
+        _, cos_t, sin_t = _rope_rows(Dqkv, tq, d, rd, interleaved,
                                      q_dim + kv_dim, ch, sh)
     else:
-        R = jnp.zeros((tq, tq), jnp.bfloat16)
         cos_t = jnp.ones((NQ, B, tq), jnp.float32)
         sin_t = jnp.zeros((NQ, B, tq), jnp.float32)
     Gp = mp["qkv_s"].shape[1]
@@ -653,8 +731,6 @@ def megastep_lowbit_decode(x: jax.Array, mp: Dict[str, jax.Array],
         pl.BlockSpec((ptq, B, tq), lambda t, s: (qi(t, s), 0, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((ptq, B, tq), lambda t, s: (qi(t, s), 0, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((tq, tq), lambda t, s: (0, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((1, B * Hkv, Tb, d),
                      lambda t, s: (_l(t), 0, fb(t, s), 0),
@@ -739,6 +815,35 @@ def megastep_lowbit_decode(x: jax.Array, mp: Dict[str, jax.Array],
         ]
         lora_ops = [mp["la_q"], mp["lb_q"], mp["la_o"], mp["lb_o"],
                     mp["la_g"], mp["lb_g"], mp["la_d"], mp["lb_d"]]
+    with_zp = "qkv_sz" in mp
+    zp_ops = []
+    if with_zp:
+        # asym zero-point corrections: f32, same layouts as the scales
+        in_specs += [
+            pl.BlockSpec((1, Gp, ptq * tq),
+                         lambda t, s: (_l(t), 0, qi(t, s)),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Gq, H), lambda t, s: (_l(t), 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Gp, ptg * 2 * ti),
+                         lambda t, s: (_l(t), 0, gi(t, s)),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ptg * gtp8, H),
+                         lambda t, s: (_l(t), gi(t, s), 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        zp_ops = [mp["qkv_sz"], mp["o_sz"], mp["gu_sz"], mp["dn_sz"]]
+    with_qkn = "qk_nm" in mp
+    qkn_ops = []
+    if with_qkn:
+        # [L, 2, Dqkv]: row 0 = per-lane norm weight (q/k heads tiled),
+        # row 1 = apply mask (0 on v lanes) — sliced in step with qkv tiles
+        in_specs += [
+            pl.BlockSpec((1, 2, ptq * tq),
+                         lambda t, s: (_l(t), 0, qi(t, s)),
+                         memory_space=pltpu.VMEM),
+        ]
+        qkn_ops = [mp["qk_nm"]]
     with_bias = "o_bias" in mp
     bias_ops = []
     if with_bias:
@@ -811,8 +916,10 @@ def megastep_lowbit_decode(x: jax.Array, mp: Dict[str, jax.Array],
             _megastep_lb_kernel, B=B, d=d, Hq=Hq, Hkv=Hkv, qpk=qpk, NQ=NQ,
             NT=NT, NG=NG, Tb=Tb, tq=tq, ti=ti, gs=gs, L=L, eps=eps,
             rms_offset=rms_offset, scale=scale, act=act, bits=bits,
+            rd=rd, interleaved=interleaved,
             ptq=ptq, ptg=ptg, gtp8k=gtp8, NV=NV, with_bias=with_bias,
-            Bp=Bp, with_aperm=with_aperm, with_lora=with_lora),
+            Bp=Bp, with_aperm=with_aperm, with_lora=with_lora,
+            with_zp=with_zp, with_qkn=with_qkn),
         grid_spec=grid_spec,
         out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
@@ -828,10 +935,10 @@ def megastep_lowbit_decode(x: jax.Array, mp: Dict[str, jax.Array],
         interpret=interpret,
     )(pos_arr, x, mp["attn_norm"], mp["mlp_norm"],
       mp["qkv_pk"], mp["qkv_s"], mp["qkv_bias"],
-      cos_t, sin_t, R,
+      cos_t, sin_t,
       k_cache, v_cache, mp["o_pk"], mp["o_s"],
       mp["gu_pk"], mp["gu_pk"], mp["gu_s"], mp["dn_pk"], mp["dn_s"],
-      pos_bg, *aperm_ops, *lora_ops, *bias_ops, *lm_ops)
+      pos_bg, *aperm_ops, *lora_ops, *zp_ops, *qkn_ops, *bias_ops, *lm_ops)
     return tuple(out)
 
 
@@ -1035,25 +1142,51 @@ def megapack_lowbit(cfg, sp: Dict[str, Any], bits: int = 3
     up_pk = map_rows(gu, ti, I, 2 * I)
     dn_pk = map_rows(dn, H)
 
-    # scales bf16 (HBM stream halved; rounding far below the int3 step)
-    qsc = jnp.swapaxes(qkv["scales"].astype(jnp.bfloat16), 1, 2)  # [L,G,Dq]
-    osc = jnp.swapaxes(o["scales"].astype(jnp.bfloat16), 1, 2)    # [L,Gq,H]
-    gsc = jnp.swapaxes(gu["scales"].astype(jnp.bfloat16), 1, 2)   # [L,G,2I]
-    dsc = jnp.swapaxes(dn["scales"].astype(jnp.bfloat16), 1, 2)   # [L,Gi,H]
     gs_w = dn.in_features // dn["scales"].shape[2]
     gti = ti // gs_w
     gtp = -(-gti // 8) * 8
     NGt = I // ti
-    dsc = dsc.reshape(dsc.shape[0], NGt, gti, H)
-    if gtp != gti:
-        dsc = jnp.pad(dsc, ((0, 0), (0, 0), (0, gtp - gti), (0, 0)))
-    dsc = dsc.reshape(dsc.shape[0], NGt * gtp, H)
-    sg, su = gsc[:, :, :I], gsc[:, :, I:]
-    blocks = []
-    for t in range(I // ti):
-        blocks.append(sg[:, :, t * ti:(t + 1) * ti])
-        blocks.append(su[:, :, t * ti:(t + 1) * ti])
-    gu_s = jnp.concatenate(blocks, axis=2)
+
+    def _dn_layout(dsc):
+        """[L, Gi, H] -> tile-major rows padded to a sublane multiple."""
+        dsc = dsc.reshape(dsc.shape[0], NGt, gti, H)
+        if gtp != gti:
+            dsc = jnp.pad(dsc, ((0, 0), (0, 0), (0, gtp - gti), (0, 0)))
+        return dsc.reshape(dsc.shape[0], NGt * gtp, H)
+
+    def _gu_layout(gsc):
+        """[L, G, 2I] -> tile-major cols (gate tile then up tile)."""
+        sg, su = gsc[:, :, :I], gsc[:, :, I:]
+        blocks = []
+        for t in range(I // ti):
+            blocks.append(sg[:, :, t * ti:(t + 1) * ti])
+            blocks.append(su[:, :, t * ti:(t + 1) * ti])
+        return jnp.concatenate(blocks, axis=2)
+
+    # scales bf16 (HBM stream halved; rounding far below the int3 step)
+    qsc = jnp.swapaxes(qkv["scales"].astype(jnp.bfloat16), 1, 2)  # [L,G,Dq]
+    osc = jnp.swapaxes(o["scales"].astype(jnp.bfloat16), 1, 2)    # [L,Gq,H]
+    gsc = jnp.swapaxes(gu["scales"].astype(jnp.bfloat16), 1, 2)   # [L,G,2I]
+    dsc = _dn_layout(jnp.swapaxes(dn["scales"].astype(jnp.bfloat16), 1, 2))
+    gu_s = _gu_layout(gsc)
+
+    # qk-norm operand (qwen3/gemma3 per-head RMS, VERDICT r3 #6): lane-
+    # expanded weight row (q heads tile q_norm, k heads k_norm, v lanes 1)
+    # plus an apply-mask row; streamed once per layer at 8 bytes/lane
+    qk_nm = None
+    qn_mod = ls["attn"].get("q_norm")
+    if qn_mod is not None and cfg.qk_norm in (True, "head"):
+        kvd_ = (Dq_all - cfg.q_dim) // 2
+        Hq_, Hkv_ = cfg.q_dim // d, kvd_ // d
+        qqn = qn_mod["weight"].astype(jnp.float32)          # [L, d]
+        kkn = ls["attn"]["k_norm"]["weight"].astype(jnp.float32)
+        w_row = jnp.concatenate(
+            [jnp.tile(qqn, (1, Hq_)), jnp.tile(kkn, (1, Hkv_)),
+             jnp.ones((L, kvd_), jnp.float32)], axis=1)
+        m_row = jnp.concatenate(
+            [jnp.ones((L, cfg.q_dim + kvd_), jnp.float32),
+             jnp.zeros((L, kvd_), jnp.float32)], axis=1)
+        qk_nm = jnp.stack([w_row, m_row], axis=1)           # [L, 2, Dqkv]
 
     bias = qkv.arrays.get("bias")
     if bias is None:
@@ -1069,6 +1202,29 @@ def megapack_lowbit(cfg, sp: Dict[str, Any], bits: int = 3
         "mlp_norm": ls["post_norm"]["weight"].astype(
             jnp.float32).reshape(L, 1, H),
     }
+    if qk_nm is not None:
+        out["qk_nm"] = qk_nm
+    # asymmetric (zero-point) artifacts: per-(group, output-col) correction
+    # sz = scale * (2^(b-1) - zero), streamed f32 alongside the scales
+    # (VERDICT r3 #4 — the marlin/exllamav2 zp-path analog, reference
+    # gptqmodel_ext/exllamav2/cuda/quant/qdq_4.cuh). The kernel adds
+    # sz * S per group (S = the group's int8 activation sum); f32 because
+    # |S| reaches 127*gs and bf16 rounding of sz would cost ~1 ulp of the
+    # OUTPUT at worst case. Ecosystem gptq-v1 sym=False checkpoints ride
+    # the fast path through this.
+    if any("zeros" in m.arrays for m in (qkv, o, gu, dn)):
+        center = float(1 << (bits - 1))
+
+        def _sz(m):
+            s = m["scales"].astype(jnp.float32)
+            if "zeros" not in m.arrays:
+                return jnp.zeros_like(s)
+            return s * (center - m["zeros"].astype(jnp.float32))
+
+        out["qkv_sz"] = jnp.swapaxes(_sz(qkv), 1, 2)
+        out["o_sz"] = jnp.swapaxes(_sz(o), 1, 2)
+        out["gu_sz"] = _gu_layout(jnp.swapaxes(_sz(gu), 1, 2))
+        out["dn_sz"] = _dn_layout(jnp.swapaxes(_sz(dn), 1, 2))
     # o/gate-up/down biases stream into the kernel as extra operands ONLY
     # when the model has any (VERDICT r2 #4c); bias-free models compile
     # the leaner program
@@ -1192,7 +1348,11 @@ def megastep_lowbit_fusable(cfg, sp: Dict[str, Any], bits: int) -> bool:
     # otherwise) — no gate needed (VERDICT r2 #4c)
     gss = set()
     for m in mats:
-        if "zeros" in m.arrays:           # sym only (structural, as in W4)
+        # asym (zeros) artifacts ride the fast path via the streamed
+        # sz = scale*(center-zero) correction (VERDICT r3 #4) — the only
+        # structural requirement is the per-group layout matching scales
+        if ("zeros" in m.arrays
+                and m["zeros"].shape != m["scales"].shape):
             return False
         gs = m.in_features // m.arrays["scales"].shape[2]
         if gs % 128 or m.in_features % gs:
@@ -1205,8 +1365,20 @@ def megastep_lowbit_fusable(cfg, sp: Dict[str, Any], bits: int) -> bool:
     # lane-aligned field blocks: o/down fields are H/g_r wide
     if cfg.hidden_size % (g_r * 128):
         return False
-    if cfg.qk_norm or cfg.clip_qkv is not None:
+    if cfg.clip_qkv is not None:
         return False
+    # per-head qk-norm (qwen3 / gemma3-style) rides in-kernel via the
+    # butterfly block-RMS (VERDICT r3 #6); other variants (flat/cohere)
+    # keep the per-layer path
+    if cfg.qk_norm:
+        if cfg.qk_norm not in (True, "head"):
+            return False
+        qn, kn = attn.get("q_norm"), attn.get("k_norm")
+        if qn is None or kn is None:
+            return False
+        if (qn["weight"].shape[-1] != cfg.head_dim
+                or kn["weight"].shape[-1] != cfg.head_dim):
+            return False
     if cfg.norm != "rmsnorm" or not cfg.do_layer_norm_before:
         return False
     if (cfg.norm_after_sublayer or cfg.sandwich_norm or cfg.parallel_residual

@@ -28,7 +28,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .packing import pack_int_rows, unpack_int_rows
+from .packing import pack_factor, pack_int_rows, unpack_int_rows
 
 
 @jax.tree_util.register_pytree_node_class
@@ -260,6 +260,57 @@ def recode_w8(p: QLinear) -> QLinear:
     if "bias" in p:
         arrays["bias"] = p["bias"]
     return QLinear("w8", arrays, bits=8, in_features=p.in_features)
+
+
+def w8_to_uniform8(p: QLinear) -> QLinear:
+    """Per-row-scale int8 linear ("w8") -> uniform bits=8 artifact.
+
+    LOSSLESS: uniform code = w8 code + 128 (zero point 2^7 is exactly the
+    per-row grid's center) and the per-row scale broadcasts across
+    128-column groups. The result rides the plane megastep ("w8p",
+    ops/megastep_lowbit.py bits=8): batch <= 32, multi-tile grid steps,
+    trailing-unembed fold — where the per-row w8 kernel (ops/megastep.py)
+    stops at batch <= 8. Non-w8 kinds pass through unchanged."""
+    if p.kind != "w8":
+        return p
+    n = p.in_features
+    if n % 128 or n % pack_factor(8):
+        return p
+    w8 = p["w8"][..., :n]                     # w8 arrays may be lane-padded
+    codes = w8.astype(jnp.int32) + 128
+    scale = jnp.asarray(p["scale"], jnp.float32)      # [..., R, 1]
+    scales = jnp.broadcast_to(scale, (*scale.shape[:-1], n // 128))
+    arrays = {"qweight": pack_int_rows(codes, 8), "scales": scales}
+    for extra in ("bias", "lora_a", "lora_b"):
+        if extra in p.arrays:
+            arrays[extra] = p[extra]
+    return QLinear("uniform", arrays, bits=8, in_features=n)
+
+
+def recode_uniform8(p: QLinear) -> QLinear:
+    """LUT linear -> uniform 8-bit artifact with per-128-column-group
+    max-abs scales (the free-codebook GANQ fast-serving recode, VERDICT r3
+    #2). Strictly tighter than :func:`recode_w8` (per-GROUP int8 grid vs
+    per-row: recode error <= groupmax/254 instead of rowmax/254), and the
+    result rides the plane megastep at batch <= 32. Call per-layer (the
+    dequantized f32 weight materializes); odd widths fall back to
+    :func:`recode_w8`'s artifact converted losslessly."""
+    if p.kind != "lut":
+        return p
+    n = p.in_features
+    if n % 128 or n % pack_factor(8):
+        return w8_to_uniform8(recode_w8(p))
+    w = dequantize_weight(p)                          # [..., R, n] f32
+    gw = w.reshape(*w.shape[:-1], n // 128, 128)
+    scale = jnp.maximum(jnp.max(jnp.abs(gw), axis=-1), 1e-12) / 127.0
+    codes = jnp.clip(jnp.round(gw / scale[..., None]), -127, 127) + 128
+    codes = codes.reshape(*w.shape[:-2], w.shape[-2], n).astype(jnp.int32)
+    arrays = {"qweight": pack_int_rows(codes, 8),
+              "scales": scale.astype(jnp.float32)}
+    for extra in ("bias", "lora_a", "lora_b"):
+        if extra in p.arrays:
+            arrays[extra] = p[extra]
+    return QLinear("uniform", arrays, bits=8, in_features=n)
 
 
 def certify_uniform(p: QLinear, tol_rel: float = 2.0 ** -7):

@@ -88,9 +88,9 @@ class QuantizeOutput:
 
 @partial(jax.jit, static_argnames=("cfg", "want_taps", "window"))
 def _layer_fwd(cfg: ModelConfig, lp, x, mask, rope, want_taps: bool,
-               window: Optional[int] = None):
+               window: Optional[int] = None, kv_override=None):
     return layer_forward(cfg, lp, x, mask, rope, want_taps=want_taps,
-                         window=window)
+                         window=window, kv_override=kv_override)
 
 
 @partial(jax.jit, static_argnames=("cfg",))
@@ -249,12 +249,47 @@ def quantize_model(
         else:
             ids = jnp.asarray(arr)
             b, s = ids.shape
-            positions = jnp.broadcast_to(jnp.arange(s), (b, s))
-            acts.append(_embed_fwd(cfg, params, ids, positions))
+            m = cfg.num_meta_tokens or 0
+            if m and "meta_tokens" in params:
+                # hymba: serving prepends the learned meta tokens
+                # (transformer.forward), so calibration sees them too —
+                # the reference calibrates through the model's own forward
+                positions = jnp.broadcast_to(jnp.arange(s + m), (b, s + m))
+                x0 = _embed_fwd(cfg, params, ids,
+                                jnp.broadcast_to(jnp.arange(s) + m, (b, s)))
+                meta = params["meta_tokens"].astype(x0.dtype)
+                x0 = jnp.concatenate(
+                    [jnp.broadcast_to(meta[None], (b, m, meta.shape[1])),
+                     x0], axis=1)
+                acts.append(x0)
+                s = s + m
+            else:
+                positions = jnp.broadcast_to(jnp.arange(s), (b, s))
+                acts.append(_embed_fwd(cfg, params, ids, positions))
         ropes.append(rope_tables_all(cfg, positions)
                      if cfg.pos == "rope" else None)
         masks.append(causal_mask(s, s))
     nsamples = sum(int(a.shape[0]) for a in acts)
+
+    # hymba cross-layer KV sharing: calibrate CONSUMER layers on the
+    # PRODUCER's fresh k/v — the serving-time activation distribution
+    # (reference module_looper.py:305-313 keeps the model's own forward
+    # semantics). Producer k/v are saved from the post-quantization
+    # re-forward, so consumers calibrate against quantized producer keys,
+    # exactly what they will attend over at serving. GANQ_HYMBA_OWNKV=1
+    # restores the round-3 own-KV behavior for A/B.
+    import os as _os
+    reuse = getattr(cfg, "kv_reuse_map", None)
+    if _os.environ.get("GANQ_HYMBA_OWNKV") == "1":
+        reuse = None
+    producers = (set(j for i, j in enumerate(reuse) if j != i)
+                 if reuse is not None else set())
+    kv_saved: List[Dict[int, Any]] = [dict() for _ in acts]
+
+    def _kvo(li: int, bi: int):
+        if reuse is None or reuse[li] == li:
+            return None
+        return kv_saved[bi].get(reuse[li])
 
     # ---- per-layer sequential loop
     for li in range(n_layers):
@@ -269,12 +304,18 @@ def quantize_model(
                 for slot, w in layer_weights.items():
                     lin = hf_import.get_module(params, li, slot)
                     lin["weight"] = jnp.asarray(w, lin["weight"].dtype)
-                acts = [
-                    _layer_fwd(cfg, lp, x, mask,
-                               rope_for_layer(cfg, rope, li), False,
-                               window=cfg.layer_window(li))[0]
-                    for x, mask, rope in zip(acts, masks, ropes)
-                ]
+                new_acts = []
+                for bi, (x, mask, rope) in enumerate(
+                        zip(acts, masks, ropes)):
+                    y, lc, _ = _layer_fwd(cfg, lp, x, mask,
+                                          rope_for_layer(cfg, rope, li),
+                                          False,
+                                          window=cfg.layer_window(li),
+                                          kv_override=_kvo(li, bi))
+                    if li in producers:
+                        kv_saved[bi][li] = {"k": lc["k"], "v": lc["v"]}
+                    new_acts.append(y)
+                acts = new_acts
                 log.info(f"layer {li}: restored from {resume_dir}")
                 continue
 
@@ -355,10 +396,11 @@ def quantize_model(
             # accumulate Hessians: one per unique tap (q/k/v share inputs)
             slots_needed = {slot for _, slot, _ in todo}
             accs: Dict[str, HessianAccumulator] = {}
-            for x, mask, rope in zip(acts, masks, ropes):
+            for bi, (x, mask, rope) in enumerate(zip(acts, masks, ropes)):
                 _, _, taps = _layer_fwd(cfg, lp, x, mask,
                                         rope_for_layer(cfg, rope, li),
-                                        True, window=cfg.layer_window(li))
+                                        True, window=cfg.layer_window(li),
+                                        kv_override=_kvo(li, bi))
                 for slot in slots_needed:
                     tap = taps[slot]
                     if slot not in accs:
@@ -405,12 +447,16 @@ def quantize_model(
         if resume_dir is not None:
             _save_layer_state(resume_dir, li, layer_arts, layer_weights)
 
-        # re-forward to produce next layer's inputs (quantized outputs)
+        # re-forward to produce next layer's inputs (quantized outputs);
+        # producer layers' fresh k/v are saved for kv-reuse consumers
         new_acts = []
-        for x, mask, rope in zip(acts, masks, ropes):
-            y, _, _ = _layer_fwd(cfg, lp, x, mask,
-                                 rope_for_layer(cfg, rope, li), False,
-                                 window=cfg.layer_window(li))
+        for bi, (x, mask, rope) in enumerate(zip(acts, masks, ropes)):
+            y, lc, _ = _layer_fwd(cfg, lp, x, mask,
+                                  rope_for_layer(cfg, rope, li), False,
+                                  window=cfg.layer_window(li),
+                                  kv_override=_kvo(li, bi))
+            if li in producers:
+                kv_saved[bi][li] = {"k": lc["k"], "v": lc["v"]}
             new_acts.append(y)
         acts = new_acts
         log.info(f"layer {li} done in {time.perf_counter() - t_layer:.1f}s")

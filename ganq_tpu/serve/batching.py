@@ -221,9 +221,13 @@ class BatchingEngine:
                 sp = _stacked.stack_layers(params, recode="affine")
             except ValueError:
                 sp = None
+            if sp is not None:
+                # int8 (w8-kind) recodes convert losslessly onto the plane
+                # megastep before gating (serve/stacked.w8p_stacked)
+                sp = _stacked.w8p_stacked(sp)
             variant = (None if sp is None
                        else _stacked.mega_enabled(cfg, sp, backend, slots))
-            if variant in ("w4", "w4p", "w3", "w2"):
+            if variant in ("w4", "w4p", "w3", "w2", "w8p"):
                 self._mega_variant = variant
                 self._sp = _stacked.prepack(cfg, sp, backend, slots)
                 L = cfg.num_hidden_layers

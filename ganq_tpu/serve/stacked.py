@@ -189,7 +189,7 @@ def _decode_one(cfg, sp, cache_k, cache_v, token, pos, backend):
 
 # ------------------------------------------------------------ megastep path
 # plane-kernel variants -> packed bits (npl/g_r derive from _plan_meta)
-_LB_BITS = {"w4p": 4, "w3": 3, "w2": 2}
+_LB_BITS = {"w4p": 4, "w3": 3, "w2": 2, "w8p": 8}
 
 
 def _lb_kv_dim(cfg, mp, bits: int) -> int:
@@ -227,6 +227,13 @@ def mega_enabled(cfg: ModelConfig, sp, backend: str, batch: int):
         return "w3"
     if megastep_lowbit_fusable(cfg, sp, 2):
         return "w2"
+    # int8 artifacts (free-codebook GANQ recodes: ops/qlinear.
+    # recode_uniform8 / the w8p_stacked lossless conversion) ride the
+    # plane kernel too — one plane, one 8-bit field — gaining batch <= 32,
+    # multi-tile steps and the trailing-unembed fold over the per-row w8
+    # kernel (VERDICT r3 #2a)
+    if megastep_lowbit_fusable(cfg, sp, 8):
+        return "w8p"
     if batch <= 8 and megastep_fusable(cfg, sp):
         return "w8"
     return None
@@ -273,12 +280,51 @@ def certify_stacked(sp):
     return out
 
 
+def w8p_stacked(sp):
+    """Losslessly convert per-row-scale w8 linears in an ALREADY-STACKED
+    layer pytree to uniform bits=8 group-broadcast artifacts
+    (ops/qlinear.w8_to_uniform8) so int8 recodes ride the plane megastep
+    ("w8p": batch <= 32, trailing-unembed) instead of the batch <= 8
+    per-row w8 kernel. The lm_head stays w8 — the trailing-unembed fold
+    consumes that kind directly. GANQ_W8_PLANE=0 opts out."""
+    from ..ops.qlinear import QLinear, w8_to_uniform8
+
+    ls = sp.get("layers_stacked")
+    if ls is None:
+        return sp
+    changed = [False]
+
+    def rec(x):
+        if isinstance(x, QLinear) and x.kind == "w8":
+            q = w8_to_uniform8(x)
+            changed[0] = changed[0] or q is not x
+            return q
+        return x
+
+    ls2 = jax.tree_util.tree_map(
+        rec, ls, is_leaf=lambda x: isinstance(x, QLinear))
+    if not changed[0]:
+        return sp
+    # drop the w8-only transposed-o fast-path arrays (dead after conversion)
+    if "attn" in ls2 and "o_t_w8" in ls2["attn"]:
+        attn = {k: v for k, v in ls2["attn"].items()
+                if k not in ("o_t_w8", "o_t_scale")}
+        ls2 = dict(ls2)
+        ls2["attn"] = attn
+    out = dict(sp)
+    out["layers_stacked"] = ls2
+    return out
+
+
 def prepack(cfg: ModelConfig, sp, backend: str, batch: int):
     """Pre-pack megakernel operands ONCE (outside jit) and attach them to
     the params pytree; greedy_decode picks them up instead of re-packing
     per call. No-op when the megastep path would not engage."""
     if os.environ.get("GANQ_LUT_AFFINE", "1") != "0":
         sp = certify_stacked(sp)
+    if (mega_env_enabled(backend, batch)
+            and os.environ.get("GANQ_W8_PLANE", "1") != "0"):
+        sp = w8p_stacked(sp)
     variant = mega_enabled(cfg, sp, backend, batch)
     if variant == "w4" and "megapack4" not in sp:
         from ..ops.megastep4 import megapack4

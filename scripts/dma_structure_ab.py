@@ -92,6 +92,10 @@ def main():
     cases = [("arbitrary", s, b) for s in (1, 2, 4, 8)
              for b in (128, 384, 1152)]
     cases += [("parallel", 1, 384), ("parallel", 4, 384)]
+    # round-4: fat blocks (6.3 / 12.6 / 25 MB) — the r2 sweep stopped at
+    # 3.5 MB; the megastep's qkv/MLP steps stream 12-25 MB per grid step
+    cases += [("arbitrary", s, b) for s in (1, 2)
+              for b in (2048, 4096, 8192)]
     for semantics, n_streams, block_rows in cases:
         r = run_case(768, n_streams, block_rows, lanes, semantics)
         if r:

@@ -215,3 +215,53 @@ def test_hymba_quantize_serve_journey(rng):
     e = eng.Engine(cfg=cfg, params=qparams, max_seq=64)
     toks = e.generate(ids, max_new_tokens=4)
     assert toks.shape == (1, 4)
+
+
+def test_hymba_shared_kv_calibration(rng, monkeypatch):
+    """kv-reuse consumers calibrate on the PRODUCER's fresh k/v (VERDICT
+    r3 #7, reference module_looper.py:305-313): the quantized artifacts
+    differ from own-KV calibration (GANQ_HYMBA_OWNKV=1), and the shared-KV
+    quantized model still serves with fake-quant parity."""
+    import copy
+
+    from ganq_tpu.core.config import QuantizeConfig
+    from ganq_tpu.models.registry import get_spec
+    from ganq_tpu.quant.looper import packed_params, quantize_model
+
+    cfg = synthetic.hymba_config(layers=3, kv_reuse_map=(0, 0, 2),
+                                 meta_tokens=2)
+    params = synthetic.make_hymba_model(cfg, kind="dense", seed=11,
+                                        dtype=jnp.float32)
+    spec = get_spec("hymba")
+    batches = [rng.integers(0, cfg.vocab_size, size=(2, 16)).astype(np.int32)]
+    qcfg = QuantizeConfig(bits=4, group_size=64, sym=True, act_sort="none",
+                          quant_method="gptq")
+
+    out_shared = quantize_model(cfg, copy.deepcopy(params), spec, qcfg,
+                                batches)
+    monkeypatch.setenv("GANQ_HYMBA_OWNKV", "1")
+    out_own = quantize_model(cfg, copy.deepcopy(params), spec, qcfg, batches)
+    monkeypatch.delenv("GANQ_HYMBA_OWNKV")
+
+    # the consumer layer (1, reusing layer 0's kv) sees a different
+    # activation distribution -> its out_proj codes differ; the producer
+    # layer 0 is identical in both modes (nothing upstream changed)
+    name1 = next(n for n in out_shared.artifacts
+                 if n.endswith("1.mamba.out_proj"))
+    name0 = next(n for n in out_shared.artifacts
+                 if n.endswith("0.mamba.in_proj"))
+    np.testing.assert_array_equal(
+        np.asarray(out_shared.artifacts[name0].qidx),
+        np.asarray(out_own.artifacts[name0].qidx))
+    assert not np.array_equal(
+        np.asarray(out_shared.artifacts[name1].qidx),
+        np.asarray(out_own.artifacts[name1].qidx))
+
+    # the shared-KV-calibrated model serves: packed vs fake-quant parity
+    qparams = packed_params(spec, out_shared)
+    ids = rng.integers(0, cfg.vocab_size, size=(1, 8))
+    ref = np.asarray(transformer.forward(cfg, out_shared.params,
+                                         jnp.asarray(ids)), np.float32)
+    got = np.asarray(transformer.forward(cfg, qparams, jnp.asarray(ids)),
+                     np.float32)
+    np.testing.assert_allclose(got, ref, atol=0.35, rtol=0.1)

@@ -70,6 +70,11 @@ def _lw_list(cfg, sp):
             "up_w": guw[I:].astype(jnp.float32),
             "down_w": dequantize_weight(dn).astype(jnp.float32),
         }
+        if "q_norm" in ls["attn"]:
+            lw["q_norm"] = ls["attn"]["q_norm"]["weight"][i].astype(
+                jnp.float32)
+            lw["k_norm"] = ls["attn"]["k_norm"]["weight"][i].astype(
+                jnp.float32)
         if "bias" in o.arrays:
             lw["o_bias"] = o.arrays["bias"].astype(jnp.float32)
         if gub is not None:
@@ -81,9 +86,24 @@ def _lw_list(cfg, sp):
     return out
 
 
-def _setup(rng, cfg, B, T, pos, bits, bias=False):
+def _setup(rng, cfg, B, T, pos, bits, bias=False, asym=False):
     sp = synthetic.make_stacked_model(cfg, kind="uniform", seed=3, bits=bits)
     L, H = cfg.num_hidden_layers, cfg.hidden_size
+    if cfg.qk_norm:
+        d = cfg.head_dim
+        sp["layers_stacked"]["attn"]["q_norm"] = {"weight": jnp.asarray(
+            rng.uniform(0.5, 1.5, size=(L, d)).astype(np.float32))}
+        sp["layers_stacked"]["attn"]["k_norm"] = {"weight": jnp.asarray(
+            rng.uniform(0.5, 1.5, size=(L, d)).astype(np.float32))}
+    if asym:
+        # random per-group zero points (fractional: the general case —
+        # certify_uniform emits fractional zeros; gptq-v1 ships integers)
+        ls = sp["layers_stacked"]
+        for mod in (ls["attn"]["qkv"], ls["attn"]["o"],
+                    ls["mlp"]["gateup"], ls["mlp"]["down"]):
+            mod["zeros"] = jnp.asarray(rng.uniform(
+                0.25 * 2 ** bits, 0.75 * 2 ** bits,
+                size=mod["scales"].shape).astype(np.float32))
     sp["layers_stacked"]["input_norm"]["weight"] = jnp.asarray(
         rng.uniform(0.5, 1.5, size=(L, H)).astype(np.float32))
     sp["layers_stacked"]["post_norm"]["weight"] = jnp.asarray(
@@ -127,6 +147,9 @@ def _setup(rng, cfg, B, T, pos, bits, bias=False):
     (2, 8, 20, 64),
     (4, 16, 50, 64),      # batch > 8: octet-tiled row stride (Bp = 16)
     (3, 12, 20, 64),      # batch > 8, not an octet multiple (Bp = 16)
+    (8, 8, 50, 64),       # w8p: int8 plane (free-codebook GANQ recodes)
+    (8, 24, 20, 64),      # w8p at serving batch
+    (4, 1, 10, 64),       # B*Hkv=4: BGp sublane pad path (r3 advisor ask)
 ])
 def test_megastep_lowbit_matches_reference(rng, bits, B, pos, T):
     cfg = _cfg()
@@ -156,7 +179,74 @@ def test_megastep_lowbit_matches_reference(rng, bits, B, pos, T):
                                atol=5e-2, rtol=5e-2)
 
 
-@pytest.mark.parametrize("bits", [2, 3, 4])
+@pytest.mark.parametrize("bits", [4, 8])
+def test_megastep_lowbit_qk_norm(rng, bits):
+    """Per-head qk-norm (qwen3) rides the plane megastep via the in-kernel
+    butterfly block-RMS (VERDICT r3 #6): parity vs the oracle, which
+    applies transformer._rms_vec semantics per head pre-rope."""
+    import dataclasses
+    cfg = dataclasses.replace(_cfg(), qk_norm=True)
+    B, T, pos = 8, 64, 30
+    sp, mp, kc, vc, x, cos, sin = _setup(rng, cfg, B, T, pos, bits)
+    assert "qk_nm" in mp
+    kv_dim = cfg.num_key_value_heads * cfg.head_dim
+    kw = dict(q_dim=cfg.q_dim, kv_dim=kv_dim, head_dim=cfg.head_dim,
+              rotary_dim=cfg.head_dim, eps=1e-5,
+              scale=float(1.0 / np.sqrt(cfg.head_dim)))
+    lw = _lw_list(cfg, sp)
+    assert "q_norm" in lw[0]
+    ref_y, ref_k, ref_v = megastep_lowbit_reference(x, lw, kc, vc, pos,
+                                                    cos, sin, **kw)
+    with _ctx():
+        y, kn, vn = megastep_lowbit_decode(x, mp, kc, vc, jnp.int32(pos),
+                                           cos, sin, block_t=64, bits=bits,
+                                           **kw)
+    # 8e-2: the head RMS normalizes lanes to ~unit scale, so a single int8
+    # activation-code flip (the known boundary effect, see
+    # test_megastep_lowbit_matches_reference) lands at ~1/127 of O(1)
+    # values on a handful of lanes
+    np.testing.assert_allclose(np.asarray(kn, np.float32),
+                               np.asarray(ref_k, np.float32),
+                               atol=8e-2, rtol=2e-2)
+    np.testing.assert_allclose(np.asarray(vn, np.float32),
+                               np.asarray(ref_v, np.float32),
+                               atol=8e-2, rtol=2e-2)
+    np.testing.assert_allclose(np.asarray(y, np.float32),
+                               np.asarray(ref_y, np.float32),
+                               atol=8e-2, rtol=5e-2)
+
+
+@pytest.mark.parametrize("bits,B", [(4, 8), (3, 8), (8, 12)])
+def test_megastep_lowbit_asym(rng, bits, B):
+    """Asymmetric (zeros) uniform artifacts ride the plane megastep via the
+    streamed sz = scale*(center-zero) correction (VERDICT r3 #4): kernel
+    output matches the dequantized-oracle reference, which applies zeros
+    through dequantize_weight."""
+    cfg = _cfg()
+    T, pos = 64, 30
+    sp, mp, kc, vc, x, cos, sin = _setup(rng, cfg, B, T, pos, bits,
+                                         asym=True)
+    assert "qkv_sz" in mp
+    kv_dim = cfg.num_key_value_heads * cfg.head_dim
+    kw = dict(q_dim=cfg.q_dim, kv_dim=kv_dim, head_dim=cfg.head_dim,
+              rotary_dim=cfg.head_dim, eps=1e-5,
+              scale=float(1.0 / np.sqrt(cfg.head_dim)))
+    lw = _lw_list(cfg, sp)
+    ref_y, ref_k, ref_v = megastep_lowbit_reference(x, lw, kc, vc, pos,
+                                                    cos, sin, **kw)
+    with _ctx():
+        y, kn, vn = megastep_lowbit_decode(x, mp, kc, vc, jnp.int32(pos),
+                                           cos, sin, block_t=64, bits=bits,
+                                           **kw)
+    np.testing.assert_allclose(np.asarray(kn, np.float32),
+                               np.asarray(ref_k, np.float32),
+                               atol=5e-2, rtol=2e-2)
+    np.testing.assert_allclose(np.asarray(y, np.float32),
+                               np.asarray(ref_y, np.float32),
+                               atol=8e-2, rtol=5e-2)
+
+
+@pytest.mark.parametrize("bits", [2, 3, 4, 8])
 def test_plane_codec_exact(rng, bits):
     """derive + masked dots + recover == the centered integer matmul,
     EXACTLY: z_r = x8 @ (q_r - 2^(b-1)) with sum-of-x folded in."""

@@ -123,3 +123,31 @@ def test_stacked_lut_affine_decode_rides_megastep(rng, monkeypatch):
                                            "reference"))
     agree = (toks == ref).mean()
     assert agree >= 0.9, f"token agreement {agree:.2f}\n{toks}\n{ref}"
+
+
+def test_stacked_w8_decode_rides_w8p_megastep(rng, monkeypatch):
+    """A per-row-scale int8 ("w8") model — the free-codebook GANQ recode —
+    prepacks onto the plane megastep via the LOSSLESS uniform8 conversion
+    (serve.stacked.w8p_stacked / ops/qlinear.w8_to_uniform8), at a batch
+    the old per-row w8 kernel refuses (> 8). Greedy tokens match the
+    per-layer w8 reference decode (VERDICT r3 #2a)."""
+    monkeypatch.setenv("GANQ_MEGASTEP", "1")
+    cfg = synthetic.llama_config(hidden=256, inter=512, layers=2, heads=2,
+                                 kv_heads=1, vocab=512, max_pos=128)
+    B, prompt_len, steps, T = 12, 8, 4, 64
+    sp = synthetic.make_stacked_model(cfg, kind="w8", seed=7)
+    ids = jnp.asarray(rng.integers(0, cfg.vocab_size, size=(B, prompt_len)),
+                      jnp.int32)
+
+    spp = stacked.prepack(cfg, sp, "reference", B)
+    assert stacked.mega_enabled(cfg, spp, "reference", B) == "w8p"
+    ck, cv = stacked.init_cache(cfg, cfg.num_hidden_layers, B, T)
+    toks = np.asarray(stacked.greedy_decode(cfg, spp, ck, cv, ids, steps,
+                                            "reference"))
+
+    monkeypatch.setenv("GANQ_MEGASTEP", "0")
+    ck, cv = stacked.init_cache(cfg, cfg.num_hidden_layers, B, T)
+    ref = np.asarray(stacked.greedy_decode(cfg, sp, ck, cv, ids, steps,
+                                           "reference"))
+    agree = (toks == ref).mean()
+    assert agree >= 0.9, f"token agreement {agree:.2f}\n{toks}\n{ref}"

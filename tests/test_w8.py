@@ -55,6 +55,39 @@ def test_recode_passthrough_non_lut(rng):
     assert qlinear.recode_w8(d) is d
 
 
+def test_w8_to_uniform8_lossless(rng):
+    """w8 -> uniform bits=8 is an exact re-encoding: code + 128, per-row
+    scale broadcast over 128-column groups (the w8p megastep feed)."""
+    ql = qlinear.recode_w8(make_lut_linear(rng, M=64, K=256))
+    u8 = qlinear.w8_to_uniform8(ql)
+    assert u8.kind == "uniform" and u8.bits == 8
+    assert "zeros" not in u8.arrays          # sym stays structural
+    np.testing.assert_array_equal(
+        np.asarray(qlinear.dequantize_weight(u8)),
+        np.asarray(qlinear.dequantize_weight(ql)))
+    # odd width: conversion declines, artifact unchanged
+    ql2 = qlinear.recode_w8(make_lut_linear(rng, M=8, K=64))
+    assert qlinear.w8_to_uniform8(ql2) is ql2
+
+
+def test_recode_uniform8_tighter_than_w8(rng):
+    """Per-group int8 recode error <= the per-row recode's (group max-abs
+    <= row max-abs), and both reconstruct the LUT weight closely."""
+    ql = make_lut_linear(rng, M=64, K=256)
+    w_exact = np.asarray(qlinear.dequantize_weight(ql), np.float32)
+    u8 = qlinear.recode_uniform8(ql)
+    assert u8.kind == "uniform" and u8.bits == 8
+    assert u8["scales"].shape == (64, 2)
+    w_u8 = np.asarray(qlinear.dequantize_weight(u8), np.float32)
+    w_row = np.asarray(qlinear.dequantize_weight(qlinear.recode_w8(ql)),
+                       np.float32)
+    err_u8 = np.abs(w_u8 - w_exact).max()
+    err_row = np.abs(w_row - w_exact).max()
+    assert err_u8 <= err_row + 1e-7
+    bound = np.asarray(u8["scales"]).max() / 2 + 1e-7
+    assert err_u8 <= bound * 1.01
+
+
 def test_w8a8_matmul_parity(rng):
     from ganq_tpu.ops.w8_matmul import w8a8_matmul
     ql = qlinear.recode_w8(make_lut_linear(rng, M=128, K=256))
