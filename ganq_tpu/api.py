@@ -564,18 +564,24 @@ class GanqModel:
 
         ``recode``: "auto" certifies grid-representable LUT codebooks to the
         packed-4-bit uniform path (lossless, ops/qlinear.certify_uniform)
-        and int8-recodes the rest; "affine" certifies only (non-affine LUTs
-        stay exact); "w8" int8-recodes every LUT; "none" leaves kinds as
-        loaded. Then auto-selects the kernel backend."""
+        and recodes the rest to per-128-group int8 (recode_uniform8 — the
+        w8p plane-megastep feed; measured +0.03 ppl over the exact LUT on
+        the contract model, PERF.md round 4); "affine" certifies only
+        (non-affine LUTs stay exact); "w8" per-row int8-recodes every LUT
+        (the legacy path); "none" leaves kinds as loaded. Then auto-selects
+        the kernel backend."""
         if recode in ("auto", "affine", "w8"):
-            from .ops.qlinear import QLinear, certify_uniform, recode_w8
+            from .ops.qlinear import (QLinear, certify_uniform,
+                                      recode_uniform8, recode_w8)
 
             def rec(v):
                 if recode in ("auto", "affine"):
                     q = certify_uniform(v)
                     if q is not None:
                         return q
-                if recode in ("auto", "w8"):
+                if recode == "auto":
+                    return recode_uniform8(v)
+                if recode == "w8":
                     return recode_w8(v)
                 return v
 

@@ -699,7 +699,7 @@ def megastep4_fusable(cfg, sp: Dict[str, Any]) -> bool:
 def megastep4_reference(x, lw_list, k_cache, v_cache, pos, cos_half,
                         sin_half, *, q_dim, kv_dim, head_dim, rotary_dim=0,
                         interleaved=False, eps=1e-5, rms_offset=0.0,
-                        scale=1.0, act="silu", block_i=2048):
+                        scale=1.0, act="silu", block_i=2048, softcap=0.0):
     """Pure-jnp oracle on the dequantized f32 weights: the kernel's integer
     pair algebra is EXACT, so its math equals ``x8_f32 @ W_deq.T * sx`` with
     the same activation quantizations (per-row qkv/gate/up, whole-tensor o,
@@ -711,7 +711,12 @@ def megastep4_reference(x, lw_list, k_cache, v_cache, pos, cos_half,
     in full precision on the pre-quantization activations, exactly like
     the kernels): qkv_la [rq, H] / qkv_lb [Dqkv, rq]; o_la [ro, q_dim] /
     o_lb [H, ro]; gu_la [rg, H] / gu_lb [2I, rg] (fused gate;up rows);
-    down_la [rd, I] / down_lb [H, rd]."""
+    down_la [rd, I] / down_lb [H, rd].
+
+    Arch extras ride per-layer lw keys: q_norm/k_norm [d] (qk-norm),
+    post_attn_norm/post_mlp_norm [H] (gemma sandwich), window (int sliding
+    window), cos_half/sin_half (per-layer rope override — gemma3 dual
+    rope); ``softcap`` (gemma2) applies cap*tanh(s/cap) on scaled scores."""
     f32 = jnp.float32
     B, H = x.shape
     d = head_dim
@@ -719,7 +724,7 @@ def megastep4_reference(x, lw_list, k_cache, v_cache, pos, cos_half,
     qpk = Hq // Hkv
     T = k_cache.shape[2]
 
-    def rope_rows(y, n_roped):
+    def rope_rows(y, n_roped, ch, sh):
         if not rotary_dim:
             return y
         half = rotary_dim // 2
@@ -728,17 +733,20 @@ def megastep4_reference(x, lw_list, k_cache, v_cache, pos, cos_half,
         r, rest = yr[..., :rotary_dim], yr[..., rotary_dim:]
         if interleaved:
             even, odd = r[..., 0::2], r[..., 1::2]
-            c, sn = cos_half[None, None, :half], sin_half[None, None, :half]
+            c, sn = ch[None, None, :half], sh[None, None, :half]
             re = even * c - odd * sn
             ro = odd * c + even * sn
             r2 = jnp.stack([re, ro], axis=-1).reshape(B, nh, rotary_dim)
         else:
             lo_h, hi_h = r[..., :half], r[..., half:]
-            c, sn = cos_half[None, None, :], sin_half[None, None, :]
+            c, sn = ch[None, None, :], sh[None, None, :]
             r2 = jnp.concatenate([lo_h * c - hi_h * sn,
                                   hi_h * c + lo_h * sn], axis=-1)
         roped = jnp.concatenate([r2, rest], axis=-1).reshape(B, n_roped)
         return jnp.concatenate([roped, y[:, n_roped:]], axis=1)
+
+    def _sc(s):
+        return softcap * jnp.tanh(s / softcap) if softcap else s
 
     xs = x
     kns, vns = [], []
@@ -765,7 +773,9 @@ def megastep4_reference(x, lw_list, k_cache, v_cache, pos, cos_half,
                 [_hn(y[:, :q_dim], lw["q_norm"]),
                  _hn(y[:, q_dim:q_dim + kv_dim], lw["k_norm"]),
                  y[:, q_dim + kv_dim:]], axis=1)
-        y = rope_rows(y, q_dim + kv_dim)
+        y = rope_rows(y, q_dim + kv_dim,
+                      jnp.asarray(lw.get("cos_half", cos_half), f32),
+                      jnp.asarray(lw.get("sin_half", sin_half), f32))
         q = y[:, :q_dim].reshape(B, Hq, d)
         k_new = y[:, q_dim:q_dim + kv_dim].reshape(B, Hkv, d)
         v_new = y[:, q_dim + kv_dim:].reshape(B, Hkv, d)
@@ -773,10 +783,14 @@ def megastep4_reference(x, lw_list, k_cache, v_cache, pos, cos_half,
         vc = v_cache[len(kns)].reshape(B, Hkv, T, d)
         kk = jnp.repeat(kc.astype(f32), qpk, axis=1)          # [B, Hq, T, d]
         vv = jnp.repeat(vc.astype(f32), qpk, axis=1)
-        s = jnp.einsum("bhd,bhtd->bht", q, kk) * scale
-        s = jnp.where(jnp.arange(T)[None, None, :] < pos, s, -jnp.inf)
-        s_cur = jnp.einsum("bhd,bhd->bh", q, jnp.repeat(
-            k_new, qpk, axis=1))[..., None] * scale
+        s = _sc(jnp.einsum("bhd,bhtd->bht", q, kk) * scale)
+        t_arange = jnp.arange(T)[None, None, :]
+        in_hist = t_arange < pos
+        if lw.get("window") is not None:
+            in_hist = in_hist & (t_arange > pos - lw["window"])
+        s = jnp.where(in_hist, s, -jnp.inf)
+        s_cur = _sc(jnp.einsum("bhd,bhd->bh", q, jnp.repeat(
+            k_new, qpk, axis=1))[..., None] * scale)
         pr = jax.nn.softmax(jnp.concatenate([s, s_cur], axis=2), axis=-1)
         attn = (jnp.einsum("bht,bhtd->bhd", pr[..., :T], vv)
                 + pr[..., T:] * jnp.repeat(v_new, qpk, axis=1))
@@ -789,6 +803,10 @@ def megastep4_reference(x, lw_list, k_cache, v_cache, pos, cos_half,
             o = o + (attn.reshape(B, q_dim) @ lw["o_la"].T) @ lw["o_lb"].T
         if lw.get("o_bias") is not None:
             o = o + lw["o_bias"][None, :]
+        if lw.get("post_attn_norm") is not None:   # gemma sandwich
+            ov = jnp.mean(o * o, axis=1, keepdims=True)
+            o = o * jax.lax.rsqrt(ov + eps) * (
+                lw["post_attn_norm"].astype(f32) + rms_offset)
         y1 = xf + o
         kns.append(k_new.reshape(B, kv_dim).astype(jnp.bfloat16))
         vns.append(v_new.reshape(B, kv_dim).astype(jnp.bfloat16))
@@ -828,6 +846,10 @@ def megastep4_reference(x, lw_list, k_cache, v_cache, pos, cos_half,
             out = out + xa_dn @ lw["down_lb"].T
         if lw.get("down_bias") is not None:
             out = out + lw["down_bias"][None, :]
+        if lw.get("post_mlp_norm") is not None:    # gemma sandwich
+            ov = jnp.mean(out * out, axis=1, keepdims=True)
+            out = out * jax.lax.rsqrt(ov + eps) * (
+                lw["post_mlp_norm"].astype(f32) + rms_offset)
         xs = (y1 + out).astype(x.dtype)
     return xs, jnp.stack(kns), jnp.stack(vns)
 

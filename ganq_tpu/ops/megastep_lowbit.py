@@ -211,7 +211,9 @@ def _megastep_lb_kernel(pos_ref, x_ref, anw_ref, mnw_ref,
                         ptq: int = 1, ptg: int = 1, gtp8k: int = 8,
                         NV: int = 0, with_bias: bool = False, Bp: int = 8,
                         with_aperm: bool = False, with_lora: bool = False,
-                        with_zp: bool = False, with_qkn: bool = False):
+                        with_zp: bool = False, with_qkn: bool = False,
+                        softcap: float = 0.0, with_sand: bool = False,
+                        with_win: bool = False):
     # optional-operand layout (order matches the wrapper's in_specs):
     # with_aperm adds 3 inputs (qkv/gate-up/o Beneš lane-routing masks —
     # act-order artifacts, VERDICT r2 #4b); with_lora adds 8 inputs (EoRA
@@ -238,6 +240,14 @@ def _megastep_lb_kernel(pos_ref, x_ref, anw_ref, mnw_ref,
     qn_ref = None
     if with_qkn:
         qn_ref = rest[0]
+        rest = rest[1:]
+    pa_ref = pm_ref = None
+    if with_sand:
+        pa_ref, pm_ref = rest[:2]
+        rest = rest[2:]
+    wb_ref = None
+    if with_win:
+        wb_ref = rest[0]
         rest = rest[1:]
     if with_bias:
         ob_ref, gub_ref, dnb_ref = rest[:3]
@@ -357,7 +367,7 @@ def _megastep_lb_kernel(pos_ref, x_ref, anw_ref, mnw_ref,
                     jax.lax.rsqrt(msq + eps) * (wv + rms_offset), 1.0)
             if rd:
                 rot = _rope_rot(y, rd, interleaved)
-                y = (y * cos_ref[sub] + rot * sin_ref[sub])
+                y = (y * cos_ref[0, sub] + rot * sin_ref[0, sub])
             y = y.astype(jnp.bfloat16)
             t_idx = p * ptq + sub
             # one [tq/d * Bp, d] store per tile (head-major scratch rows)
@@ -422,6 +432,12 @@ def _megastep_lb_kernel(pos_ref, x_ref, anw_ref, mnw_ref,
     def _qview():
         return _fview(qkv_s)[:BG].astype(jnp.bfloat16)   # [BG, qpk, d]
 
+    def _cap(sc):
+        # gemma2 attention softcap: cap * tanh(sc / cap) on scaled scores
+        if softcap:
+            return softcap * jnp.tanh(sc * (1.0 / softcap))
+        return sc
+
     @pl.when(in_flash & (tb * Tb < pos))
     def _():
         t_abs = jax.lax.broadcasted_iota(jnp.int32, (BG, qpk, Tb), 2)
@@ -434,18 +450,24 @@ def _megastep_lb_kernel(pos_ref, x_ref, anw_ref, mnw_ref,
         # wrapper (pb_ref row b*Hkv+g holds pos[b])
         posr = pb_ref[:BG, :1].reshape(BG, 1, 1)
         valid = (tb * Tb + t_abs) < posr
-        sc = jnp.where(valid, sc * scale, -1e30)
+        if with_win:
+            # sliding layers attend to the last w positions only (w = T on
+            # full layers — a no-op); the current token at pos counts, so
+            # history t is in-window iff t > pos - w
+            wv = wb_ref[:1, :1].reshape(1, 1, 1)
+            valid &= (tb * Tb + t_abs) > (posr - wv)
+        sc = jnp.where(valid, _cap(sc * scale), -1e30)
         _online_all(sc, vg)
 
     @pl.when(in_flash & (tb == NT - 1))
     def _():
         kcur = _fview(qkv_s, Hkv, Hq)[:BG]               # [BG, 1, d]
         vcur = _fview(qkv_s, Hkv, Hq + Hkv)[:BG]
-        s_c = jax.lax.dot_general(
+        s_c = _cap(jax.lax.dot_general(
             _qview().astype(jnp.float32), kcur.astype(jnp.float32),
             (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
-            precision=_DEF) * scale                      # [BG, qpk, 1]
+            precision=_DEF) * scale)                     # [BG, qpk, 1]
         _online_all(s_c, vcur.astype(jnp.bfloat16))
 
     # ---- phase C: flash finalize -> o (plane dots over q_dim groups) ->
@@ -483,6 +505,10 @@ def _megastep_lb_kernel(pos_ref, x_ref, anw_ref, mnw_ref,
             upd = upd + _lora_dot(xao, lbo_ref[0])[:B]
         if with_bias:
             upd = upd + ob_ref[0]
+        if with_sand:     # gemma2/3: post_attention norm BEFORE the residual
+            v_ = jnp.mean(upd * upd, axis=1, keepdims=True)
+            upd = upd * jax.lax.rsqrt(v_ + eps) * (
+                pa_ref[0].astype(f32) + rms_offset)
         x_s[:] += upd
         xf = x_s[:]
         var = jnp.mean(xf * xf, axis=1, keepdims=True)
@@ -563,6 +589,10 @@ def _megastep_lb_kernel(pos_ref, x_ref, anw_ref, mnw_ref,
             upd = upd + _lora_dot(xad_s[:], lbd_ref[0])
         if with_bias:
             upd = upd + dnb_ref[0]
+        if with_sand:     # gemma2/3: post_feedforward norm BEFORE residual
+            v_ = jnp.mean(upd * upd, axis=1, keepdims=True)
+            upd = upd * jax.lax.rsqrt(v_ + eps) * (
+                pm_ref[0].astype(f32) + rms_offset)
         x_s[:] += upd
 
         @pl.when(lix == L - 1)
@@ -594,7 +624,8 @@ def _megastep_lb_kernel(pos_ref, x_ref, anw_ref, mnw_ref,
 
 @functools.partial(jax.jit, static_argnames=(
     "q_dim", "kv_dim", "head_dim", "rotary_dim", "interleaved", "eps",
-    "rms_offset", "scale", "act", "block_t", "bits", "interpret"))
+    "rms_offset", "scale", "act", "block_t", "bits", "softcap",
+    "interpret"))
 def megastep_lowbit_decode(x: jax.Array, mp: Dict[str, jax.Array],
                            k_cache: jax.Array, v_cache: jax.Array,
                            pos: jax.Array, cos_half, sin_half, *,
@@ -603,7 +634,8 @@ def megastep_lowbit_decode(x: jax.Array, mp: Dict[str, jax.Array],
                            eps: float = 1e-5, rms_offset: float = 0.0,
                            scale: float = 1.0, act: str = "silu",
                            block_t: int = 128, bits: int = 3,
-                           lm=None, interpret: bool = False):
+                           softcap: float = 0.0, windows=None,
+                           rope_sel=None, lm=None, interpret: bool = False):
     """One full W4A8/W3A8/W2A8 decode step over all layers. Same contract
     as ``megastep4_decode``; ``mp`` from :func:`megapack_lowbit`.
 
@@ -662,10 +694,19 @@ def megastep_lowbit_decode(x: jax.Array, mp: Dict[str, jax.Array],
 
     pos_vec = jnp.broadcast_to(
         jnp.asarray(pos, jnp.int32).reshape(-1), (B,))
-    pos_arr = jnp.concatenate([pos_vec, jnp.max(pos_vec)[None]])
+    parts = [pos_vec, jnp.max(pos_vec)[None]]
+    if rope_sel is not None:
+        # per-layer rope-table selector (gemma3 dual rope): index maps read
+        # it from the scalar prefetch at s[B + 1 + layer]
+        parts.append(jnp.asarray(rope_sel, jnp.int32))
+    pos_arr = jnp.concatenate(parts)
     # per-slot positions expanded to the cache row order (row b*Hkv+g),
     # padded to a sublane multiple — a VMEM vector operand for the flash
-    # mask (SMEM scalars cannot form a vector inside Mosaic)
+    # mask (SMEM scalars cannot form a vector inside Mosaic). 128 lanes
+    # because that is Mosaic's minimum last-dim tile for a VMEM block
+    # (a (BGp, 8) block would fail lane alignment); the kernel reads lane
+    # 0 only and the redundant lanes cost ~128 KB of VMEM, not HBM
+    # bandwidth per step (constant index map -> fetched once).
     BGp = -(-B * Hkv // 8) * 8
     pos_bg = jnp.broadcast_to(
         jnp.pad(jnp.repeat(pos_vec, Hkv), (0, BGp - B * Hkv))[:, None],
@@ -678,13 +719,19 @@ def megastep_lowbit_decode(x: jax.Array, mp: Dict[str, jax.Array],
         if ch.ndim == 1:
             ch = jnp.broadcast_to(ch[None, :], (B, ch.shape[0]))
             sh = jnp.broadcast_to(sh[None, :], (B, sh.shape[0]))
+        if ch.ndim == 2:          # single rope table -> leading table axis
+            ch, sh = ch[None], sh[None]
         # rot is computed in-kernel via lane rolls (_rope_rot) — only the
-        # per-row cos/sin masks stream; the [tq, tq] R matrix is gone
-        _, cos_t, sin_t = _rope_rows(Dqkv, tq, d, rd, interleaved,
-                                     q_dim + kv_dim, ch, sh)
+        # per-row cos/sin masks stream; the [tq, tq] R matrix is gone.
+        # Dual-rope models (gemma3) pass [2, B, half] tables; the per-layer
+        # selector (rope_sel) picks the block via the scalar prefetch.
+        tabs = [_rope_rows(Dqkv, tq, d, rd, interleaved, q_dim + kv_dim,
+                           ch[r], sh[r])[1:] for r in range(ch.shape[0])]
+        cos_t = jnp.stack([c for c, _ in tabs])       # [NRt, NQ, B, tq]
+        sin_t = jnp.stack([s for _, s in tabs])
     else:
-        cos_t = jnp.ones((NQ, B, tq), jnp.float32)
-        sin_t = jnp.zeros((NQ, B, tq), jnp.float32)
+        cos_t = jnp.ones((1, NQ, B, tq), jnp.float32)
+        sin_t = jnp.zeros((1, NQ, B, tq), jnp.float32)
     Gp = mp["qkv_s"].shape[1]
     Gq = mp["o_s"].shape[1]
 
@@ -709,6 +756,13 @@ def megastep_lowbit_decode(x: jax.Array, mp: Dict[str, jax.Array],
         # then walks the vocab tiles on the trailing steps
         return jnp.clip(t - L * P, 0, max(NV - 1, 0))
 
+    if rope_sel is not None:
+        def rsel(t, s):
+            return s[B + 1 + _l(t)]
+    else:
+        def rsel(t, s):
+            return 0
+
     pq = ptq * pq0                # packed qkv rows per grid step
     po = npl * H // g_r           # packed rows of o / down (tile = H)
     pi = ptg * pi0                # packed gate/up rows per grid step
@@ -728,9 +782,11 @@ def megastep_lowbit_decode(x: jax.Array, mp: Dict[str, jax.Array],
         pl.BlockSpec((1, 1, ptq * tq),
                      lambda t, s: (_l(t), 0, qi(t, s)),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((ptq, B, tq), lambda t, s: (qi(t, s), 0, 0),
+        pl.BlockSpec((1, ptq, B, tq),
+                     lambda t, s: (rsel(t, s), qi(t, s), 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((ptq, B, tq), lambda t, s: (qi(t, s), 0, 0),
+        pl.BlockSpec((1, ptq, B, tq),
+                     lambda t, s: (rsel(t, s), qi(t, s), 0, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((1, B * Hkv, Tb, d),
                      lambda t, s: (_l(t), 0, fb(t, s), 0),
@@ -844,6 +900,28 @@ def megastep_lowbit_decode(x: jax.Array, mp: Dict[str, jax.Array],
                          memory_space=pltpu.VMEM),
         ]
         qkn_ops = [mp["qk_nm"]]
+    with_sand = "pa_norm" in mp
+    sand_ops = []
+    if with_sand:
+        # gemma2/3 sandwich norms: post-attention / post-feedforward RMS
+        # on the sublayer OUTPUT before its residual add
+        in_specs += [
+            pl.BlockSpec((1, 1, H), lambda t, s: (_l(t), 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, H), lambda t, s: (_l(t), 0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        sand_ops = [mp["pa_norm"], mp["pm_norm"]]
+    with_win = windows is not None
+    win_ops = []
+    if with_win:
+        # per-layer sliding windows (full layers carry w = T, a no-op)
+        in_specs += [
+            pl.BlockSpec((1, 128), lambda t, s: (_l(t), 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        win_ops = [jnp.broadcast_to(
+            jnp.asarray(windows, jnp.int32)[:, None], (L, 128))]
     with_bias = "o_bias" in mp
     bias_ops = []
     if with_bias:
@@ -919,7 +997,9 @@ def megastep_lowbit_decode(x: jax.Array, mp: Dict[str, jax.Array],
             rd=rd, interleaved=interleaved,
             ptq=ptq, ptg=ptg, gtp8k=gtp8, NV=NV, with_bias=with_bias,
             Bp=Bp, with_aperm=with_aperm, with_lora=with_lora,
-            with_zp=with_zp, with_qkn=with_qkn),
+            with_zp=with_zp, with_qkn=with_qkn,
+            softcap=float(softcap or 0.0), with_sand=with_sand,
+            with_win=with_win),
         grid_spec=grid_spec,
         out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
@@ -938,7 +1018,8 @@ def megastep_lowbit_decode(x: jax.Array, mp: Dict[str, jax.Array],
       cos_t, sin_t,
       k_cache, v_cache, mp["o_pk"], mp["o_s"],
       mp["gu_pk"], mp["gu_pk"], mp["gu_s"], mp["dn_pk"], mp["dn_s"],
-      pos_bg, *aperm_ops, *lora_ops, *zp_ops, *qkn_ops, *bias_ops, *lm_ops)
+      pos_bg, *aperm_ops, *lora_ops, *zp_ops, *qkn_ops, *sand_ops,
+      *win_ops, *bias_ops, *lm_ops)
     return tuple(out)
 
 
@@ -1204,6 +1285,12 @@ def megapack_lowbit(cfg, sp: Dict[str, Any], bits: int = 3
     }
     if qk_nm is not None:
         out["qk_nm"] = qk_nm
+    if cfg.sandwich_norm and "post_attn_norm" in ls:
+        # gemma2/3 sandwich norms ride as per-layer operands
+        out["pa_norm"] = ls["post_attn_norm"]["weight"].astype(
+            jnp.float32).reshape(L, 1, H)
+        out["pm_norm"] = ls["post_mlp_norm"]["weight"].astype(
+            jnp.float32).reshape(L, 1, H)
     # asymmetric (zero-point) artifacts: per-(group, output-col) correction
     # sz = scale * (2^(b-1) - zero), streamed f32 alongside the scales
     # (VERDICT r3 #4 — the marlin/exllamav2 zp-path analog, reference
@@ -1381,12 +1468,18 @@ def megastep_lowbit_fusable(cfg, sp: Dict[str, Any], bits: int) -> bool:
             return False
     if cfg.norm != "rmsnorm" or not cfg.do_layer_norm_before:
         return False
-    if (cfg.norm_after_sublayer or cfg.sandwich_norm or cfg.parallel_residual
+    if (cfg.norm_after_sublayer or cfg.parallel_residual
             or cfg.residual_multiplier is not None):
         return False
-    if cfg.pos != "rope" or cfg.attn_softcap is not None or cfg.mla:
+    # gemma2/3 sandwich norms run in-kernel (post_attn/post_mlp RMS on the
+    # sublayer output); the stacked pytree must carry both weights
+    if cfg.sandwich_norm and ("post_attn_norm" not in ls
+                              or "post_mlp_norm" not in ls):
         return False
-    if cfg.sliding_window is not None or cfg.rope_local_theta is not None:
+    # attention softcap (gemma2) is a static tanh insert in the flash
+    # phase; sliding windows (gemma2/3) ride as per-layer window operands;
+    # dual local/global rope (gemma3) as a second cos/sin table + selector
+    if cfg.pos != "rope" or cfg.mla:
         return False
     if not cfg.gated_mlp or "moe" in ls:
         return False

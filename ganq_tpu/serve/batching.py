@@ -140,8 +140,14 @@ def _mega_decode_slots(cfg: ModelConfig, sp, mp, mk, mv, tokens, pos,
     Hkv = kv_dim // d
     positions = pos[:, None]
     x = embed(cfg, sp, tokens[:, None], positions)[:, 0, :]
-    from ..models.transformer import _rope_half_tables_vec
-    rd, ch, sh = _rope_half_tables_vec(cfg, rope_tables(cfg, positions))
+    if variant != "w4":
+        from .stacked import _mega_rope_kw
+        rd, ch, sh, lb_kw = _mega_rope_kw(cfg, positions, S, L,
+                                          mk.shape[2], vec=True)
+        kw.update(lb_kw)
+    else:
+        from ..models.transformer import _rope_half_tables_vec
+        rd, ch, sh = _rope_half_tables_vec(cfg, rope_tables(cfg, positions))
     scale = (cfg.attn_scale if cfg.attn_scale is not None
              else 1.0 / math.sqrt(d))
     out = step_fn(

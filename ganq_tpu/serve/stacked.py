@@ -360,6 +360,43 @@ def _mega_cache(cfg, cache_k, cache_v):
     return to(cache_k), to(cache_v)
 
 
+def _mega_rope_kw(cfg: ModelConfig, positions, b: int, L: int, T: int,
+                  vec: bool = False):
+    """(rd, cos_h, sin_h, extra_kw) for the lowbit megastep: dual-rope
+    models (gemma3) get stacked [2, B, half] tables + a per-layer selector;
+    sliding models get per-layer windows; softcap passes through."""
+    from ..models.transformer import (_rope_half_tables,
+                                      _rope_half_tables_vec)
+
+    get = _rope_half_tables_vec if vec else _rope_half_tables
+    rope = rope_tables_all(cfg, positions) if cfg.pos == "rope" else None
+    kw = {}
+    if isinstance(rope, dict):
+        rd, cg, sg = get(cfg, rope["global"])
+        _, cl, sl = get(cfg, rope["local"])
+
+        def _b(t):
+            t = jnp.asarray(t, jnp.float32)
+            return t if t.ndim == 2 else jnp.broadcast_to(
+                t[None], (b, t.shape[-1]))
+
+        cos_h = jnp.stack([_b(cg), _b(cl)])
+        sin_h = jnp.stack([_b(sg), _b(sl)])
+        kw["rope_sel"] = jnp.asarray(
+            [1 if cfg.layer_window(i) is not None else 0
+             for i in range(L)], jnp.int32)
+    elif rope is not None:
+        rd, cos_h, sin_h = get(cfg, rope)
+    else:
+        rd, cos_h, sin_h = 0, None, None
+    if cfg.sliding_window is not None:
+        kw["windows"] = jnp.asarray(
+            [cfg.layer_window(i) or T for i in range(L)], jnp.int32)
+    if cfg.attn_softcap is not None:
+        kw["softcap"] = float(cfg.attn_softcap)
+    return rd, cos_h, sin_h, kw
+
+
 def _decode_one_mega(cfg: ModelConfig, sp, mp, ck, cv, token, pos,
                      variant: str = "w8"):
     """One decode step through the megakernel. ck/cv in mega layout;
@@ -380,7 +417,12 @@ def _decode_one_mega(cfg: ModelConfig, sp, mp, ck, cv, token, pos,
         kv_dim = (mp["qkv_w8"].shape[1] - cfg.q_dim) // 2
     positions = jnp.broadcast_to(pos, (b, 1))
     x = embed(cfg, sp, token[:, None], positions)[:, 0, :]
-    rd, cos_h, sin_h = _rope_half_tables(cfg, rope_tables(cfg, positions))
+    if variant in _LB_BITS:
+        rd, cos_h, sin_h, lb_kw = _mega_rope_kw(cfg, positions, b, L,
+                                                ck.shape[2])
+    else:
+        rd, cos_h, sin_h = _rope_half_tables(cfg, rope_tables(cfg, positions))
+        lb_kw = {}
     scale = (cfg.attn_scale if cfg.attn_scale is not None
              else 1.0 / math.sqrt(d))
     kw = {}
@@ -391,6 +433,7 @@ def _decode_one_mega(cfg: ModelConfig, sp, mp, ck, cv, token, pos,
         from ..ops.megastep_lowbit import mega_lm_operands
         step_fn = megastep_lowbit_decode
         kw["bits"] = _LB_BITS[variant]
+        kw.update(lb_kw)
         # trailing-unembed fold: int8-quantizes the final activations before
         # the lm_head dot (the non-mega path keeps unembed activations in
         # full precision — models/transformer.py unembed). The logits

@@ -126,6 +126,22 @@ def main():
                           "dppl": round(v - results["fp"], 4),
                           "quant_s": round(time.perf_counter() - t0, 1)}),
               flush=True)
+        if name == "ganq_free":
+            # the free checkpoint's FAST-SERVING recode (per-128-group int8
+            # -> w8p plane megastep): measure what the recode costs on top
+            # of the exact-LUT artifact (VERDICT r3 #2c default decision)
+            from ganq_tpu.ops.qlinear import QLinear, recode_uniform8
+            from ganq_tpu.quant.looper import packed_params
+            pk = packed_params(spec, out)
+            pk = jax.tree_util.tree_map(
+                lambda x: (recode_uniform8(x)
+                           if isinstance(x, QLinear) else x),
+                pk, is_leaf=lambda x: isinstance(x, QLinear))
+            v8 = round(float(ppl(pk)), 4)
+            results["ganq_free_u8recode"] = v8
+            print(json.dumps({"config": "ganq_free_u8recode", "ppl": v8,
+                              "dppl": round(v8 - results["fp"], 4)}),
+                  flush=True)
 
     fp = results["fp"]
     print(json.dumps({

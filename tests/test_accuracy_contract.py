@@ -302,7 +302,11 @@ def test_affine_codebook_whole_model_ab(rng):
     assert abs(ppl_cert - ppl_lut) < 0.02, (ppl_lut, ppl_cert)
     assert abs(ppl_lut - ppl_aff) < 0.02, (ppl_aff, ppl_lut)
     # (2) the constraint's accuracy price is bounded: the affine grid may
-    # not blow up the KL-induced delta vs the free codebook
+    # not blow up the KL-induced delta vs the free codebook. Measured
+    # 2026-08-21 (scripts/accuracy_ab.py, 8-layer/h256 heavy-tailed
+    # contract model, K=10, W4): dppl fp->free +3.92, ->affine_sym +5.54
+    # (1.41x free), ->lut8 +3.23, GPTQ g128 +7.40 — the affine constraint
+    # costs ~41% of the free delta, well inside 2x; the r3 bound was 3x.
     d_free = max(ppl_free - ppl_fp, 1e-3)
     d_aff = ppl_aff - ppl_fp
-    assert d_aff <= max(3.0 * d_free, 0.5), (ppl_fp, ppl_free, ppl_aff)
+    assert d_aff <= max(2.0 * d_free, 0.5), (ppl_fp, ppl_free, ppl_aff)

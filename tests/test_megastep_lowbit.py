@@ -75,6 +75,11 @@ def _lw_list(cfg, sp):
                 jnp.float32)
             lw["k_norm"] = ls["attn"]["k_norm"]["weight"][i].astype(
                 jnp.float32)
+        if "post_attn_norm" in ls:
+            lw["post_attn_norm"] = ls["post_attn_norm"]["weight"][i].astype(
+                jnp.float32)
+            lw["post_mlp_norm"] = ls["post_mlp_norm"]["weight"][i].astype(
+                jnp.float32)
         if "bias" in o.arrays:
             lw["o_bias"] = o.arrays["bias"].astype(jnp.float32)
         if gub is not None:
@@ -91,10 +96,16 @@ def _setup(rng, cfg, B, T, pos, bits, bias=False, asym=False):
     L, H = cfg.num_hidden_layers, cfg.hidden_size
     if cfg.qk_norm:
         d = cfg.head_dim
+        lo, hi = (-0.3, 0.3) if cfg.rms_offset else (0.5, 1.5)
         sp["layers_stacked"]["attn"]["q_norm"] = {"weight": jnp.asarray(
-            rng.uniform(0.5, 1.5, size=(L, d)).astype(np.float32))}
+            rng.uniform(lo, hi, size=(L, d)).astype(np.float32))}
         sp["layers_stacked"]["attn"]["k_norm"] = {"weight": jnp.asarray(
-            rng.uniform(0.5, 1.5, size=(L, d)).astype(np.float32))}
+            rng.uniform(lo, hi, size=(L, d)).astype(np.float32))}
+    if cfg.sandwich_norm:
+        sp["layers_stacked"]["post_attn_norm"] = {"weight": jnp.asarray(
+            rng.uniform(-0.3, 0.3, size=(L, H)).astype(np.float32))}
+        sp["layers_stacked"]["post_mlp_norm"] = {"weight": jnp.asarray(
+            rng.uniform(-0.3, 0.3, size=(L, H)).astype(np.float32))}
     if asym:
         # random per-group zero points (fractional: the general case —
         # certify_uniform emits fractional zeros; gptq-v1 ships integers)
@@ -214,6 +225,99 @@ def test_megastep_lowbit_qk_norm(rng, bits):
     np.testing.assert_allclose(np.asarray(y, np.float32),
                                np.asarray(ref_y, np.float32),
                                atol=8e-2, rtol=5e-2)
+
+
+def test_megastep_lowbit_gemma2_shape(rng):
+    """Gemma-2-shape decode rides the plane megastep (VERDICT r3 #6):
+    sandwich norms (post-attn/post-ffw RMS on the sublayer output,
+    rms_offset=1), attention softcap (tanh insert in the flash phase), and
+    alternating sliding/full layers (per-layer window operands). Parity vs
+    the extended oracle."""
+    import dataclasses
+    cfg = dataclasses.replace(
+        _cfg(), sandwich_norm=True, attn_softcap=30.0, sliding_window=24,
+        layer_types=("sliding_attention", "full_attention"),
+        act="gelu_tanh", rms_offset=1.0)
+    bits, B, T, pos = 4, 8, 64, 40
+    sp, mp, kc, vc, x, cos, sin = _setup(rng, cfg, B, T, pos, bits)
+    assert "pa_norm" in mp
+    kv_dim = cfg.num_key_value_heads * cfg.head_dim
+    kw = dict(q_dim=cfg.q_dim, kv_dim=kv_dim, head_dim=cfg.head_dim,
+              rotary_dim=cfg.head_dim, eps=1e-5, rms_offset=1.0,
+              act="gelu_tanh", softcap=30.0,
+              scale=float(1.0 / np.sqrt(cfg.head_dim)))
+    lw = _lw_list(cfg, sp)
+    for i, l in enumerate(lw):
+        l["window"] = cfg.layer_window(i)
+    ref_y, ref_k, ref_v = megastep_lowbit_reference(x, lw, kc, vc, pos,
+                                                    cos, sin, **kw)
+    windows = jnp.asarray([cfg.layer_window(i) or T
+                           for i in range(cfg.num_hidden_layers)], jnp.int32)
+    with _ctx():
+        y, kn, vn = megastep_lowbit_decode(x, mp, kc, vc, jnp.int32(pos),
+                                           cos, sin, block_t=64, bits=bits,
+                                           windows=windows, **kw)
+    _assert_close_rel(kn, ref_k)
+    _assert_close_rel(y, ref_y)
+
+
+def _assert_close_rel(got, want, frac=0.035, mean_frac=7e-3):
+    """Range-relative closeness for the gemma-shape tests: rms_offset=1
+    norms + gelu_tanh amplify the known single-int8-code-flip noise (the
+    all-features-OFF baseline at this config already shows the same error
+    scale), so absolute atols calibrated on the llama-shape tests do not
+    transfer. Max error <= frac of the reference range AND mean error
+    <= mean_frac of it — structural errors blow both."""
+    got = np.asarray(got, np.float32)
+    want = np.asarray(want, np.float32)
+    scale = np.abs(want).max() + 1e-9
+    err = np.abs(got - want)
+    assert err.max() <= frac * scale, (err.max(), scale)
+    assert err.mean() <= mean_frac * scale, (err.mean(), scale)
+
+
+def test_megastep_lowbit_gemma3_shape(rng):
+    """Gemma-3-shape: dual local/global rope (stacked cos/sin tables + the
+    per-layer selector riding the scalar prefetch), per-head qk-norm with
+    the (1+w) offset, sandwich norms, sliding layers — all in ONE kernel."""
+    import dataclasses
+    cfg = dataclasses.replace(
+        _cfg(), sandwich_norm=True, sliding_window=24, qk_norm=True,
+        layer_types=("sliding_attention", "full_attention"),
+        act="gelu_tanh", rms_offset=1.0, rope_local_theta=10000.0)
+    bits, B, T, pos = 4, 8, 64, 40
+    sp, mp, kc, vc, x, cos_g, sin_g = _setup(rng, cfg, B, T, pos, bits)
+    half = cfg.head_dim // 2
+    ang = rng.uniform(0, 2 * np.pi, size=(half,)).astype(np.float32)
+    cos_l, sin_l = jnp.asarray(np.cos(ang)), jnp.asarray(np.sin(ang))
+    kv_dim = cfg.num_key_value_heads * cfg.head_dim
+    kw = dict(q_dim=cfg.q_dim, kv_dim=kv_dim, head_dim=cfg.head_dim,
+              rotary_dim=cfg.head_dim, eps=1e-5, rms_offset=1.0,
+              act="gelu_tanh", scale=float(1.0 / np.sqrt(cfg.head_dim)))
+    lw = _lw_list(cfg, sp)
+    for i, l in enumerate(lw):
+        l["window"] = cfg.layer_window(i)
+        if l["window"] is not None:        # sliding layers use local rope
+            l["cos_half"], l["sin_half"] = cos_l, sin_l
+    ref_y, ref_k, ref_v = megastep_lowbit_reference(x, lw, kc, vc, pos,
+                                                    cos_g, sin_g, **kw)
+    L = cfg.num_hidden_layers
+    windows = jnp.asarray([cfg.layer_window(i) or T for i in range(L)],
+                          jnp.int32)
+    rope_sel = jnp.asarray([1 if cfg.layer_window(i) is not None else 0
+                            for i in range(L)], jnp.int32)
+    B_ = B
+    ch = jnp.stack([jnp.broadcast_to(cos_g[None], (B_, half)),
+                    jnp.broadcast_to(cos_l[None], (B_, half))])
+    sh = jnp.stack([jnp.broadcast_to(sin_g[None], (B_, half)),
+                    jnp.broadcast_to(sin_l[None], (B_, half))])
+    with _ctx():
+        y, kn, vn = megastep_lowbit_decode(x, mp, kc, vc, jnp.int32(pos),
+                                           ch, sh, block_t=64, bits=bits,
+                                           windows=windows,
+                                           rope_sel=rope_sel, **kw)
+    _assert_close_rel(kn, ref_k)
+    _assert_close_rel(y, ref_y)
 
 
 @pytest.mark.parametrize("bits,B", [(4, 8), (3, 8), (8, 12)])

@@ -125,6 +125,49 @@ def test_stacked_lut_affine_decode_rides_megastep(rng, monkeypatch):
     assert agree >= 0.9, f"token agreement {agree:.2f}\n{toks}\n{ref}"
 
 
+def test_stacked_gemma3_shape_decode_rides_megastep(rng, monkeypatch):
+    """A gemma3-shaped model (sandwich norms, sliding/full alternation,
+    dual local/global rope, qk-norm, rms_offset=1) greedy-decodes through
+    the plane megastep (VERDICT r3 #6): _decode_one_mega threads windows /
+    rope_sel / sandwich operands; tokens match the per-layer path."""
+    import dataclasses
+
+    monkeypatch.setenv("GANQ_MEGASTEP", "1")
+    cfg = dataclasses.replace(
+        synthetic.llama_config(hidden=256, inter=512, layers=2, heads=2,
+                               kv_heads=1, vocab=512, max_pos=128),
+        sandwich_norm=True, sliding_window=24, qk_norm=True,
+        layer_types=("sliding_attention", "full_attention"),
+        act="gelu_tanh", rms_offset=1.0, rope_local_theta=10000.0)
+    B, prompt_len, steps, T = 2, 8, 4, 64
+    sp = synthetic.make_stacked_model(cfg, kind="uniform", seed=9)
+    L, H, d = cfg.num_hidden_layers, cfg.hidden_size, cfg.head_dim
+    ls = sp["layers_stacked"]
+    ls["post_attn_norm"] = {"weight": jnp.asarray(
+        rng.uniform(-0.2, 0.2, size=(L, H)).astype(np.float32))}
+    ls["post_mlp_norm"] = {"weight": jnp.asarray(
+        rng.uniform(-0.2, 0.2, size=(L, H)).astype(np.float32))}
+    ls["attn"]["q_norm"] = {"weight": jnp.asarray(
+        rng.uniform(-0.2, 0.2, size=(L, d)).astype(np.float32))}
+    ls["attn"]["k_norm"] = {"weight": jnp.asarray(
+        rng.uniform(-0.2, 0.2, size=(L, d)).astype(np.float32))}
+    ids = jnp.asarray(rng.integers(0, cfg.vocab_size, size=(B, prompt_len)),
+                      jnp.int32)
+
+    spp = stacked.prepack(cfg, sp, "reference", B)
+    assert stacked.mega_enabled(cfg, spp, "reference", B) == "w4p"
+    ck, cv = stacked.init_cache(cfg, cfg.num_hidden_layers, B, T)
+    toks = np.asarray(stacked.greedy_decode(cfg, spp, ck, cv, ids, steps,
+                                            "reference"))
+
+    monkeypatch.setenv("GANQ_MEGASTEP", "0")
+    ck, cv = stacked.init_cache(cfg, cfg.num_hidden_layers, B, T)
+    ref = np.asarray(stacked.greedy_decode(cfg, sp, ck, cv, ids, steps,
+                                           "reference"))
+    agree = (toks == ref).mean()
+    assert agree >= 0.9, f"token agreement {agree:.2f}\n{toks}\n{ref}"
+
+
 def test_stacked_w8_decode_rides_w8p_megastep(rng, monkeypatch):
     """A per-row-scale int8 ("w8") model — the free-codebook GANQ recode —
     prepacks onto the plane megastep via the LOSSLESS uniform8 conversion
