@@ -303,16 +303,18 @@ def _megastep_lb_kernel(pos_ref, x_ref, anw_ref, mnw_ref,
 
     def fields_y(dd, S, tF, sc_row, off=0, sz_row=None):
         """Scaled field parts concat -> [B, g_r*tF] f32 contribution.
-        ``sz_row`` (asym artifacts): per-col scale*(center-zero), applied
-        as + sz * S (S = the group's activation sum)."""
+        ``sc_row``/``sz_row`` are [1, g_r*tF] rows (2-D so dynamic-g ref
+        loads feed straight in). ``sz_row`` (asym artifacts): per-col
+        scale*(center-zero), applied as + sz * S (S = the group's
+        activation sum)."""
         zs = _recover(dd, tF, metas, coef, S, off)
         Sf = S.astype(f32)
         parts = []
         for f in range(g_r):
-            sl = sc_row[f * tF:(f + 1) * tF][None, :].astype(f32)
+            sl = sc_row[:, f * tF:(f + 1) * tF].astype(f32)
             p = sl * zs[f].astype(f32)
             if sz_row is not None:
-                p = p + sz_row[f * tF:(f + 1) * tF][None, :] * Sf
+                p = p + sz_row[:, f * tF:(f + 1) * tF] * Sf
             parts.append(p)
         return jnp.concatenate(parts, axis=1)
 
@@ -337,20 +339,57 @@ def _megastep_lb_kernel(pos_ref, x_ref, anw_ref, mnw_ref,
         m_s[:] = jnp.full_like(m_s, -1e30)
         l_s[:] = jnp.zeros_like(l_s)
 
+    def _octet_loop(n, load8, step, init):
+        """Group walk as a fori loop over OCTETS of groups — the compile-
+        size fix for big shapes (a fully unrolled 8B body blew Mosaic past
+        the remote relay's patience; the round-3 solver lesson: fori
+        compiles ~8x faster with identical runtime). Scale rows load 8 at
+        a time because Mosaic must statically prove sublane alignment
+        (dynamic single-row loads fail 'index ... multiple of 8'); the
+        inner 8-walk is inlined with static row picks. Non-octet group
+        counts (small shapes) take the plain unroll — compile size is no
+        concern there.
+
+        ``load8(gbase, rows)`` -> aligned row block at [gbase, gbase+rows);
+        ``step(g, row1, acc)`` -> acc with group g applied (row1 [1, w])."""
+        if n % 8:
+            acc = init
+            rows = load8(0, n)
+            for g in range(n):
+                acc = step(g, jax.tree_util.tree_map(
+                    lambda r: r[g:g + 1], rows), acc)
+            return acc
+
+        def outer(g8, acc):
+            rows = load8(g8 * 8, 8)
+            for j in range(8):
+                acc = step(g8 * 8 + j, jax.tree_util.tree_map(
+                    lambda r: r[j:j + 1], rows), acc)
+            return acc
+
+        return jax.lax.fori_loop(0, n // 8, outer, init)
+
     # ---- phase A: ptq qkv row tiles (plane dots) -> rope -> scatter
     @pl.when(p < NQS)
     def _():
         for sub in range(ptq):
-            y = jnp.zeros((B, tq), f32)
-            for g in range(Gh):
-                xs = x8_s[:, g * gs:(g + 1) * gs]
+            def qload8(gb, nr):
+                out = [qs_ref[0, pl.ds(gb, nr), sub * tq:(sub + 1) * tq]]
+                if with_zp:
+                    out.append(qsz_ref[0, pl.ds(gb, nr),
+                                       sub * tq:(sub + 1) * tq])
+                return out
+
+            def qstep(g, rows, y):
+                xs = x8_s[:, pl.ds(g * gs, gs)]
                 bg = qw_ref[0, sub * pq:(sub + 1) * pq,
-                            g * gs:(g + 1) * gs]          # [NP*tFq, gs]
+                            pl.ds(g * gs, gs)]            # [NP*tFq, gs]
                 dd, S = group_dot(xs, [(bg, tFq)])
-                y += fields_y(
-                    dd, S, tFq, qs_ref[0, g, sub * tq:(sub + 1) * tq],
-                    sz_row=(qsz_ref[0, g, sub * tq:(sub + 1) * tq]
-                            if with_zp else None))
+                return y + fields_y(
+                    dd, S, tFq, rows[0],
+                    sz_row=rows[1] if with_zp else None)
+
+            y = _octet_loop(Gh, qload8, qstep, jnp.zeros((B, tq), f32))
             y = y * sx_s[:B, :1] + qb_ref[0, :, sub * tq:(sub + 1) * tq]
             if with_lora:
                 y = y + _lora_dot(xaq_s[:],
@@ -492,13 +531,21 @@ def _megastep_lb_kernel(pos_ref, x_ref, anw_ref, mnw_ref,
         a8_s[:, :Hq * d] = jnp.clip(
             jnp.round(a_bt / sa), -127, 127).astype(jnp.int8)
         Dq = Hq * d
-        o = jnp.zeros((Bp, H), f32)
-        for g in range(Dq // gs):
-            xs = a8_s[:, g * gs:(g + 1) * gs]
-            bg = ow_ref[0, :, g * gs:(g + 1) * gs]       # [NP*tFo, gs]
+
+        def oload8(gb, nr):
+            out = [os_ref[0, pl.ds(gb, nr), :]]
+            if with_zp:
+                out.append(osz_ref[0, pl.ds(gb, nr), :])
+            return out
+
+        def ostep(g, rows, o):
+            xs = a8_s[:, pl.ds(g * gs, gs)]
+            bg = ow_ref[0, :, pl.ds(g * gs, gs)]         # [NP*tFo, gs]
             dd, S = group_dot(xs, [(bg, tFo)])
-            o += fields_y(dd, S, tFo, os_ref[0, g],
-                          sz_row=osz_ref[0, g] if with_zp else None)
+            return o + fields_y(dd, S, tFo, rows[0],
+                                sz_row=rows[1] if with_zp else None)
+
+        o = _octet_loop(Dq // gs, oload8, ostep, jnp.zeros((Bp, H), f32))
         upd = (o * sa)[:B]
         if with_lora:     # o epilogue: of_s holds the exact fp attn output
             xao = _lora_dot(of_s[:], lao_ref[0])
@@ -529,24 +576,34 @@ def _megastep_lb_kernel(pos_ref, x_ref, anw_ref, mnw_ref,
     @pl.when((p > O_STEP) & (p < P))
     def _():
         for sub in range(ptg):
-            gv = jnp.zeros((B, ti), f32)
-            uv = jnp.zeros((B, ti), f32)
-            for g in range(Gh):
-                xs = x8_s[:, g * gs:(g + 1) * gs]
+            o2 = sub * 2 * ti
+
+            def mload8(gb, nr):
+                out = [gus_ref[0, pl.ds(gb, nr), o2:o2 + ti],
+                       gus_ref[0, pl.ds(gb, nr), o2 + ti:o2 + 2 * ti]]
+                if with_zp:
+                    out.append(gusz_ref[0, pl.ds(gb, nr), o2:o2 + ti])
+                    out.append(gusz_ref[0, pl.ds(gb, nr),
+                                        o2 + ti:o2 + 2 * ti])
+                return out
+
+            def mstep(g, rows, gu):
+                gv, uv = gu
+                xs = x8_s[:, pl.ds(g * gs, gs)]
                 gbg = gw_ref[0, sub * pi:(sub + 1) * pi,
-                             g * gs:(g + 1) * gs]         # [NP*tFi, gs]
+                             pl.ds(g * gs, gs)]           # [NP*tFi, gs]
                 ubg = uw_ref[0, sub * pi:(sub + 1) * pi,
-                             g * gs:(g + 1) * gs]
+                             pl.ds(g * gs, gs)]
                 dd, S = group_dot(xs, [(gbg, tFi), (ubg, tFi)])
-                o2 = sub * 2 * ti
-                gv += fields_y(
-                    dd, S, tFi, gus_ref[0, g, o2:o2 + ti],
-                    sz_row=(gusz_ref[0, g, o2:o2 + ti]
-                            if with_zp else None))
-                uv += fields_y(
-                    dd, S, tFi, gus_ref[0, g, o2 + ti:o2 + 2 * ti], off=nd,
-                    sz_row=(gusz_ref[0, g, o2 + ti:o2 + 2 * ti]
-                            if with_zp else None))
+                gv = gv + fields_y(dd, S, tFi, rows[0],
+                                   sz_row=rows[2] if with_zp else None)
+                uv = uv + fields_y(dd, S, tFi, rows[1], off=nd,
+                                   sz_row=rows[3] if with_zp else None)
+                return gv, uv
+
+            gv, uv = _octet_loop(
+                Gh, mload8, mstep,
+                (jnp.zeros((B, ti), f32), jnp.zeros((B, ti), f32)))
             gv = gv * sx_s[:B, :1]
             uv = uv * sx_s[:B, :1]
             if with_lora:
@@ -570,16 +627,23 @@ def _megastep_lb_kernel(pos_ref, x_ref, anw_ref, mnw_ref,
                 xad_s[:] += _lora_dot(
                     a, lad_ref[0, :, sub * ti:(sub + 1) * ti])
             a8_s[:B, :ti] = a8
-            y = jnp.zeros((B, H), f32)
-            for g2 in range(gti):
-                xs = a8_s[:B, g2 * gs:(g2 + 1) * gs]
-                bg = dw_ref[0, :, (sub * gti + g2) * gs:
-                            (sub * gti + g2 + 1) * gs]   # [NP*tFo, gs]
+
+            def dload8(gb, nr):
+                # sub * gtp8k is a static octet multiple (gtp8k = rows
+                # padded to 8), so the combined start stays provable
+                out = [ds_ref[0, pl.ds(sub * gtp8k + gb, nr), :]]
+                if with_zp:
+                    out.append(dnsz_ref[0, pl.ds(sub * gtp8k + gb, nr), :])
+                return out
+
+            def dstep(g2, rows, y):
+                xs = a8_s[:B, pl.ds(g2 * gs, gs)]
+                bg = dw_ref[0, :, pl.ds((sub * gti + g2) * gs, gs)]
                 dd, S = group_dot(xs, [(bg, tFo)])
-                y += fields_y(
-                    dd, S, tFo, ds_ref[0, sub * gtp8k + g2],
-                    sz_row=(dnsz_ref[0, sub * gtp8k + g2]
-                            if with_zp else None))
+                return y + fields_y(dd, S, tFo, rows[0],
+                                    sz_row=rows[1] if with_zp else None)
+
+            y = _octet_loop(gti, dload8, dstep, jnp.zeros((B, H), f32))
             ma_s[:] += y * sa
 
     @pl.when(p == O_STEP + NGS)
