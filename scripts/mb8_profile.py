@@ -38,9 +38,13 @@ def main():
     kw = dict(q_dim=cfg.q_dim, kv_dim=Hkv * d, head_dim=d, rotary_dim=d,
               scale=0.088, bits=4)
 
-    # kernel-only: chain steps back-to-back (x fed forward, fixed pos)
+    # kernel-only: chain steps back-to-back (x fed forward, fixed pos).
+    # mp/lm/half are ARGUMENTS, never closure captures — a captured 3.5 GB
+    # pytree bakes into the HLO as constants and kills the compile relay
+    # (the round-2 verify-skill gotcha; this script's round-3 version had
+    # exactly that bug, which is why the 8B decomposition never landed).
     @jax.jit
-    def chain(x, ck, cv, n=8):
+    def chain(x, ck, cv, mp, lm, half, n=8):
         def body(c, _):
             x, ck, cv = c
             out = megastep_lowbit_decode(x, mp, ck, cv, jnp.int32(128),
@@ -50,17 +54,18 @@ def main():
         c, lg = jax.lax.scan(body, (x, ck, cv), None, length=n)
         return lg
 
-    np.asarray(chain(x, ck, cv))
+    np.asarray(chain(x, ck, cv, mp, lm, half))
     best = 1e9
     for _ in range(4):
         t0 = time.perf_counter()
-        np.asarray(chain(x, ck, cv))
+        np.asarray(chain(x, ck, cv, mp, lm, half))
         best = min(best, time.perf_counter() - t0)
-    print(f"kernel-only (with lm fold): {best / 8 * 1e3:.2f} ms/step")
+    print(f"kernel-only (with lm fold): {best / 8 * 1e3:.2f} ms/step",
+          flush=True)
 
     # kernel without the lm fold
     @jax.jit
-    def chain_nolm(x, ck, cv, n=8):
+    def chain_nolm(x, ck, cv, mp, half, n=8):
         def body(c, _):
             x, ck, cv = c
             out = megastep_lowbit_decode(x, mp, ck, cv, jnp.int32(128),
@@ -69,13 +74,14 @@ def main():
         c, lg = jax.lax.scan(body, (x, ck, cv), None, length=n)
         return lg
 
-    np.asarray(chain_nolm(x, ck, cv))
+    np.asarray(chain_nolm(x, ck, cv, mp, half))
     best = 1e9
     for _ in range(4):
         t0 = time.perf_counter()
-        np.asarray(chain_nolm(x, ck, cv))
+        np.asarray(chain_nolm(x, ck, cv, mp, half))
         best = min(best, time.perf_counter() - t0)
-    print(f"kernel-only (no lm fold):  {best / 8 * 1e3:.2f} ms/step")
+    print(f"kernel-only (no lm fold):  {best / 8 * 1e3:.2f} ms/step",
+          flush=True)
 
     # full engine step for comparison
     ids = jnp.asarray(rng.integers(0, cfg.vocab_size, size=(B, 64)), jnp.int32)
