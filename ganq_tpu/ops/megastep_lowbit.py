@@ -198,6 +198,38 @@ def _mlp_tile_lb(I: int, g_r: int) -> int | None:
     return ti if ti >= 128 else None
 
 
+def _mlp_plan(I: int, bits: int, H: int,
+              cap: int = 48 * 1024 * 1024) -> tuple:
+    """(ti, ptg) minimizing MLP grid steps. The gate, up, AND down blocks
+    of one step each cost ptg*ti*npl*H/g_r packed bytes, so fewest steps
+    == max ptg*ti within the VMEM share (``cap`` covers all three,
+    double-buffered). Non-power-of-two tiles matter: I=14336 (the 8B
+    shape) steps 7x2048 under the old picker but 4x(1792*2) here —
+    each sequential grid step costs ~5.5us on this runtime (PERF.md)."""
+    metas, _, _, g_r = _plan_meta(bits)
+    npl = len(metas)
+    unit = 6 * npl * H // g_r        # dbuf bytes per unit of ptg*ti
+    best = None
+    for ti0 in range(256, min(I, 4096) + 1, 128):
+        if I % ti0 or (ti0 // g_r) % 128:
+            continue
+        ng = I // ti0
+        ptg = 0
+        for c in range(ng, 0, -1):
+            if ng % c == 0 and c * ti0 * unit <= cap:
+                ptg = c
+                break
+        if not ptg:
+            continue
+        key = (ptg * ti0, ti0)
+        if best is None or key > best[0]:
+            best = (key, ti0, ptg)
+    if best is None:
+        ti = _mlp_tile_lb(I, g_r)    # tiny shapes below the 256 floor
+        return ti, 1
+    return best[1], best[2]
+
+
 def _megastep_lb_kernel(pos_ref, x_ref, anw_ref, mnw_ref,
                         qw_ref, qs_ref, qb_ref, cos_ref, sin_ref,
                         kc_ref, vc_ref, ow_ref, os_ref,
@@ -213,7 +245,7 @@ def _megastep_lb_kernel(pos_ref, x_ref, anw_ref, mnw_ref,
                         with_aperm: bool = False, with_lora: bool = False,
                         with_zp: bool = False, with_qkn: bool = False,
                         softcap: float = 0.0, with_sand: bool = False,
-                        with_win: bool = False):
+                        with_win: bool = False, ablate: str = "none"):
     # optional-operand layout (order matches the wrapper's in_specs):
     # with_aperm adds 3 inputs (qkv/gate-up/o Beneš lane-routing masks —
     # act-order artifacts, VERDICT r2 #4b); with_lora adds 8 inputs (EoRA
@@ -321,6 +353,9 @@ def _megastep_lb_kernel(pos_ref, x_ref, anw_ref, mnw_ref,
     # ---- layer entry: residual init, attn norm + int8 quant, flash init
     @pl.when(p == 0)
     def _():
+        if ablate == "dma":
+            return
+
         @pl.when(lix == 0)
         def _():
             x_s[:] = x_ref[:].astype(f32)
@@ -369,9 +404,20 @@ def _megastep_lb_kernel(pos_ref, x_ref, anw_ref, mnw_ref,
 
         return jax.lax.fori_loop(0, n // 8, outer, init)
 
+    # profiling ablation (scripts/mb8_profile.py): "dma" empties every
+    # phase body (BlockSpec fetches still run -> the grid's pure DMA
+    # envelope); "noflash"/"nomlp"/"noqkv" skip one phase family. The
+    # serving path always passes "none".
+    ab_qkv = ablate in ("dma", "noqkv")
+    ab_flash = ablate in ("dma", "noflash")
+    ab_mlp = ablate in ("dma", "nomlp")
+    ab_o = ablate == "dma"
+
     # ---- phase A: ptq qkv row tiles (plane dots) -> rope -> scatter
     @pl.when(p < NQS)
     def _():
+        if ab_qkv:
+            return
         for sub in range(ptq):
             def qload8(gb, nr):
                 out = [qs_ref[0, pl.ds(gb, nr), sub * tq:(sub + 1) * tq]]
@@ -479,6 +525,8 @@ def _megastep_lb_kernel(pos_ref, x_ref, anw_ref, mnw_ref,
 
     @pl.when(in_flash & (tb * Tb < pos))
     def _():
+        if ab_flash:
+            return
         t_abs = jax.lax.broadcasted_iota(jnp.int32, (BG, qpk, Tb), 2)
         kg = kc_ref[0].astype(jnp.bfloat16)              # [BG, Tb, d]
         vg = vc_ref[0].astype(jnp.bfloat16)
@@ -500,6 +548,8 @@ def _megastep_lb_kernel(pos_ref, x_ref, anw_ref, mnw_ref,
 
     @pl.when(in_flash & (tb == NT - 1))
     def _():
+        if ab_flash:
+            return
         kcur = _fview(qkv_s, Hkv, Hq)[:BG]               # [BG, 1, d]
         vcur = _fview(qkv_s, Hkv, Hq + Hkv)[:BG]
         s_c = _cap(jax.lax.dot_general(
@@ -513,6 +563,8 @@ def _megastep_lb_kernel(pos_ref, x_ref, anw_ref, mnw_ref,
     # residual, then MLP norm + quant
     @pl.when(p == O_STEP)
     def _():
+        if ab_o:
+            return
         use_of = with_aperm or with_lora
         # flash finalize, all heads at once: [Hq, Bp, d] -> [Bp, Hq*d]
         a = acc_s[:].reshape(Hq, Bp, d) / jnp.maximum(
@@ -575,6 +627,8 @@ def _megastep_lb_kernel(pos_ref, x_ref, anw_ref, mnw_ref,
     # down)
     @pl.when((p > O_STEP) & (p < P))
     def _():
+        if ab_mlp:
+            return
         for sub in range(ptg):
             o2 = sub * 2 * ti
 
@@ -669,6 +723,10 @@ def _megastep_lb_kernel(pos_ref, x_ref, anw_ref, mnw_ref,
     if NV:
         @pl.when(p >= P)
         def _():
+            if ablate == "dma":
+                lg_ref[:] = jnp.zeros_like(lg_ref)
+                return
+
             @pl.when(p == P)
             def _():
                 xf = x_s[:]
@@ -689,7 +747,7 @@ def _megastep_lb_kernel(pos_ref, x_ref, anw_ref, mnw_ref,
 @functools.partial(jax.jit, static_argnames=(
     "q_dim", "kv_dim", "head_dim", "rotary_dim", "interleaved", "eps",
     "rms_offset", "scale", "act", "block_t", "bits", "softcap",
-    "interpret"))
+    "ablate", "qkv_cap_mb", "interpret"))
 def megastep_lowbit_decode(x: jax.Array, mp: Dict[str, jax.Array],
                            k_cache: jax.Array, v_cache: jax.Array,
                            pos: jax.Array, cos_half, sin_half, *,
@@ -699,7 +757,8 @@ def megastep_lowbit_decode(x: jax.Array, mp: Dict[str, jax.Array],
                            scale: float = 1.0, act: str = "silu",
                            block_t: int = 128, bits: int = 3,
                            softcap: float = 0.0, windows=None,
-                           rope_sel=None, lm=None, interpret: bool = False):
+                           rope_sel=None, lm=None, ablate: str = "none",
+                           qkv_cap_mb: int = 12, interpret: bool = False):
     """One full W4A8/W3A8/W2A8 decode step over all layers. Same contract
     as ``megastep4_decode``; ``mp`` from :func:`megapack_lowbit`.
 
@@ -730,14 +789,14 @@ def megastep_lowbit_decode(x: jax.Array, mp: Dict[str, jax.Array],
     while T % Tb:
         Tb //= 2
     NT = T // Tb
-    ti = _mlp_tile_lb(I, g_r)
+    ti, ptg = _mlp_plan(I, bits, H)
     NG = I // ti
     gtp8 = mp["dn_s"].shape[1] // NG
 
-    # tiles walked per grid step: fewer, fatter phases (each sequential
-    # grid step costs ~5.5us on this runtime — PERF.md; the pack layout is
-    # tile-major, so a step can cover several consecutive tiles). Largest
-    # divisor whose weight block stays within a VMEM budget.
+    # qkv tiles walked per grid step: fewer, fatter phases (each
+    # sequential grid step costs ~5.5us on this runtime — PERF.md; the
+    # pack layout is tile-major, so a step can cover several consecutive
+    # tiles). Largest divisor whose weight block stays within its share.
     def _per_step(n_tiles, tile_bytes, cap):
         for c in range(n_tiles, 0, -1):
             if n_tiles % c == 0 and c * tile_bytes <= cap:
@@ -745,9 +804,7 @@ def megastep_lowbit_decode(x: jax.Array, mp: Dict[str, jax.Array],
         return 1
 
     pq0 = npl * tq // g_r
-    pi0 = npl * ti // g_r
-    ptq = _per_step(NQ, pq0 * H, 12 * 1024 * 1024)
-    ptg = _per_step(NG, pi0 * H, 6 * 1024 * 1024)
+    ptq = _per_step(NQ, pq0 * H, qkv_cap_mb * 1024 * 1024)
     NQS, NGS = NQ // ptq, NG // ptg
     P = NQS + NT + 1 + NGS
     if lm is not None:
@@ -829,7 +886,7 @@ def megastep_lowbit_decode(x: jax.Array, mp: Dict[str, jax.Array],
 
     pq = ptq * pq0                # packed qkv rows per grid step
     po = npl * H // g_r           # packed rows of o / down (tile = H)
-    pi = ptg * pi0                # packed gate/up rows per grid step
+    pi = ptg * (npl * ti // g_r)  # packed gate/up rows per grid step
     in_specs = [
         pl.BlockSpec((B, H), lambda t, s: (0, 0),
                      memory_space=pltpu.VMEM),
@@ -1063,7 +1120,7 @@ def megastep_lowbit_decode(x: jax.Array, mp: Dict[str, jax.Array],
             Bp=Bp, with_aperm=with_aperm, with_lora=with_lora,
             with_zp=with_zp, with_qkn=with_qkn,
             softcap=float(softcap or 0.0), with_sand=with_sand,
-            with_win=with_win),
+            with_win=with_win, ablate=ablate),
         grid_spec=grid_spec,
         out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
@@ -1269,7 +1326,7 @@ def megapack_lowbit(cfg, sp: Dict[str, Any], bits: int = 3
     Dq_all = qkv["scales"].shape[1]
     I = gu["scales"].shape[1] // 2
     tq = _qkv_tile_lb(Dq_all, d, g_r)
-    ti = _mlp_tile_lb(I, g_r)
+    ti, _ = _mlp_plan(I, bits, H)        # must match the kernel's tiling
 
     # per-layer sequential packing (lax.map): int32 unpack temporaries for
     # ONE layer at a time (whole-model unpack would be several GB of int32)
@@ -1552,7 +1609,7 @@ def megastep_lowbit_fusable(cfg, sp: Dict[str, Any], bits: int) -> bool:
     if cfg.q_dim + 2 * kvd != Dqkv or kvd % cfg.head_dim:
         return False
     I = gu["scales"].shape[1] // 2
-    if _mlp_tile_lb(I, g_r) is None:
+    if _mlp_plan(I, bits, cfg.hidden_size)[0] is None:
         return False
     return _qkv_tile_lb(Dqkv, cfg.head_dim, g_r) is not None
 

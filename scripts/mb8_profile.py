@@ -83,22 +83,88 @@ def main():
     print(f"kernel-only (no lm fold):  {best / 8 * 1e3:.2f} ms/step",
           flush=True)
 
-    # full engine step for comparison
+    # f8 KV cache storage A/B: halves the 268 MB/step cache stream; the
+    # kernel reads cast to bf16 exactly as for a bf16 cache
+    ck8 = ck.astype(jnp.float8_e4m3fn)
+    cv8 = cv.astype(jnp.float8_e4m3fn)
+    np.asarray(chain(x, ck8, cv8, mp, lm, half))
+    best = 1e9
+    for _ in range(4):
+        t0 = time.perf_counter()
+        np.asarray(chain(x, ck8, cv8, mp, lm, half))
+        best = min(best, time.perf_counter() - t0)
+    print(f"kernel-only (f8 kv):       {best / 8 * 1e3:.2f} ms/step",
+          flush=True)
+
+    # qkv phase granularity: ptq=1 (6 MB cap) vs the default ptq=2
+    @jax.jit
+    def chain_p1(x, ck, cv, mp, lm, half, n=8):
+        def body(c, _):
+            x, ck, cv = c
+            out = megastep_lowbit_decode(x, mp, ck, cv, jnp.int32(128),
+                                         half, half, lm=lm, qkv_cap_mb=6,
+                                         **kw)
+            return (out[0].astype(x.dtype), ck, cv), out[3][:, 0]
+        c, lg = jax.lax.scan(body, (x, ck, cv), None, length=n)
+        return lg
+
+    np.asarray(chain_p1(x, ck, cv, mp, lm, half))
+    best = 1e9
+    for _ in range(4):
+        t0 = time.perf_counter()
+        np.asarray(chain_p1(x, ck, cv, mp, lm, half))
+        best = min(best, time.perf_counter() - t0)
+    print(f"kernel-only (ptq=1):       {best / 8 * 1e3:.2f} ms/step",
+          flush=True)
+
+    # phase-ablation decomposition: "dma" = grid DMA envelope (all phase
+    # bodies empty, BlockSpec fetches unchanged); others subtract one
+    # phase family's compute
+    import functools as _ft
+
+    for mode in ("dma", "noflash", "nomlp", "noqkv"):
+        @_ft.partial(jax.jit, static_argnames=("mode",))
+        def chain_ab(x, ck, cv, mp, lm, half, mode, n=8):
+            def body(c, _):
+                x, ck, cv = c
+                out = megastep_lowbit_decode(x, mp, ck, cv, jnp.int32(128),
+                                             half, half, lm=lm,
+                                             ablate=mode, **kw)
+                return (out[0].astype(x.dtype), ck, cv), out[3][:, 0]
+            c, lg = jax.lax.scan(body, (x, ck, cv), None, length=n)
+            return lg
+
+        np.asarray(chain_ab(x, ck, cv, mp, lm, half, mode))
+        best = 1e9
+        for _ in range(4):
+            t0 = time.perf_counter()
+            np.asarray(chain_ab(x, ck, cv, mp, lm, half, mode))
+            best = min(best, time.perf_counter() - t0)
+        print(f"kernel ablate={mode:8s}: {best / 8 * 1e3:.2f} ms/step",
+              flush=True)
+
+    # full engine step: slope between two step counts (min-of-N each —
+    # the old interleaved differencing went negative under prefill
+    # variance)
     ids = jnp.asarray(rng.integers(0, cfg.vocab_size, size=(B, 64)), jnp.int32)
+
     def run(steps):
         ck2, cv2 = stacked.init_cache(cfg, L, B, T)
-        return stacked.greedy_decode(cfg, sp, ck2, cv2, ids, steps, "pallas_a8")
-    np.asarray(run(32))
-    best = 1e9
-    for _ in range(3):
-        t0 = time.perf_counter()
-        np.asarray(run(32))
-        t32 = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        np.asarray(run(8))
-        t8 = time.perf_counter() - t0
-        best = min(best, (t32 - t8) / 24)
-    print(f"engine marginal:           {best * 1e3:.2f} ms/step")
+        return stacked.greedy_decode(cfg, sp, ck2, cv2, ids, steps,
+                                     "pallas_a8")
+
+    times = {}
+    for steps in (8, 136):
+        np.asarray(run(steps))
+        best = 1e9
+        for _ in range(3):
+            t0 = time.perf_counter()
+            np.asarray(run(steps))
+            best = min(best, time.perf_counter() - t0)
+        times[steps] = best
+    marg = (times[136] - times[8]) / 128
+    print(f"engine marginal:           {marg * 1e3:.2f} ms/step "
+          f"(t8={times[8]:.2f}s t136={times[136]:.2f}s)", flush=True)
 
 
 if __name__ == "__main__":
