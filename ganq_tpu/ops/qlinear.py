@@ -183,7 +183,18 @@ def dequantize_weight(p: QLinear) -> jax.Array:
         return p["weight"]
     if p.kind == "lut":
         idx = unpack_int_rows(p["idx_packed"], p.bits, p.in_features)
-        return jnp.take_along_axis(p["lut"].astype(jnp.float32), idx, axis=1)
+        lut = p["lut"].astype(jnp.float32)
+        k = lut.shape[-1]
+        if k <= 16:
+            # arithmetic select tree instead of take_along_axis: a [out,
+            # in] gather is scalar-indexed (slow) on TPU, while 2^bits
+            # vectorized compare/selects keep prefill-time dequant on the
+            # VPU (exact — every code hits one branch)
+            w = jnp.zeros(idx.shape, jnp.float32)
+            for s in range(k):
+                w = jnp.where(idx == s, lut[..., s:s + 1], w)
+            return w
+        return jnp.take_along_axis(lut, idx, axis=-1)
     if p.kind == "uniform":
         qidx = unpack_int_rows(p["qweight"], p.bits, p.in_features)
         gi = uniform_g_idx(p)
@@ -198,11 +209,23 @@ def dequantize_weight(p: QLinear) -> jax.Array:
 
 def apply(p: QLinear, x: jax.Array, backend: str = "reference") -> jax.Array:
     """y = x @ W^T + b for any linear kind. x: [..., in] -> [..., out]."""
+    rows = 1
+    for s in x.shape[:-1]:
+        rows *= int(s)
     if p.kind == "dense":
         y = jnp.dot(x, p["weight"].T.astype(x.dtype))
     elif backend == "reference":
         w = dequantize_weight(p)
         y = jnp.dot(x, w.T.astype(x.dtype))
+    elif backend in ("pallas", "pallas_a8") and rows >= 1024:
+        # prefill-shaped (many token rows): COMPUTE-bound, so dequantize
+        # once to bf16 and ride XLA's MXU GEMM — the fused dequant kernels
+        # are decode-shaped and measured 0.40x bf16 at a b8x2048 prefill
+        # (VERDICT r3 #5; the reference's exllamav2/marlin switch to GEMM
+        # paths at bs>1 for the same reason, q_gemm.cu). The bf16 weight
+        # materializes for ONE layer at a time (~2x the packed bytes).
+        w = dequantize_weight(p).astype(jnp.bfloat16)
+        y = jnp.dot(x.astype(jnp.bfloat16), w.T)
     elif backend in ("pallas", "pallas_a8"):
         from . import lut_matmul, uniform_matmul, w8_matmul
         if p.kind == "lut":

@@ -193,8 +193,10 @@ def test_lut8_snap_and_recode_roundtrip(rng):
 
 
 def test_optimize_auto_prefers_certify(rng):
-    """optimize(recode="auto"): affine LUTs certify to uniform; free LUTs
-    fall back to the int8 recode."""
+    """optimize(recode="auto"): affine LUTs certify to uniform (lossless,
+    bits=4); free LUTs recode to the per-128-group uniform8 artifact
+    (round 4: recode_uniform8 -> the w8p plane megastep; measured +0.03
+    ppl over the exact LUT, PERF.md r4)."""
     from ganq_tpu.ops.qlinear import QLinear
 
     W, H, nsamples = make_problem(rng, m=64, n=128, p=512)
@@ -217,5 +219,8 @@ def test_optimize_auto_prefers_certify(rng):
     from ganq_tpu.api import GanqModel
     m = FakeModel()
     GanqModel.optimize(m, recode="auto")
-    assert m.params["layers"][0]["attn"]["q"].kind == "uniform"
-    assert m.params["layers"][0]["attn"]["o"].kind == "w8"
+    q = m.params["layers"][0]["attn"]["q"]
+    o = m.params["layers"][0]["attn"]["o"]
+    assert q.kind == "uniform" and q.bits == 4          # certified, lossless
+    assert o.kind == "uniform" and o.bits == 8          # per-group recode
+    assert o["scales"].shape == (64, 1)                 # n=128 -> one group
