@@ -279,7 +279,13 @@ def main():
             "tokens_per_s_w3a8_planemega": round(tps_w3a8, 1),
             "tokens_per_s_w4a8_pairmega": round(tps_w4a8, 1),
             "tokens_per_s_lut_exact": round(tps_lut, 1),
+            # SEMANTICS (r4 advisor): since r4 this leg measures a bits=8
+            # uniform artifact on the w8p plane megastep (what a
+            # free-codebook recode becomes at serving); r1-r3 recorded the
+            # per-row w8 recode through ops/megastep.py under this key.
             "tokens_per_s_w8a8_dynamic": round(tps_w8a8, 1),
+            "w8a8_leg_semantics": "bits=8 uniform via w8p plane megastep "
+                                  "(r4+); r1-r3: per-row w8 megastep",
             "tokens_per_s_bf16": round(tps_dense, 1),
             "tokens_per_s_w4a8_b32": round(tps_w4_b32, 1),
             "tokens_per_s_bf16_b32": round(tps_dense_b32, 1),

@@ -792,6 +792,8 @@ def megastep_lowbit_decode(x: jax.Array, mp: Dict[str, jax.Array],
     ti, ptg = _mlp_plan(I, bits, H)
     NG = I // ti
     gtp8 = mp["dn_s"].shape[1] // NG
+    Gp = mp["qkv_s"].shape[1]
+    Gq = mp["o_s"].shape[1]
 
     # qkv tiles walked per grid step: fewer, fatter phases (each
     # sequential grid step costs ~5.5us on this runtime — PERF.md; the
@@ -805,13 +807,98 @@ def megastep_lowbit_decode(x: jax.Array, mp: Dict[str, jax.Array],
 
     pq0 = npl * tq // g_r
     ptq = _per_step(NQ, pq0 * H, qkv_cap_mb * 1024 * 1024)
-    NQS, NGS = NQ // ptq, NG // ptg
-    P = NQS + NT + 1 + NGS
     if lm is not None:
         V = lm["w8"].shape[0]
         NV, _, tv = lm["scale"].shape
     else:
         V, NV, tv = 0, 0, 0
+
+    # optional-feature flags (hoisted: the VMEM estimate below needs them)
+    with_aperm = "ap_q" in mp
+    with_lora = "la_q" in mp
+    with_zp = "qkv_sz" in mp
+    with_qkn = "qk_nm" in mp
+    with_sand = "pa_norm" in mp
+    with_win = windows is not None
+    with_bias = "o_bias" in mp
+
+    # ---- scoped-VMEM budget guard (VERDICT r4 #2). The compiler's scoped
+    # allocation must fit vmem_limit_bytes; BENCH_r04 shipped a dead
+    # w8a8_b32 leg because the bits=8 x B=32 plan exceeded 112 MB by
+    # 340 KB and nothing caught it before the chip did. Estimate the
+    # pipeline's VMEM (double-buffered streamed blocks + scratch +
+    # outputs) and degrade run-time-only knobs until it fits: first Tb
+    # (the B-scaled kv blocks — biggest save per added grid step), then
+    # ptg, then ptq. ti itself is pack-baked (gu/dn scale layouts) and is
+    # never changed here.
+    po = npl * H // g_r
+    BGp_ = -(-B * Hkv // 8) * 8
+
+    def _vmem_est(ptq_, ptg_, Tb_):
+        pq_ = ptq_ * pq0
+        pi_ = ptg_ * (npl * ti // g_r)
+        est = 2 * pq_ * H                            # qkv planes int8
+        est += 2 * 2 * Gp * ptq_ * tq                # qkv scales bf16
+        est += 2 * 4 * 2 * ptq_ * B * tq             # cos+sin f32
+        est += 2 * 2 * 2 * (B * Hkv) * Tb_ * d       # k+v cache bf16
+        est += 2 * po * q_dim                        # o planes
+        est += 2 * 2 * Gq * H                        # o scales
+        est += 2 * 2 * pi_ * H                       # gate+up planes
+        est += 2 * 2 * Gp * ptg_ * 2 * ti            # gu scales
+        est += 2 * po * ptg_ * ti                    # down planes
+        est += 2 * 2 * ptg_ * gtp8 * H               # down scales
+        est += 2 * 4 * (2 * H + ptq_ * tq)           # norms + qkv bias f32
+        if with_zp:
+            est += 2 * 4 * (Gp * ptq_ * tq + Gq * H
+                            + Gp * ptg_ * 2 * ti + ptg_ * gtp8 * H)
+        if with_aperm:
+            est += 2 * 2 * (2 * mp["ap_q"].shape[1] * H
+                            + mp["ap_o"].shape[1] * q_dim)
+        if with_lora:
+            rq_, ro_ = mp["la_q"].shape[1], mp["la_o"].shape[1]
+            rg_, rd_ = mp["la_g"].shape[1], mp["la_d"].shape[1]
+            est += 2 * 2 * (rq_ * H + ptq_ * tq * rq_ + ro_ * q_dim
+                            + H * ro_ + rg_ * H + ptg_ * 2 * ti * rg_
+                            + rd_ * ptg_ * ti + H * rd_)
+            est += 4 * B * (rq_ + rg_ + rd_)         # xa scratch
+        if with_qkn:
+            est += 2 * 4 * 2 * ptq_ * tq
+        if with_sand:
+            est += 2 * 4 * 2 * H
+        if with_bias:
+            est += 2 * 4 * (2 * H + ptg_ * 2 * ti)
+        if NV:
+            est += 2 * (tv * H + 4 * 8 * tv) + 4 * H + 2 * 4 * B * tv
+        # outputs, residual input, per-slot position rows
+        est += 2 * B * H + 2 * 2 * 2 * B * kv_dim + 4 * BGp_ * 128
+        est += 2 * B * H
+        # scratch (x_s, x8_s, sx, qkv rows, flash acc/m/l, a8, ma)
+        est += (4 * B * H + B * H + 4 * Bp * 128
+                + 2 * (Hq + 2 * Hkv) * Bp * d + 4 * Hq * Bp * d
+                + 2 * 4 * Hq * Bp * 128 + Bp * max(q_dim, ti) + 4 * B * H)
+        if with_aperm or with_lora:
+            est += 4 * Bp * q_dim
+        return est
+
+    def _down(c, n):
+        for c2 in range(c - 1, 0, -1):
+            if n % c2 == 0:
+                return c2
+        return 1
+
+    budget = 108 * 1024 * 1024
+    while _vmem_est(ptq, ptg, Tb) > budget:
+        if Tb > 32:
+            Tb //= 2
+        elif ptg > 1:
+            ptg = _down(ptg, NG)
+        elif ptq > 1:
+            ptq = _down(ptq, NQ)
+        else:
+            break
+    NT = T // Tb
+    NQS, NGS = NQ // ptq, NG // ptg
+    P = NQS + NT + 1 + NGS
 
     pos_vec = jnp.broadcast_to(
         jnp.asarray(pos, jnp.int32).reshape(-1), (B,))
@@ -853,8 +940,6 @@ def megastep_lowbit_decode(x: jax.Array, mp: Dict[str, jax.Array],
     else:
         cos_t = jnp.ones((1, NQ, B, tq), jnp.float32)
         sin_t = jnp.zeros((1, NQ, B, tq), jnp.float32)
-    Gp = mp["qkv_s"].shape[1]
-    Gq = mp["o_s"].shape[1]
 
     def _l(t):
         return jnp.minimum(t // P, L - 1)
@@ -1249,11 +1334,13 @@ def actorder_transform(cfg, sp: Dict[str, Any], bits: int):
                     arrays["lora_a"], pa[:, None, :], axis=2)
         if row_perm is not None:
             # gate/up output rows follow down's input order: both halves
-            # of the stacked [2I] row axis get the same per-layer perm
+            # of the stacked [2I] row axis get the same per-layer perm.
+            # "zeros" rides along (asym artifacts: sz = scale*(center-zero)
+            # is per OUTPUT row-group and must stay aligned with scales)
             I = m["scales"].shape[1] // 2
             rp = perm_arr(row_perm, I)
             full = jnp.concatenate([rp, rp + I], axis=1)     # [L, 2I]
-            for k in ("qweight", "scales", "lora_b"):
+            for k in ("qweight", "scales", "zeros", "lora_b"):
                 if k in arrays:
                     arrays[k] = jnp.take_along_axis(
                         arrays[k], full[:, :, None], axis=1)

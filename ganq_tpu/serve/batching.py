@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import functools
 import itertools
+import os
 from dataclasses import dataclass, field
 from typing import Any, Dict, List, Optional
 
@@ -227,9 +228,15 @@ class BatchingEngine:
                 sp = _stacked.stack_layers(params, recode="affine")
             except ValueError:
                 sp = None
-            if sp is not None:
+            if sp is not None and os.environ.get(
+                    "GANQ_W8_PLANE", "1") != "0":
                 # int8 (w8-kind) recodes convert losslessly onto the plane
-                # megastep before gating (serve/stacked.w8p_stacked)
+                # megastep before gating (serve/stacked.w8p_stacked), with
+                # the GANQ_W8_PLANE opt-out prepack honors. Unlike the
+                # static-batch path (which prefers the per-row w8 kernel
+                # at batch <= 8, PERF.md r5), batching needs PER-SLOT
+                # positions, which only the plane kernels support — so the
+                # conversion applies at every slot count here.
                 sp = _stacked.w8p_stacked(sp)
             variant = (None if sp is None
                        else _stacked.mega_enabled(cfg, sp, backend, slots))

@@ -227,15 +227,17 @@ def mega_enabled(cfg: ModelConfig, sp, backend: str, batch: int):
         return "w3"
     if megastep_lowbit_fusable(cfg, sp, 2):
         return "w2"
-    # int8 artifacts (free-codebook GANQ recodes: ops/qlinear.
-    # recode_uniform8 / the w8p_stacked lossless conversion) ride the
-    # plane kernel too — one plane, one 8-bit field — gaining batch <= 32,
-    # multi-tile steps and the trailing-unembed fold over the per-row w8
-    # kernel (VERDICT r3 #2a)
-    if megastep_lowbit_fusable(cfg, sp, 8):
-        return "w8p"
+    # int8 serving, measured owners (round-5 A/B, PERF.md r5): at batch
+    # <= 8 the per-row w8 megastep wins (1336.8 vs 1203.4 tok/s at the 3B
+    # shape — the r4 gate order silently cost 10% on the default path,
+    # VERDICT r4 weak #1), so w8-kind artifacts keep it; the w8p plane
+    # kernel (one plane, one 8-bit field) owns batch 9..32, where the w8
+    # kernel cannot go (prepack converts w8 -> uniform8 losslessly only
+    # for batch > 8). Uniform bits=8 artifacts always ride w8p.
     if batch <= 8 and megastep_fusable(cfg, sp):
         return "w8"
+    if megastep_lowbit_fusable(cfg, sp, 8):
+        return "w8p"
     return None
 
 
@@ -322,8 +324,10 @@ def prepack(cfg: ModelConfig, sp, backend: str, batch: int):
     per call. No-op when the megastep path would not engage."""
     if os.environ.get("GANQ_LUT_AFFINE", "1") != "0":
         sp = certify_stacked(sp)
-    if (mega_env_enabled(backend, batch)
+    if (mega_env_enabled(backend, batch) and batch > 8
             and os.environ.get("GANQ_W8_PLANE", "1") != "0"):
+        # batch > 8 only: at batch <= 8 the per-row w8 megastep is the
+        # measured owner (PERF.md r5 A/B) and needs kind=w8 artifacts
         sp = w8p_stacked(sp)
     variant = mega_enabled(cfg, sp, backend, batch)
     if variant == "w4" and "megapack4" not in sp:

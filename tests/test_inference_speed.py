@@ -152,6 +152,17 @@ def test_bench_artifact_flagship_ratio_floor():
     if lut is None:
         pytest.skip("artifact predates the ganq_lut leg")
     assert lut >= 1.7, f"flagship GANQ-LUT ratio regressed: {lut}"
+    # round-5 hardening (VERDICT r4 #3): ANY dead leg fails CI, and the
+    # prefill parity floor is guarded. Applies to artifacts recorded after
+    # the guard landed (n >= 5) — the r4 artifact shipped with a dead
+    # w8a8_b32 leg and stays on disk as history, not as a pass.
+    if data.get("n", 99) >= 5:
+        assert det.get("failed_legs", []) == [], (
+            f"bench legs died: {det['failed_legs']} — a failed leg must "
+            f"fail CI, not just honesty (VERDICT r4 #2/#3)")
+        pf = det.get("prefill_w4a8_vs_bf16")
+        if pf is not None:
+            assert pf >= 0.8, f"quantized prefill regressed: {pf} < 0.8"
 
 
 @_needs_chip

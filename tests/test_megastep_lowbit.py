@@ -151,23 +151,25 @@ def _setup(rng, cfg, B, T, pos, bits, bias=False, asym=False):
             jnp.asarray(np.cos(ang)), jnp.asarray(np.sin(ang)))
 
 
-@pytest.mark.parametrize("bits,B,pos,T", [
-    (4, 8, 50, 64),
-    (3, 8, 50, 64),
-    (3, 4, 3, 64),
-    (2, 8, 20, 64),
-    (4, 16, 50, 64),      # batch > 8: octet-tiled row stride (Bp = 16)
-    (3, 12, 20, 64),      # batch > 8, not an octet multiple (Bp = 16)
-    (8, 8, 50, 64),       # w8p: int8 plane (free-codebook GANQ recodes)
-    (8, 24, 20, 64),      # w8p at serving batch
-    (4, 1, 10, 64),       # B*Hkv=4: BGp sublane pad path (r3 advisor ask)
+@pytest.mark.parametrize("bits,B,pos,T,inter", [
+    (4, 8, 50, 64, False),
+    (3, 8, 50, 64, False),
+    (3, 4, 3, 64, False),
+    (2, 8, 20, 64, False),
+    (4, 16, 50, 64, False),  # batch > 8: octet-tiled row stride (Bp = 16)
+    (3, 12, 20, 64, False),  # batch > 8, not an octet multiple (Bp = 16)
+    (8, 8, 50, 64, False),   # w8p: int8 plane (free-codebook GANQ recodes)
+    (8, 24, 20, 64, False),  # w8p at serving batch
+    (4, 1, 10, 64, False),   # B*Hkv=4: BGp sublane pad (r3 advisor ask)
+    (4, 8, 30, 64, True),    # interleaved rope (_rope_rot parity branch,
+    (3, 8, 30, 64, True),    #  r4 advisor ask: the branch shipped untested)
 ])
-def test_megastep_lowbit_matches_reference(rng, bits, B, pos, T):
+def test_megastep_lowbit_matches_reference(rng, bits, B, pos, T, inter):
     cfg = _cfg()
     sp, mp, kc, vc, x, cos, sin = _setup(rng, cfg, B, T, pos, bits)
     kv_dim = cfg.num_key_value_heads * cfg.head_dim
     kw = dict(q_dim=cfg.q_dim, kv_dim=kv_dim, head_dim=cfg.head_dim,
-              rotary_dim=cfg.head_dim, eps=1e-5,
+              rotary_dim=cfg.head_dim, eps=1e-5, interleaved=inter,
               scale=float(1.0 / np.sqrt(cfg.head_dim)))
     lw = _lw_list(cfg, sp)
     ref_y, ref_k, ref_v = megastep_lowbit_reference(x, lw, kc, vc, pos,
@@ -563,11 +565,17 @@ def _inject_gidx(rng, sp, which=("qkv", "o", "gu", "dn")):
         m.arrays["g_idx"] = jnp.asarray(np.stack(gidx))
 
 
-@pytest.mark.parametrize("bits,B,which", [
-    (4, 8, ("qkv", "o", "gu", "dn")),
-    (3, 4, ("dn",)),              # pack-time-only remap (no runtime masks)
+@pytest.mark.parametrize("bits,B,which,asym", [
+    (4, 8, ("qkv", "o", "gu", "dn"), False),
+    (3, 4, ("dn",), False),       # pack-time-only remap (no runtime masks)
+    # asym (zeros) composed with act-order: down's g_idx triggers the
+    # gate/up OUTPUT-row permutation, which must carry "zeros" along with
+    # scales (r4 advisor high: a missing zeros row_perm silently corrupts
+    # every MLP output on gptq-v1 sym=False + desc_act checkpoints)
+    (4, 8, ("qkv", "o", "gu", "dn"), True),
+    (3, 4, ("dn",), True),
 ])
-def test_megastep_lowbit_actorder(rng, bits, B, which):
+def test_megastep_lowbit_actorder(rng, bits, B, which, asym):
     """Act-order (g_idx) artifacts through the Beneš activation remap
     (ops/lane_perm + actorder_transform) match the dequantized oracle —
     the exllama column_remap capability, TPU-native (VERDICT r2 #4b)."""
@@ -575,7 +583,8 @@ def test_megastep_lowbit_actorder(rng, bits, B, which):
 
     cfg = _cfg()
     pos, T = 20, 64
-    sp, _, kc, vc, x, cos, sin = _setup(rng, cfg, B, T, pos, bits)
+    sp, _, kc, vc, x, cos, sin = _setup(rng, cfg, B, T, pos, bits,
+                                        asym=asym)
     _inject_gidx(rng, sp, which)
     assert megastep_lowbit_fusable(cfg, sp, bits)
     tsp, masks = actorder_transform(cfg, sp, bits)
@@ -594,6 +603,10 @@ def test_megastep_lowbit_actorder(rng, bits, B, which):
         y, kn, vn = megastep_lowbit_decode(x, mp, kc, vc, jnp.int32(pos),
                                            cos, sin, block_t=64, bits=bits,
                                            **kw)
+    # asym widens the y tolerance to the test_megastep_lowbit_asym bound:
+    # a single int8 activation-code flip also shifts the group sum S by 1,
+    # adding +-sz (~scale * center) on top of the weight-code delta
+    y_atol = 8e-2 if asym else 5e-2
     np.testing.assert_allclose(np.asarray(kn, np.float32),
                                np.asarray(ref_k, np.float32),
                                atol=3e-2, rtol=2e-2)
@@ -602,7 +615,7 @@ def test_megastep_lowbit_actorder(rng, bits, B, which):
                                atol=3e-2, rtol=2e-2)
     np.testing.assert_allclose(np.asarray(y, np.float32),
                                np.asarray(ref_y, np.float32),
-                               atol=5e-2, rtol=5e-2)
+                               atol=y_atol, rtol=5e-2)
 
 
 def test_megastep_actorder_greedy_serving(rng, monkeypatch):
