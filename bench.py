@@ -34,8 +34,22 @@ def measure(cfg, kind, backend, batch, prompt_len, steps, max_seq, reps=6,
     # keeps its own native tied bf16 head — each format serves itself
     lm_kind = None if kind == "dense" else "w8"
     asym = kind == "uniform_asym"
-    sp = synthetic.make_stacked_model(cfg, kind="uniform" if asym else kind,
+    lut_u4 = kind == "lut_u4"
+    build_kind = "uniform" if asym else ("lut" if lut_u4 else kind)
+    sp = synthetic.make_stacked_model(cfg, kind=build_kind,
                                       seed=0, lm_head_kind=lm_kind, bits=bits)
+    if lut_u4:
+        # bits=3 8-entry LUT codebooks snapped onto the per-row 16-level
+        # grid at load time (ops/qlinear.recode_uniform4): the
+        # unconstrained-accuracy artifact serving at W4 bytes (round 5)
+        from ganq_tpu.ops.qlinear import QLinear, recode_uniform4
+        sp = dict(sp)
+        sp["layers_stacked"] = jax.tree_util.tree_map(
+            lambda x: (jax.jit(recode_uniform4)(x)
+                       if isinstance(x, QLinear) and x.kind == "lut"
+                       else x),
+            sp["layers_stacked"],
+            is_leaf=lambda x: isinstance(x, QLinear))
     if asym:
         # ecosystem gptq-v1 sym=False artifact: integer per-group zeros
         # streamed through the megastep's sz correction (VERDICT r3 #4)
@@ -203,6 +217,19 @@ def main():
     # megastep via the streamed zero-point correction (VERDICT r3 #4)
     tps_w4_asym = (safe("w4a8_asym", "uniform_asym", "pallas_a8", batch,
                         prompt, steps, max_seq) if on_tpu else 0.0)
+    # TRUE 8-entry per-row codebooks (GANQ bits=3, unconstrained accuracy
+    # — VERDICT r4 #1), two serving paths:
+    #   (a) W4-bytes snap recode (recode_uniform4 -> W4 plane megastep):
+    #       codebook values snap onto the row's 16-level grid, solve
+    #       assignments kept — the speed path (measured ppl cost in
+    #       scripts/accuracy_ab.py, ganq3_free_u4snap)
+    #   (b) EXACT walsh decode ("wl8" megastep, 3 bits/weight streamed):
+    #       lossless, but 7 derived dots/row are MXU-pad-bound at decode
+    #       batch (PERF.md r5) — the accuracy-oracle fast path
+    tps_lut8_w4 = (safe("ganq_lut8_w4", "lut_u4", "pallas_a8", batch,
+                        prompt, steps, max_seq, bits=3) if on_tpu else 0.0)
+    tps_lut8_x = (safe("ganq_lut8_exact", "lut", "pallas_a8", batch,
+                       prompt, steps, max_seq, bits=3) if on_tpu else 0.0)
     # free-codebook serving recode measured as the uniform8 artifact it
     # becomes (ops/qlinear.recode_uniform8 -> the w8p plane megastep);
     # building it directly avoids a 3x transient of the 3B int8 weights
@@ -245,13 +272,18 @@ def main():
     else:
         pf_dense = pf_w4 = pf_lut = 0.0
 
-    best = max(tps_lut, tps_w8a8, tps_w4a8, tps_w3a8, tps_ganq_lut)
+    best = max(tps_lut, tps_w8a8, tps_w4a8, tps_w3a8, tps_ganq_lut,
+               tps_lut8_w4)
     speedup = best / tps_dense
     # vs_baseline reflects the FLAGSHIP format: a GANQ-LUT artifact served
     # through its best path, judged against the paper's GANQ-W4 2.11x bar
-    # (Table 5). Uniform legs are the fallback only if the GANQ leg fails.
-    if tps_ganq_lut > 0:
-        vs_base = tps_ganq_lut / tps_dense / 2.11
+    # (Table 5). Since round 5 the flagship includes the UNCONSTRAINED
+    # 8-entry-codebook artifact at W4 bytes (ganq_lut8_w4) alongside the
+    # solve-time affine_sym one. Uniform legs are the fallback only if
+    # every GANQ leg fails.
+    flag = max(tps_ganq_lut, tps_lut8_w4)
+    if flag > 0:
+        vs_base = flag / tps_dense / 2.11
     else:
         # each format judged against ITS paper bar: W4 2.11x, W3 2.39x
         vs_base = max(tps_w4a8 / tps_dense / 2.11,
@@ -294,6 +326,10 @@ def main():
             else 0.0,
             "tokens_per_s_w8a8_b32": round(tps_w8_b32, 1),
             "tokens_per_s_w4a8_asym": round(tps_w4_asym, 1),
+            "tokens_per_s_ganq_lut8_w4": round(tps_lut8_w4, 1),
+            "ganq_lut8_w4_speedup": round(tps_lut8_w4 / tps_dense, 4),
+            "tokens_per_s_ganq_lut8_exact": round(tps_lut8_x, 1),
+            "ganq_lut8_exact_speedup": round(tps_lut8_x / tps_dense, 4),
             "prefill_tokens_per_s_bf16": round(pf_dense, 1),
             "prefill_tokens_per_s_w4a8": round(pf_w4, 1),
             "prefill_tokens_per_s_ganq_lut": round(pf_lut, 1),
@@ -303,8 +339,10 @@ def main():
             "ganq_lut_failed": "ganq_lut" in failed,
             "reference_baseline": ("GANQ paper Table 5 (RTX 4090): W4 2.11x,"
                                    " W3 2.39x vs fp16 decode; vs_baseline ="
-                                   " ganq_lut_speedup / 2.11 (the flagship"
-                                   " LUT-format artifact on its best path)"),
+                                   " max(ganq_lut, ganq_lut8_w4 speedup) /"
+                                   " 2.11 (a GANQ-LUT artifact on its best"
+                                   " path; since r5 incl. the UNCONSTRAINED"
+                                   " 8-entry codebook at W4 bytes)"),
             "w4a8_8b_shape": b8,
         },
     }))

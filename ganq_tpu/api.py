@@ -563,23 +563,35 @@ class GanqModel:
         torch.compile analog, base.py:1240-1276).
 
         ``recode``: "auto" certifies grid-representable LUT codebooks to the
-        packed-4-bit uniform path (lossless, ops/qlinear.certify_uniform)
-        and recodes the rest to per-128-group int8 (recode_uniform8 — the
-        w8p plane-megastep feed; measured +0.03 ppl over the exact LUT on
-        the contract model, PERF.md round 4); "affine" certifies only
-        (non-affine LUTs stay exact); "w8" per-row int8-recodes every LUT
-        (the legacy path); "none" leaves kinds as loaded. Then auto-selects
-        the kernel backend."""
-        if recode in ("auto", "affine", "w8"):
+        packed-4-bit uniform path (lossless, ops/qlinear.certify_uniform),
+        leaves bits=3 LUTs exact (they serve losslessly through the walsh
+        megastep at 3 bits/weight) and recodes the rest to per-128-group
+        int8 (recode_uniform8 — the w8p plane-megastep feed; measured
+        +0.03 ppl over the exact LUT on the contract model, PERF.md round
+        4); "u4" snaps bits=3 LUT codebooks onto the per-row 16-level
+        affine grid (recode_uniform4 — W4-bytes decode at a small,
+        measured ppl cost; non-bits-3 LUTs fall back to "auto"
+        semantics); "affine" certifies only (non-affine LUTs stay exact);
+        "w8" per-row int8-recodes every LUT (the legacy path); "none"
+        leaves kinds as loaded. Then auto-selects the kernel backend."""
+        if recode in ("auto", "affine", "w8", "u4"):
             from .ops.qlinear import (QLinear, certify_uniform,
-                                      recode_uniform8, recode_w8)
+                                      recode_uniform4, recode_uniform8,
+                                      recode_w8)
 
             def rec(v):
-                if recode in ("auto", "affine"):
+                if recode in ("auto", "affine", "u4"):
                     q = certify_uniform(v)
                     if q is not None:
                         return q
+                if recode == "u4":
+                    q4 = recode_uniform4(v)
+                    if q4 is not v:
+                        return q4
+                    return recode_uniform8(v)
                 if recode == "auto":
+                    if getattr(v, "kind", None) == "lut" and v.bits == 3:
+                        return v     # exact walsh serving path
                     return recode_uniform8(v)
                 if recode == "w8":
                     return recode_w8(v)

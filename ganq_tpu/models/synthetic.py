@@ -45,10 +45,15 @@ def _rand_arrays(key, out_f: int, in_f: int, kind: str, dtype=jnp.bfloat16,
         return {"weight": jax.random.normal(key, (out_f, in_f), dtype) * 0.02}
     if kind == "lut":
         k1, k2 = jax.random.split(key)
-        lut = jnp.sort(jax.random.normal(k1, (out_f, 16), jnp.float32) * 0.02,
-                       axis=1).astype(jnp.bfloat16)
-        idx = jax.random.randint(k2, (out_f, in_f), 0, 16, jnp.int32)
-        return {"lut": lut, "idx_packed": pack_int_rows(idx, 4)}
+        V = 1 << bits              # bits=3: the 8-entry walsh-served LUT
+        # 0.006: matches the uniform kind's dequantized-weight std, so
+        # activation magnitudes (and the absolute kernel-parity
+        # tolerances calibrated on the uniform kind) stay comparable
+        lut = jnp.sort(
+            jax.random.normal(k1, (out_f, V), jnp.float32) * 0.006,
+            axis=1).astype(jnp.bfloat16)
+        idx = jax.random.randint(k2, (out_f, in_f), 0, V, jnp.int32)
+        return {"lut": lut, "idx_packed": pack_int_rows(idx, bits)}
     if kind in ("lut_affine", "lut_affine_sym"):
         # LUT artifact whose per-row codebook lies on an affine grid —
         # exactly what a ganq_codebook="affine"/"affine_sym" solve emits

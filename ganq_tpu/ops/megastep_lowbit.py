@@ -181,6 +181,110 @@ def _recover(dd, tF: int, metas, coef, S, off: int = 0):
     return [z + c * S if c else z for z, c in zip(zs, coef)]
 
 
+# -------------------------------------------------- Walsh LUT decode
+# True non-uniform per-row 8-entry codebooks (GANQ bits=3 LUT artifacts —
+# the paper's GANQ-3 configuration) served EXACTLY at 3 bits/weight
+# streamed (VERDICT r4 #1; the paper's LUT-mpGEMM thesis,
+# reference paper.md:551-603, gptqmodel/quantization/ganq.py:39-270).
+# Any function on 3 bits is a sum of 8 XOR-monomials:
+#   T[r, q] = c0[r] + sum_S c_S[r] * (XOR of q's bits in S)
+# so x.T[r, q_r] = c0[r]*sum(x) + sum_S c_S[r] * (x . m_S(q_r)).
+# Only the 3 LINEAR bit-planes are stored (one byte = one bit of 8 output
+# rows); the 4 interaction planes are XOR-derived in-kernel (1 vector op
+# per byte = 1/8 op/weight) and each plane's 8 per-row bit dots come from
+# the same masked-prefix-dot algebra as the uniform planes. Measured
+# decode overhead vs the uniform W3 walk: ~0.8us per 3.6 MB of packed
+# weights — ~11% of those bytes' DMA time (scripts/walsh_probe.py), so
+# the exact-LUT decode hides under the weight stream. The kernel takes
+# walsh=nmono (7 = exact 8-DOF; 3 = BCQ/linear-only 4-DOF artifacts).
+_MONO = ((0,), (1,), (2,), (0, 1), (0, 2), (1, 2), (0, 1, 2))
+
+
+def _walsh_basis_inv() -> np.ndarray:
+    """Inverse of M[c, S] (column 0 = 1, then XOR-monomials): exact
+    coefficient recovery c = Minv @ T for ANY 8-entry codebook."""
+    M = np.zeros((8, 8), np.float64)
+    M[:, 0] = 1.0
+    for j, S in enumerate(_MONO):
+        for c in range(8):
+            v = 0
+            for b in S:
+                v ^= (c >> b) & 1
+            M[c, 1 + j] = v
+    return np.linalg.inv(M)
+
+
+def walsh_coef(lut) -> jax.Array:
+    """[..., m, 8] codebooks -> [..., 8, m] coefficient rows (c0 first,
+    then the 7 monomials). Exact: the Walsh transform of the table."""
+    Minv = jnp.asarray(_walsh_basis_inv(), jnp.float32)
+    return jnp.einsum("...mk,sk->...sm", jnp.asarray(lut, jnp.float32),
+                      Minv)
+
+
+def _walsh_plane_pack(codes, tile: int):
+    """[R, K] 3-bit codes -> [3*R/8, K] int8 bit-planes, tile-major: tile
+    t's 3 planes at rows [t*3*tile/8, ...); plane p's byte holds bit p of
+    the tile's 8 row-blocks (row-block r at byte bit 7-r, unflipped — the
+    walsh recover handles the top row's sign read directly)."""
+    xp = np if isinstance(codes, np.ndarray) else jnp
+    R, K = codes.shape
+    tF = tile // 8
+    c = codes.reshape(R // tile, 8, tF, K)
+    planes = []
+    for p in range(3):
+        byte = None
+        for r in range(8):
+            v = (c[:, r] >> p) & 1
+            byte = v if byte is None else (byte << 1) | v
+        planes.append(byte)
+    out = xp.stack(planes, axis=1).reshape(R // tile * 3 * tF, K)
+    return ((out.astype(xp.int32) + 128) % 256 - 128).astype(xp.int8)
+
+
+def _walsh_views(P, nmono: int):
+    """The nmono monomial plane blocks from the 3 stored ones."""
+    planes = list(P)
+    if nmono > 3:
+        planes += [P[0] ^ P[1], P[0] ^ P[2], P[1] ^ P[2],
+                   P[0] ^ P[1] ^ P[2]]
+    return planes[:nmono]
+
+
+def _walsh_derive1(P):
+    """8 masked prefix views of one 8-field bit plane."""
+    return [P] + [P & jnp.int8((1 << (7 - r)) - 1) for r in range(7)]
+
+
+def _walsh_recover1(dd, tF: int):
+    """dd [B, 8*tF] view dots -> [B, 8*tF] per-row bit dots (row-block-
+    major). Field r: prefix diff, sar(7-r); row 0 negates (the unflipped
+    top bit reads as -128 per set bit)."""
+    sar = jax.lax.shift_right_arithmetic
+    vs = [dd[:, k * tF:(k + 1) * tF] for k in range(8)]
+    vs.append(jnp.zeros_like(vs[0]))
+    parts = []
+    for r in range(8):
+        raw = vs[r] - vs[r + 1]
+        if r == 0:
+            parts.append(-sar(raw, 7))
+        elif r < 7:
+            parts.append(sar(raw, 7 - r))
+        else:
+            parts.append(raw)
+    return jnp.concatenate(parts, axis=1)
+
+
+def _walsh_csz(H: int, q_dim: int, ti: int) -> int:
+    """In-kernel column-chunk size for the walsh walks: the largest of
+    512/256/128 dividing every walked width (H for qkv+gate/up, q_dim for
+    o, ti for down)."""
+    for c in (512, 256, 128):
+        if H % c == 0 and q_dim % c == 0 and ti % c == 0:
+            return c
+    return 0
+
+
 def _qkv_tile_lb(Dqkv: int, d: int, g_r: int) -> int | None:
     """Largest row tile t | Dqkv with t % d == 0 and (t/g_r) % 128 == 0
     (field blocks must be lane-aligned on real hardware)."""
@@ -245,7 +349,8 @@ def _megastep_lb_kernel(pos_ref, x_ref, anw_ref, mnw_ref,
                         with_aperm: bool = False, with_lora: bool = False,
                         with_zp: bool = False, with_qkn: bool = False,
                         softcap: float = 0.0, with_sand: bool = False,
-                        with_win: bool = False, ablate: str = "none"):
+                        with_win: bool = False, ablate: str = "none",
+                        walsh: int = 0):
     # optional-operand layout (order matches the wrapper's in_specs):
     # with_aperm adds 3 inputs (qkv/gate-up/o Beneš lane-routing masks —
     # act-order artifacts, VERDICT r2 #4b); with_lora adds 8 inputs (EoRA
@@ -332,6 +437,44 @@ def _megastep_lb_kernel(pos_ref, x_ref, anw_ref, mnw_ref,
                                  precision=_DEF)
         S = jnp.sum(xs.astype(jnp.int32), axis=1, keepdims=True)
         return dd, S
+
+    def walsh_y(xsrc, w_ref, cf_ref, row0: int, tFw: int, ncols: int,
+                col0: int = 0, cf_off: int = 0, width: int = 0):
+        """One walsh-decoded tile matmul: y[b, 8*tFw] = x . T[r, q_r].
+        ``xsrc(c0, n)`` yields the int8 activation slice [Bx, n];
+        ``w_ref`` rows [row0, row0+3*tFw) hold the tile's 3 stored bit
+        planes; coef rows stream at cf_ref[0, s, cf_off:cf_off+width].
+        Walks ncols input columns in static csz chunks (``gs`` under
+        walsh); interaction planes are XOR-derived per chunk. The view
+        dots accumulate in INT32 across chunks and coefficients apply
+        once per tile — the f32 recomposition then rounds like the
+        oracle's single dequant matmul (per-chunk f32 accumulation left
+        ~1e-4 absolute on pre-activation sums, enough to flip downstream
+        a8 codes at rounding boundaries)."""
+        width = width or 8 * tFw
+        Bx = xsrc(0, gs).shape[0]
+        acc = [jnp.zeros((Bx, 8 * tFw), jnp.int32) for _ in range(walsh)]
+        Sacc = jnp.zeros((Bx, 1), jnp.int32)
+        for ci in range(ncols // gs):
+            xs = xsrc(ci * gs, gs)
+            Sacc = Sacc + jnp.sum(xs.astype(jnp.int32), axis=1,
+                                  keepdims=True)
+            P = [w_ref[0, row0 + pp * tFw: row0 + (pp + 1) * tFw,
+                       col0 + ci * gs: col0 + (ci + 1) * gs]
+                 for pp in range(3)]
+            for j, Pl in enumerate(_walsh_views(P, walsh)):
+                dd = jax.lax.dot_general(
+                    xs, jnp.concatenate(_walsh_derive1(Pl), axis=0),
+                    (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.int32, precision=_DEF)
+                acc[j] = acc[j] + dd
+        y = cf_ref[0, 0, cf_off:cf_off + width][None, :] \
+            * Sacc.astype(f32)
+        for j in range(walsh):
+            z = _walsh_recover1(acc[j], tFw)
+            cf = cf_ref[0, 1 + j, cf_off:cf_off + width]
+            y = y + cf[None, :] * z.astype(f32)
+        return y
 
     def fields_y(dd, S, tF, sc_row, off=0, sz_row=None):
         """Scaled field parts concat -> [B, g_r*tF] f32 contribution.
@@ -435,7 +578,13 @@ def _megastep_lb_kernel(pos_ref, x_ref, anw_ref, mnw_ref,
                     dd, S, tFq, rows[0],
                     sz_row=rows[1] if with_zp else None)
 
-            y = _octet_loop(Gh, qload8, qstep, jnp.zeros((B, tq), f32))
+            if walsh:
+                y = walsh_y(lambda c0, n: x8_s[:, c0:c0 + n],
+                            qw_ref, qs_ref, sub * 3 * (tq // 8),
+                            tq // 8, H, cf_off=sub * tq)
+            else:
+                y = _octet_loop(Gh, qload8, qstep,
+                                jnp.zeros((B, tq), f32))
             y = y * sx_s[:B, :1] + qb_ref[0, :, sub * tq:(sub + 1) * tq]
             if with_lora:
                 y = y + _lora_dot(xaq_s[:],
@@ -597,7 +746,12 @@ def _megastep_lb_kernel(pos_ref, x_ref, anw_ref, mnw_ref,
             return o + fields_y(dd, S, tFo, rows[0],
                                 sz_row=rows[1] if with_zp else None)
 
-        o = _octet_loop(Dq // gs, oload8, ostep, jnp.zeros((Bp, H), f32))
+        if walsh:
+            o = walsh_y(lambda c0, n: a8_s[:, c0:c0 + n],
+                        ow_ref, os_ref, 0, H // 8, Dq)
+        else:
+            o = _octet_loop(Dq // gs, oload8, ostep,
+                            jnp.zeros((Bp, H), f32))
         upd = (o * sa)[:B]
         if with_lora:     # o epilogue: of_s holds the exact fp attn output
             xao = _lora_dot(of_s[:], lao_ref[0])
@@ -655,9 +809,19 @@ def _megastep_lb_kernel(pos_ref, x_ref, anw_ref, mnw_ref,
                                    sz_row=rows[3] if with_zp else None)
                 return gv, uv
 
-            gv, uv = _octet_loop(
-                Gh, mload8, mstep,
-                (jnp.zeros((B, ti), f32), jnp.zeros((B, ti), f32)))
+            if walsh:
+                o2w = sub * 2 * ti
+                tFi_w = ti // 8
+                gv = walsh_y(lambda c0, n: x8_s[:, c0:c0 + n],
+                             gw_ref, gus_ref, sub * 3 * tFi_w, tFi_w, H,
+                             cf_off=o2w, width=ti)
+                uv = walsh_y(lambda c0, n: x8_s[:, c0:c0 + n],
+                             uw_ref, gus_ref, sub * 3 * tFi_w, tFi_w, H,
+                             cf_off=o2w + ti, width=ti)
+            else:
+                gv, uv = _octet_loop(
+                    Gh, mload8, mstep,
+                    (jnp.zeros((B, ti), f32), jnp.zeros((B, ti), f32)))
             gv = gv * sx_s[:B, :1]
             uv = uv * sx_s[:B, :1]
             if with_lora:
@@ -697,7 +861,13 @@ def _megastep_lb_kernel(pos_ref, x_ref, anw_ref, mnw_ref,
                 return y + fields_y(dd, S, tFo, rows[0],
                                     sz_row=rows[1] if with_zp else None)
 
-            y = _octet_loop(gti, dload8, dstep, jnp.zeros((B, H), f32))
+            if walsh:
+                y = walsh_y(lambda c0, n: a8_s[:B, c0:c0 + n],
+                            dw_ref, ds_ref, 0, H // 8, ti,
+                            col0=sub * ti)
+            else:
+                y = _octet_loop(gti, dload8, dstep,
+                                jnp.zeros((B, H), f32))
             ma_s[:] += y * sa
 
     @pl.when(p == O_STEP + NGS)
@@ -747,7 +917,7 @@ def _megastep_lb_kernel(pos_ref, x_ref, anw_ref, mnw_ref,
 @functools.partial(jax.jit, static_argnames=(
     "q_dim", "kv_dim", "head_dim", "rotary_dim", "interleaved", "eps",
     "rms_offset", "scale", "act", "block_t", "bits", "softcap",
-    "ablate", "qkv_cap_mb", "interpret"))
+    "ablate", "qkv_cap_mb", "walsh", "interpret"))
 def megastep_lowbit_decode(x: jax.Array, mp: Dict[str, jax.Array],
                            k_cache: jax.Array, v_cache: jax.Array,
                            pos: jax.Array, cos_half, sin_half, *,
@@ -758,9 +928,16 @@ def megastep_lowbit_decode(x: jax.Array, mp: Dict[str, jax.Array],
                            block_t: int = 128, bits: int = 3,
                            softcap: float = 0.0, windows=None,
                            rope_sel=None, lm=None, ablate: str = "none",
-                           qkv_cap_mb: int = 12, interpret: bool = False):
+                           qkv_cap_mb: int = 12, walsh: int = 0,
+                           interpret: bool = False):
     """One full W4A8/W3A8/W2A8 decode step over all layers. Same contract
     as ``megastep4_decode``; ``mp`` from :func:`megapack_lowbit`.
+
+    ``walsh`` (with bits=3): serve true per-row 8-entry LUT codebooks at
+    3 bits/weight via the Walsh plane expansion (``mp`` from
+    :func:`megapack_walsh`; walsh = number of monomial planes, 7 = exact
+    arbitrary codebook). Scale operands become coefficient rows
+    [L, 8, width] f32 and the group walk becomes a column-chunk walk.
 
     ``lm`` (optional): ``{"w8": [V, H] int8, "scale": [NV, tv] f32,
     "norm": [1, H] f32}`` from :func:`mega_lm_operands` — folds the final
@@ -781,7 +958,6 @@ def megastep_lowbit_decode(x: jax.Array, mp: Dict[str, jax.Array],
     qpk = Hq // Hkv
     T = k_cache.shape[2]
     I = mp["gu_pk"].shape[1] * g_r // npl // 2
-    gs = H // mp["qkv_s"].shape[1]
 
     tq = _qkv_tile_lb(Dqkv, d, g_r)
     NQ = Dqkv // tq
@@ -791,7 +967,15 @@ def megastep_lowbit_decode(x: jax.Array, mp: Dict[str, jax.Array],
     NT = T // Tb
     ti, ptg = _mlp_plan(I, bits, H)
     NG = I // ti
-    gtp8 = mp["dn_s"].shape[1] // NG
+    if walsh:
+        # coef rows replace per-group scales; the "group size" becomes
+        # the in-kernel column-chunk width of the walsh walks
+        assert bits == 3, "walsh decode packs 3 stored bit-planes"
+        gs = _walsh_csz(H, q_dim, ti)
+        gtp8 = 8
+    else:
+        gs = H // mp["qkv_s"].shape[1]
+        gtp8 = mp["dn_s"].shape[1] // NG
     Gp = mp["qkv_s"].shape[1]
     Gq = mp["o_s"].shape[1]
 
@@ -1021,10 +1205,14 @@ def megastep_lowbit_decode(x: jax.Array, mp: Dict[str, jax.Array],
         pl.BlockSpec((1, po, ptg * ti),
                      lambda t, s: (_l(t), 0, gi(t, s)),
                      memory_space=pltpu.VMEM),
-        # down scales, tile-major padded rows [L, NG*gtp, H]
-        pl.BlockSpec((1, ptg * gtp8, H),
-                     lambda t, s: (_l(t), gi(t, s), 0),
-                     memory_space=pltpu.VMEM),
+        # down scales, tile-major padded rows [L, NG*gtp, H]; walsh: the
+        # 8 coefficient rows [L, 8, H], fetched once per layer
+        (pl.BlockSpec((1, 8, H), lambda t, s: (_l(t), 0, 0),
+                      memory_space=pltpu.VMEM)
+         if walsh else
+         pl.BlockSpec((1, ptg * gtp8, H),
+                      lambda t, s: (_l(t), gi(t, s), 0),
+                      memory_space=pltpu.VMEM)),
         # per-slot positions in cache row order (row b*Hkv+g = pos[b]) —
         # the flash mask reads a VECTOR; Mosaic cannot build one from
         # SMEM scalars (infer-vector-layout: unsupported shape cast)
@@ -1205,7 +1393,7 @@ def megastep_lowbit_decode(x: jax.Array, mp: Dict[str, jax.Array],
             Bp=Bp, with_aperm=with_aperm, with_lora=with_lora,
             with_zp=with_zp, with_qkn=with_qkn,
             softcap=float(softcap or 0.0), with_sand=with_sand,
-            with_win=with_win, ablate=ablate),
+            with_win=with_win, ablate=ablate, walsh=walsh),
         grid_spec=grid_spec,
         out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
@@ -1459,46 +1647,14 @@ def megapack_lowbit(cfg, sp: Dict[str, Any], bits: int = 3
     dsc = _dn_layout(jnp.swapaxes(dn["scales"].astype(jnp.bfloat16), 1, 2))
     gu_s = _gu_layout(gsc)
 
-    # qk-norm operand (qwen3/gemma3 per-head RMS, VERDICT r3 #6): lane-
-    # expanded weight row (q heads tile q_norm, k heads k_norm, v lanes 1)
-    # plus an apply-mask row; streamed once per layer at 8 bytes/lane
-    qk_nm = None
-    qn_mod = ls["attn"].get("q_norm")
-    if qn_mod is not None and cfg.qk_norm in (True, "head"):
-        kvd_ = (Dq_all - cfg.q_dim) // 2
-        Hq_, Hkv_ = cfg.q_dim // d, kvd_ // d
-        qqn = qn_mod["weight"].astype(jnp.float32)          # [L, d]
-        kkn = ls["attn"]["k_norm"]["weight"].astype(jnp.float32)
-        w_row = jnp.concatenate(
-            [jnp.tile(qqn, (1, Hq_)), jnp.tile(kkn, (1, Hkv_)),
-             jnp.ones((L, kvd_), jnp.float32)], axis=1)
-        m_row = jnp.concatenate(
-            [jnp.ones((L, cfg.q_dim + kvd_), jnp.float32),
-             jnp.zeros((L, kvd_), jnp.float32)], axis=1)
-        qk_nm = jnp.stack([w_row, m_row], axis=1)           # [L, 2, Dqkv]
-
-    bias = qkv.arrays.get("bias")
-    if bias is None:
-        bias = jnp.zeros((L, Dq_all), jnp.float32)
     out = {
         "qkv_pk": qkv_pk, "qkv_s": qsc,
         "o_pk": o_pk, "o_s": osc,
         "gu_pk": jnp.concatenate([gate_pk, up_pk], axis=1), "gu_s": gu_s,
         "dn_pk": dn_pk, "dn_s": dsc,
-        "qkv_bias": jnp.asarray(bias, jnp.float32).reshape(L, 1, Dq_all),
-        "attn_norm": ls["input_norm"]["weight"].astype(
-            jnp.float32).reshape(L, 1, H),
-        "mlp_norm": ls["post_norm"]["weight"].astype(
-            jnp.float32).reshape(L, 1, H),
     }
-    if qk_nm is not None:
-        out["qk_nm"] = qk_nm
-    if cfg.sandwich_norm and "post_attn_norm" in ls:
-        # gemma2/3 sandwich norms ride as per-layer operands
-        out["pa_norm"] = ls["post_attn_norm"]["weight"].astype(
-            jnp.float32).reshape(L, 1, H)
-        out["pm_norm"] = ls["post_mlp_norm"]["weight"].astype(
-            jnp.float32).reshape(L, 1, H)
+    out.update(_common_pack_ops(cfg, ls, qkv, o, gu, dn, L, H, Dq_all,
+                                I, ti))
     # asymmetric (zero-point) artifacts: per-(group, output-col) correction
     # sz = scale * (2^(b-1) - zero), streamed f32 alongside the scales
     # (VERDICT r3 #4 — the marlin/exllamav2 zp-path analog, reference
@@ -1520,6 +1676,47 @@ def megapack_lowbit(cfg, sp: Dict[str, Any], bits: int = 3
         out["o_sz"] = jnp.swapaxes(_sz(o), 1, 2)
         out["gu_sz"] = _gu_layout(jnp.swapaxes(_sz(gu), 1, 2))
         out["dn_sz"] = _dn_layout(jnp.swapaxes(_sz(dn), 1, 2))
+    return out
+
+
+def _common_pack_ops(cfg, ls, qkv, o, gu, dn, L: int, H: int, Dq_all: int,
+                     I: int, ti: int) -> Dict[str, jax.Array]:
+    """Megastep operands shared by every pack flavor (uniform lowbit and
+    walsh LUT): norms, qkv bias, qk-norm rows, gemma sandwich norms,
+    optional o/gate-up/down biases, EoRA adapter factors."""
+    d = cfg.head_dim
+    bias = qkv.arrays.get("bias")
+    if bias is None:
+        bias = jnp.zeros((L, Dq_all), jnp.float32)
+    out = {
+        "qkv_bias": jnp.asarray(bias, jnp.float32).reshape(L, 1, Dq_all),
+        "attn_norm": ls["input_norm"]["weight"].astype(
+            jnp.float32).reshape(L, 1, H),
+        "mlp_norm": ls["post_norm"]["weight"].astype(
+            jnp.float32).reshape(L, 1, H),
+    }
+    # qk-norm operand (qwen3/gemma3 per-head RMS, VERDICT r3 #6): lane-
+    # expanded weight row (q heads tile q_norm, k heads k_norm, v lanes 1)
+    # plus an apply-mask row; streamed once per layer at 8 bytes/lane
+    qn_mod = ls["attn"].get("q_norm")
+    if qn_mod is not None and cfg.qk_norm in (True, "head"):
+        kvd_ = (Dq_all - cfg.q_dim) // 2
+        Hq_, Hkv_ = cfg.q_dim // d, kvd_ // d
+        qqn = qn_mod["weight"].astype(jnp.float32)          # [L, d]
+        kkn = ls["attn"]["k_norm"]["weight"].astype(jnp.float32)
+        w_row = jnp.concatenate(
+            [jnp.tile(qqn, (1, Hq_)), jnp.tile(kkn, (1, Hkv_)),
+             jnp.ones((L, kvd_), jnp.float32)], axis=1)
+        m_row = jnp.concatenate(
+            [jnp.ones((L, cfg.q_dim + kvd_), jnp.float32),
+             jnp.zeros((L, kvd_), jnp.float32)], axis=1)
+        out["qk_nm"] = jnp.stack([w_row, m_row], axis=1)    # [L, 2, Dqkv]
+    if cfg.sandwich_norm and "post_attn_norm" in ls:
+        # gemma2/3 sandwich norms ride as per-layer operands
+        out["pa_norm"] = ls["post_attn_norm"]["weight"].astype(
+            jnp.float32).reshape(L, 1, H)
+        out["pm_norm"] = ls["post_mlp_norm"]["weight"].astype(
+            jnp.float32).reshape(L, 1, H)
     # o/gate-up/down biases stream into the kernel as extra operands ONLY
     # when the model has any (VERDICT r2 #4c); bias-free models compile
     # the leaner program
@@ -1563,6 +1760,109 @@ def megapack_lowbit(cfg, sp: Dict[str, Any], bits: int = 3
     return out
 
 
+def megapack_walsh(cfg, sp: Dict[str, Any]) -> Dict[str, jax.Array]:
+    """Walsh-packed megakernel operands from stacked per-row 8-entry LUT
+    layers (GANQ bits=3 artifacts): 3 stored bit-planes per projection
+    (exactly 3 bits/weight streamed) + 8 f32 Walsh coefficient rows in
+    the scale slots. Pure jnp (traces under jit); serving calls
+    serve.stacked.prepack once. The kernel decodes the ARBITRARY per-row
+    codebook exactly (walsh=7) — the TPU-native answer to the reference's
+    LUT-mpGEMM kernels (gptqmodel/quantization/ganq.py:39-270)."""
+    ls = sp["layers_stacked"]
+    qkv, o = ls["attn"]["qkv"], ls["attn"]["o"]
+    gu, dn = ls["mlp"]["gateup"], ls["mlp"]["down"]
+    H = cfg.hidden_size
+    d = cfg.head_dim
+    L = qkv["lut"].shape[0]
+    Dq_all = qkv["lut"].shape[1]
+    I = gu["lut"].shape[1] // 2
+
+    from .packing import unpack_int_rows
+
+    tq = _qkv_tile_lb(Dq_all, d, 8)
+    ti, _ = _mlp_plan(I, 3, H)           # must match the kernel's tiling
+
+    def map_rows(m, tile, lo=None, hi=None):
+        def one(ip_l):
+            codes = unpack_int_rows(ip_l, 3, m.in_features)
+            if lo is not None:
+                codes = codes[lo:hi]
+            return _walsh_plane_pack(codes, tile)
+        return jax.lax.map(one, m["idx_packed"])
+
+    qkv_pk = map_rows(qkv, tq)
+    o_pk = map_rows(o, H)                # one tile = whole output dim
+    gate_pk = map_rows(gu, ti, 0, I)
+    up_pk = map_rows(gu, ti, I, 2 * I)
+    dn_pk = map_rows(dn, H)
+
+    def _gu_coef(c):
+        """[L, 8, 2I] -> tile-major cols (gate tile then up tile)."""
+        cg, cu = c[:, :, :I], c[:, :, I:]
+        blocks = []
+        for t in range(I // ti):
+            blocks.append(cg[:, :, t * ti:(t + 1) * ti])
+            blocks.append(cu[:, :, t * ti:(t + 1) * ti])
+        return jnp.concatenate(blocks, axis=2)
+
+    out = {
+        "qkv_pk": qkv_pk, "qkv_s": walsh_coef(qkv["lut"]),
+        "o_pk": o_pk, "o_s": walsh_coef(o["lut"]),
+        "gu_pk": jnp.concatenate([gate_pk, up_pk], axis=1),
+        "gu_s": _gu_coef(walsh_coef(gu["lut"])),
+        "dn_pk": dn_pk, "dn_s": walsh_coef(dn["lut"]),
+    }
+    out.update(_common_pack_ops(cfg, ls, qkv, o, gu, dn, L, H, Dq_all,
+                                I, ti))
+    return out
+
+
+def megastep_walsh_fusable(cfg, sp: Dict[str, Any]) -> bool:
+    """Static capability gate for the walsh LUT megastep: homogeneous
+    stacked llama-family models whose four projections are per-row
+    8-entry LUT artifacts (kind="lut", bits=3 — a GANQ bits=3 solve),
+    with lane-aligned walsh tiles. The arch surface (qk-norm, sandwich,
+    softcap, windows, dual rope, biases, EoRA) matches the uniform plane
+    gate; g_idx/zeros do not exist on lut artifacts."""
+    ls = sp.get("layers_stacked")
+    if ls is None:
+        return False
+    attn, mlp = ls.get("attn", {}), ls.get("mlp", {})
+    qkv, o = attn.get("qkv"), attn.get("o")
+    gu, dn = mlp.get("gateup"), mlp.get("down")
+    if qkv is None or o is None or gu is None or dn is None:
+        return False
+    mats = (qkv, o, gu, dn)
+    if any(getattr(m, "kind", None) != "lut" or m.bits != 3
+           for m in mats):
+        return False
+    if any(m["lut"].shape[-1] != 8 for m in mats):
+        return False
+    from .packing import pack_factor
+    for m in mats:
+        # lane-padded artifacts (lut_linear Kp > K) would dequant pad
+        # codes through the codebook — require exact-width packs
+        if m["idx_packed"].shape[-1] * pack_factor(3) != m.in_features:
+            return False
+    n_lora = sum("lora_a" in m.arrays for m in mats)
+    if n_lora not in (0, 4):
+        return False
+    if not _arch_fusable_common(cfg, ls, attn):
+        return False
+    H = cfg.hidden_size
+    if H % 8 or (H // 8) % 128:          # o/down field blocks lane-align
+        return False
+    Dqkv = qkv["lut"].shape[1]
+    kvd = (Dqkv - cfg.q_dim) // 2
+    if cfg.q_dim + 2 * kvd != Dqkv or kvd % cfg.head_dim:
+        return False
+    I = gu["lut"].shape[1] // 2
+    ti = _mlp_plan(I, 3, H)[0]
+    if ti is None or _qkv_tile_lb(Dqkv, cfg.head_dim, 8) is None:
+        return False
+    return _walsh_csz(H, cfg.q_dim, ti) != 0
+
+
 def mega_lm_operands(cfg, sp: Dict[str, Any], max_tile_bytes: int = 4 * 1024 * 1024):
     """Operands for the trailing-unembed fold (``lm=`` of
     :func:`megastep_lowbit_decode`), or None when the model's unembed
@@ -1596,6 +1896,47 @@ def mega_lm_operands(cfg, sp: Dict[str, Any], max_tile_bytes: int = 4 * 1024 * 1
     scale = jnp.asarray(lm["scale"], jnp.float32).reshape(V // tv, 1, tv)
     return {"w8": w8, "scale": jnp.broadcast_to(scale, (V // tv, 8, tv)),
             "norm": jnp.asarray(sp["final_norm"]["weight"], jnp.float32)}
+
+
+def _arch_fusable_common(cfg, ls, attn) -> bool:
+    """Architecture surface every megastep plane kernel supports: rope
+    (incl. gemma3 dual), rmsnorm pre-norm residual stacks, d=128, per-head
+    qk-norm, gemma sandwich norms, softcap/sliding windows — shared by the
+    uniform lowbit gate and the walsh LUT gate."""
+    if cfg.head_dim != 128 or cfg.v_head_dim not in (None, cfg.head_dim):
+        return False
+    if cfg.clip_qkv is not None:
+        return False
+    # per-head qk-norm (qwen3 / gemma3-style) rides in-kernel via the
+    # butterfly block-RMS (VERDICT r3 #6); other variants (flat/cohere)
+    # keep the per-layer path
+    if cfg.qk_norm:
+        if cfg.qk_norm not in (True, "head"):
+            return False
+        qn, kn = attn.get("q_norm"), attn.get("k_norm")
+        if qn is None or kn is None:
+            return False
+        if (qn["weight"].shape[-1] != cfg.head_dim
+                or kn["weight"].shape[-1] != cfg.head_dim):
+            return False
+    if cfg.norm != "rmsnorm" or not cfg.do_layer_norm_before:
+        return False
+    if (cfg.norm_after_sublayer or cfg.parallel_residual
+            or cfg.residual_multiplier is not None):
+        return False
+    # gemma2/3 sandwich norms run in-kernel (post_attn/post_mlp RMS on the
+    # sublayer output); the stacked pytree must carry both weights
+    if cfg.sandwich_norm and ("post_attn_norm" not in ls
+                              or "post_mlp_norm" not in ls):
+        return False
+    # attention softcap (gemma2) is a static tanh insert in the flash
+    # phase; sliding windows (gemma2/3) ride as per-layer window operands;
+    # dual local/global rope (gemma3) as a second cos/sin table + selector
+    if cfg.pos != "rope" or cfg.mla:
+        return False
+    if not cfg.gated_mlp or "moe" in ls:
+        return False
+    return True
 
 
 def megastep_lowbit_fusable(cfg, sp: Dict[str, Any], bits: int) -> bool:
@@ -1655,41 +1996,10 @@ def megastep_lowbit_fusable(cfg, sp: Dict[str, Any], bits: int) -> bool:
         gss.add(gs)
     if len(gss) != 1:
         return False
-    if cfg.head_dim != 128 or cfg.v_head_dim not in (None, cfg.head_dim):
-        return False
     # lane-aligned field blocks: o/down fields are H/g_r wide
     if cfg.hidden_size % (g_r * 128):
         return False
-    if cfg.clip_qkv is not None:
-        return False
-    # per-head qk-norm (qwen3 / gemma3-style) rides in-kernel via the
-    # butterfly block-RMS (VERDICT r3 #6); other variants (flat/cohere)
-    # keep the per-layer path
-    if cfg.qk_norm:
-        if cfg.qk_norm not in (True, "head"):
-            return False
-        qn, kn = attn.get("q_norm"), attn.get("k_norm")
-        if qn is None or kn is None:
-            return False
-        if (qn["weight"].shape[-1] != cfg.head_dim
-                or kn["weight"].shape[-1] != cfg.head_dim):
-            return False
-    if cfg.norm != "rmsnorm" or not cfg.do_layer_norm_before:
-        return False
-    if (cfg.norm_after_sublayer or cfg.parallel_residual
-            or cfg.residual_multiplier is not None):
-        return False
-    # gemma2/3 sandwich norms run in-kernel (post_attn/post_mlp RMS on the
-    # sublayer output); the stacked pytree must carry both weights
-    if cfg.sandwich_norm and ("post_attn_norm" not in ls
-                              or "post_mlp_norm" not in ls):
-        return False
-    # attention softcap (gemma2) is a static tanh insert in the flash
-    # phase; sliding windows (gemma2/3) ride as per-layer window operands;
-    # dual local/global rope (gemma3) as a second cos/sin table + selector
-    if cfg.pos != "rope" or cfg.mla:
-        return False
-    if not cfg.gated_mlp or "moe" in ls:
+    if not _arch_fusable_common(cfg, ls, attn):
         return False
     Dqkv = qkv["scales"].shape[1]
     kvd = (Dqkv - cfg.q_dim) // 2
@@ -1702,4 +2012,5 @@ def megastep_lowbit_fusable(cfg, sp: Dict[str, Any], bits: int) -> bool:
 
 
 __all__ = ["megastep_lowbit_decode", "megapack_lowbit", "mega_lm_operands",
-           "megastep_lowbit_fusable", "megastep_lowbit_reference"]
+           "megastep_lowbit_fusable", "megastep_lowbit_reference",
+           "megapack_walsh", "megastep_walsh_fusable", "walsh_coef"]

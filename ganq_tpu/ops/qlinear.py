@@ -336,6 +336,49 @@ def recode_uniform8(p: QLinear) -> QLinear:
     return QLinear("uniform", arrays, bits=8, in_features=n)
 
 
+def recode_uniform4(p: QLinear) -> QLinear:
+    """bits=3 LUT linear (per-row 8-entry codebook) -> uniform bits=4
+    artifact at W4 bytes: the 8 codebook VALUES snap onto the row's
+    16-level affine grid (quantum = rowrange/15 ~ half the 8-codeword
+    spacing) while the ASSIGNMENTS keep the Hessian-optimized GANQ solve.
+    The result rides the W4 plane megastep (2.4x-class decode) through
+    the asym zeros path. Lossy (snap error <= rowrange/30) — an OPT-IN
+    speed recode like the affine solve constraint, but applied post-hoc
+    to an unconstrained-accuracy artifact; measure the ppl cost with
+    scripts/accuracy_ab.py (ganq3_free_u4snap row). Other kinds pass
+    through unchanged."""
+    if p.kind != "lut" or p.bits != 3:
+        return p
+    n = p.in_features
+    if n % 128 or n % pack_factor(4):
+        return p
+    if p["idx_packed"].shape[-1] * pack_factor(3) != n:
+        return p                     # lane-padded artifact (lut_linear)
+    lut = p["lut"].astype(jnp.float32)               # [..., R, 8]
+    tmin = jnp.min(lut, axis=-1)
+    tmax = jnp.max(lut, axis=-1)
+    s = jnp.maximum((tmax - tmin) / 15.0, 1e-12)     # [..., R]
+    zero = -tmin / s                                 # v = s * (q - zero)
+    q16 = jnp.clip(jnp.round((lut - tmin[..., None]) / s[..., None]),
+                   0, 15).astype(jnp.int32)          # [..., R, 8]
+    idx = unpack_int_rows(p["idx_packed"], 3, n)     # [..., R, n]
+    # 8-way select instead of take_along_axis (gather is scalar-indexed
+    # on TPU; the recode runs jitted per layer at load time)
+    codes = jnp.zeros(idx.shape, jnp.int32)
+    for v in range(8):
+        codes = jnp.where(idx == v, q16[..., v:v + 1], codes)
+    G = n // 128
+    arrays = {
+        "qweight": pack_int_rows(codes, 4),
+        "scales": jnp.broadcast_to(s[..., None], (*s.shape, G)),
+        "zeros": jnp.broadcast_to(zero[..., None], (*zero.shape, G)),
+    }
+    for extra in ("bias", "lora_a", "lora_b"):
+        if extra in p.arrays:
+            arrays[extra] = p[extra]
+    return QLinear("uniform", arrays, bits=4, in_features=n)
+
+
 def certify_uniform(p: QLinear, tol_rel: float = 2.0 ** -7):
     """LUT linear whose per-row codebook lies on an affine grid -> uniform
     linear (None when any row is not grid-representable).
@@ -473,4 +516,5 @@ def concat_rows(linears) -> QLinear:
 
 __all__ = ["QLinear", "dense_linear", "lut_linear", "uniform_linear",
            "dequantize_weight", "apply", "concat_rows", "recode_w8",
+           "recode_uniform4", "recode_uniform8", "w8_to_uniform8",
            "certify_uniform"]

@@ -134,6 +134,8 @@ def _mega_decode_slots(cfg: ModelConfig, sp, mp, mk, mv, tokens, pos,
         from .stacked import _LB_BITS, _lb_kv_dim
         step_fn = megastep_lowbit_decode
         kw["bits"] = _LB_BITS[variant]
+        if variant == "wl8":
+            kw["walsh"] = 7          # exact 8-DOF codebook decode
         kv_dim = _lb_kv_dim(cfg, mp, kw["bits"])
         lm_ops = mega_lm_operands(cfg, sp)
         if lm_ops is not None:
@@ -240,7 +242,7 @@ class BatchingEngine:
                 sp = _stacked.w8p_stacked(sp)
             variant = (None if sp is None
                        else _stacked.mega_enabled(cfg, sp, backend, slots))
-            if variant in ("w4", "w4p", "w3", "w2", "w8p"):
+            if variant in ("w4", "w4p", "w3", "w2", "w8p", "wl8"):
                 self._mega_variant = variant
                 self._sp = _stacked.prepack(cfg, sp, backend, slots)
                 L = cfg.num_hidden_layers
@@ -289,8 +291,9 @@ class BatchingEngine:
             return out
         if self._mega_kv is not None:
             mk, mv = self._mega_kv
-            mp_key = ("megapack4" if self._mega_variant == "w4"
-                      else "megapack_lb")
+            mp_key = {"w4": "megapack4",
+                      "wl8": "megapack_wl"}.get(self._mega_variant,
+                                                "megapack_lb")
             logits, mk, mv = _mega_decode_slots(
                 self.cfg, self._sp, self._sp[mp_key], mk, mv,
                 jnp.asarray(self.tokens), jnp.asarray(self.pos),

@@ -115,6 +115,14 @@ def main():
         "ganq_affine_sym": QuantizeConfig(ganq_codebook="affine_sym",
                                           **ganq_kw),
         "ganq_lut8": QuantizeConfig(ganq_codebook="lut8", **ganq_kw),
+        # bits=3 rows (round 5): the TRUE 8-entry per-row codebook the
+        # walsh megastep ("wl8") serves EXACTLY at 3 bits/weight — the
+        # flagship artifact. GANQ-3's nonuniform win over grouped GPTQ-3
+        # is the paper's Table 3 story; the serve path adds ZERO error
+        # (walsh decode is exact), so these ppls ARE the serving ppls.
+        "gptq3_g128": QuantizeConfig(bits=3, group_size=128, sym=True,
+                                     desc_act=False, act_sort="none"),
+        "ganq3_free": QuantizeConfig(**dict(ganq_kw, bits=3)),
     }
     for name, qcfg in configs.items():
         _, p = hf_import.params_from_torch_model(m)
@@ -141,6 +149,24 @@ def main():
             results["ganq_free_u8recode"] = v8
             print(json.dumps({"config": "ganq_free_u8recode", "ppl": v8,
                               "dppl": round(v8 - results["fp"], 4)}),
+                  flush=True)
+        if name == "ganq3_free":
+            # the bits=3 artifact's W4-BYTES speed recode (round 5): snap
+            # the 8-entry codebook onto the row's 16-level affine grid,
+            # keep the solve's assignments (ops/qlinear.recode_uniform4 ->
+            # the W4 plane megastep at 2.4x-class decode). The measured
+            # dppl delta vs the exact walsh serving is the recode's price.
+            from ganq_tpu.ops.qlinear import QLinear, recode_uniform4
+            from ganq_tpu.quant.looper import packed_params
+            pk = packed_params(spec, out)
+            pk = jax.tree_util.tree_map(
+                lambda x: (recode_uniform4(x)
+                           if isinstance(x, QLinear) else x),
+                pk, is_leaf=lambda x: isinstance(x, QLinear))
+            v4 = round(float(ppl(pk)), 4)
+            results["ganq3_free_u4snap"] = v4
+            print(json.dumps({"config": "ganq3_free_u4snap", "ppl": v4,
+                              "dppl": round(v4 - results["fp"], 4)}),
                   flush=True)
 
     fp = results["fp"]

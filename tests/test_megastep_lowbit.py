@@ -55,7 +55,12 @@ def _lw_list(cfg, sp):
         o = _sub(ls["attn"]["o"], i)
         gu = _sub(ls["mlp"]["gateup"], i)
         dn = _sub(ls["mlp"]["down"], i)
-        I = gu["scales"].shape[0] // 2
+
+        def _rows(m):       # per-layer out features for any artifact kind
+            return (m["scales"] if "scales" in m.arrays
+                    else m["lut"]).shape[0]
+
+        I = _rows(gu) // 2
         guw = dequantize_weight(gu)
         gub = gu.arrays.get("bias")
         lw = {
@@ -64,7 +69,7 @@ def _lw_list(cfg, sp):
             "qkv_w": dequantize_weight(qkv).astype(jnp.float32),
             "qkv_bias": (qkv.arrays["bias"].astype(jnp.float32)
                          if "bias" in qkv.arrays else
-                         jnp.zeros((qkv["scales"].shape[0],), jnp.float32)),
+                         jnp.zeros((_rows(qkv),), jnp.float32)),
             "o_w": dequantize_weight(o).astype(jnp.float32),
             "gate_w": guw[:I].astype(jnp.float32),
             "up_w": guw[I:].astype(jnp.float32),
@@ -91,8 +96,9 @@ def _lw_list(cfg, sp):
     return out
 
 
-def _setup(rng, cfg, B, T, pos, bits, bias=False, asym=False):
-    sp = synthetic.make_stacked_model(cfg, kind="uniform", seed=3, bits=bits)
+def _setup(rng, cfg, B, T, pos, bits, bias=False, asym=False,
+           kind="uniform"):
+    sp = synthetic.make_stacked_model(cfg, kind=kind, seed=3, bits=bits)
     L, H = cfg.num_hidden_layers, cfg.hidden_size
     if cfg.qk_norm:
         d = cfg.head_dim
@@ -121,16 +127,25 @@ def _setup(rng, cfg, B, T, pos, bits, bias=False, asym=False):
         rng.uniform(0.5, 1.5, size=(L, H)).astype(np.float32))
     if bias:
         ls = sp["layers_stacked"]
-        I2 = ls["mlp"]["gateup"]["scales"].shape[1]
-        for mod, width in ((ls["attn"]["qkv"],
-                            ls["attn"]["qkv"]["scales"].shape[1]),
+
+        def _w(m):          # stacked out-features for any artifact kind
+            return (m["scales"].shape[1] if "scales" in m.arrays
+                    else m["lut"].shape[1])
+
+        for mod, width in ((ls["attn"]["qkv"], _w(ls["attn"]["qkv"])),
                            (ls["attn"]["o"], H),
-                           (ls["mlp"]["gateup"], I2),
+                           (ls["mlp"]["gateup"], _w(ls["mlp"]["gateup"])),
                            (ls["mlp"]["down"], H)):
             mod["bias"] = jnp.asarray(
                 rng.normal(size=(L, width)).astype(np.float32) * 0.05)
-    assert megastep_lowbit_fusable(cfg, sp, bits)
-    mp = megapack_lowbit(cfg, sp, bits)
+    if kind == "lut":
+        from ganq_tpu.ops.megastep_lowbit import (megapack_walsh,
+                                                  megastep_walsh_fusable)
+        assert megastep_walsh_fusable(cfg, sp)
+        mp = megapack_walsh(cfg, sp)
+    else:
+        assert megastep_lowbit_fusable(cfg, sp, bits)
+        mp = megapack_lowbit(cfg, sp, bits)
     Hkv = cfg.num_key_value_heads
     d = cfg.head_dim
     kc = jnp.zeros((L, B * Hkv, T, d), jnp.bfloat16)
@@ -190,6 +205,87 @@ def test_megastep_lowbit_matches_reference(rng, bits, B, pos, T, inter):
     np.testing.assert_allclose(np.asarray(y, np.float32),
                                np.asarray(ref_y, np.float32),
                                atol=5e-2, rtol=5e-2)
+
+
+@pytest.mark.parametrize("B,pos,bias", [
+    (8, 50, False),
+    (4, 3, False),
+    (16, 20, False),      # batch > 8 through the walsh walks
+    (8, 30, True),        # biased projections compose with walsh
+])
+def test_megastep_walsh_lut8(rng, B, pos, bias):
+    """TRUE per-row 8-entry LUT artifacts (GANQ bits=3 — unconstrained
+    codebooks) decode EXACTLY in the plane megastep via the Walsh
+    expansion at 3 bits/weight streamed (VERDICT r4 #1, the paper's
+    LUT-mpGEMM thesis): kernel vs the dequantized-codebook oracle."""
+    cfg = _cfg()
+    T = 64
+    sp, mp, kc, vc, x, cos, sin = _setup(rng, cfg, B, T, pos, 3,
+                                         bias=bias, kind="lut")
+    kv_dim = cfg.num_key_value_heads * cfg.head_dim
+    kw = dict(q_dim=cfg.q_dim, kv_dim=kv_dim, head_dim=cfg.head_dim,
+              rotary_dim=cfg.head_dim, eps=1e-5,
+              scale=float(1.0 / np.sqrt(cfg.head_dim)))
+    lw = _lw_list(cfg, sp)
+    ref_y, ref_k, ref_v = megastep_lowbit_reference(x, lw, kc, vc, pos,
+                                                    cos, sin, **kw)
+    with _ctx():
+        y, kn, vn = megastep_lowbit_decode(x, mp, kc, vc, jnp.int32(pos),
+                                           cos, sin, block_t=64, bits=3,
+                                           walsh=7, **kw)
+    np.testing.assert_allclose(np.asarray(kn, np.float32),
+                               np.asarray(ref_k, np.float32),
+                               atol=3e-2, rtol=2e-2)
+    np.testing.assert_allclose(np.asarray(vn, np.float32),
+                               np.asarray(ref_v, np.float32),
+                               atol=3e-2, rtol=2e-2)
+    np.testing.assert_allclose(np.asarray(y, np.float32),
+                               np.asarray(ref_y, np.float32),
+                               atol=5e-2, rtol=5e-2)
+
+
+def test_walsh_coef_exact(rng):
+    """The Walsh transform reproduces ANY 8-entry codebook exactly:
+    T[r, c] == c0[r] + sum_S c_S[r] * m_S(c) for all 8 codes."""
+    from ganq_tpu.ops.megastep_lowbit import _MONO, walsh_coef
+    lut = rng.normal(size=(64, 8)).astype(np.float32)
+    cf = np.asarray(walsh_coef(lut))              # [8, 64]
+    rec = np.zeros_like(lut)
+    for c in range(8):
+        v = cf[0]
+        for j, S in enumerate(_MONO):
+            bit = 0
+            for b in S:
+                bit ^= (c >> b) & 1
+            v = v + cf[1 + j] * bit
+        rec[:, c] = v
+    np.testing.assert_allclose(rec, lut, atol=1e-5)
+
+
+def test_megastep_walsh_greedy_serving(rng, monkeypatch):
+    """8-entry LUT artifacts through the FULL serving wiring: prepack
+    routes them to the walsh megastep ("wl8") and greedy_decode matches
+    the per-layer exact-LUT reference path."""
+    from ganq_tpu.serve import stacked
+
+    monkeypatch.setenv("GANQ_MEGASTEP", "1")
+    cfg = _cfg(layers=2)
+    B, prompt, steps, T = 4, 8, 4, 64
+    sp, _, _, _, _, _, _ = _setup(rng, cfg, B, T, 1, 3, kind="lut")
+    assert stacked.mega_enabled(cfg, sp, "reference", B) == "wl8"
+    psp = stacked.prepack(cfg, sp, "reference", B)
+    assert "megapack_wl" in psp
+    ids = jnp.asarray(rng.integers(0, cfg.vocab_size, size=(B, prompt)),
+                      jnp.int32)
+    ck, cv = stacked.init_cache(cfg, cfg.num_hidden_layers, B, T)
+    toks = np.asarray(stacked.greedy_decode(cfg, psp, ck, cv, ids, steps,
+                                            "reference"))
+    monkeypatch.setenv("GANQ_MEGASTEP", "0")
+    ck, cv = stacked.init_cache(cfg, cfg.num_hidden_layers, B, T)
+    ref = np.asarray(stacked.greedy_decode(cfg, sp, ck, cv, ids, steps,
+                                           "reference"))
+    agree = (toks == ref).mean()
+    assert agree >= 0.9, f"token agreement {agree:.2f}\n{toks}\n{ref}"
 
 
 @pytest.mark.parametrize("bits", [4, 8])

@@ -70,6 +70,30 @@ def test_w8_to_uniform8_lossless(rng):
     assert qlinear.w8_to_uniform8(ql2) is ql2
 
 
+def make_lut3_linear(rng, M=64, K=256):
+    lut = np.sort(rng.normal(size=(M, 8)).astype(np.float32) * 0.02, axis=1)
+    idx = rng.integers(0, 8, size=(M, K)).astype(np.int32)
+    return qlinear.lut_linear(jnp.asarray(lut), jnp.asarray(idx), 3)
+
+
+def test_recode_uniform4_snap(rng):
+    """bits=3 LUT -> uniform bits=4 snap (round 5): assignments preserved,
+    per-weight error bounded by the 16-level grid quantum (rowrange/30),
+    and the artifact rides the asym (zeros) megastep layout."""
+    ql = make_lut3_linear(rng)
+    w_exact = np.asarray(qlinear.dequantize_weight(ql), np.float32)
+    u4 = qlinear.recode_uniform4(ql)
+    assert u4.kind == "uniform" and u4.bits == 4
+    assert u4["zeros"].shape == u4["scales"].shape
+    w_u4 = np.asarray(qlinear.dequantize_weight(u4), np.float32)
+    lut = np.asarray(ql["lut"], np.float32)
+    rowrange = (lut.max(axis=1) - lut.min(axis=1))[:, None]
+    assert np.all(np.abs(w_u4 - w_exact) <= rowrange / 30.0 + 1e-6)
+    # non-bits-3 kinds pass through unchanged
+    ql4 = make_lut_linear(rng)
+    assert qlinear.recode_uniform4(ql4) is ql4
+
+
 def test_recode_uniform8_tighter_than_w8(rng):
     """Per-group int8 recode error <= the per-row recode's (group max-abs
     <= row max-abs), and both reconstruct the LUT weight closely."""
