@@ -609,6 +609,23 @@ class GanqModel:
                         walk(v)
 
             walk(self.params)
+        # fused-MoE decode operands (ops/moe_expert.py, VERDICT r4 #5):
+        # pre-pack each MoE layer's uniform experts into the slot-steered
+        # kernel's plane layout; the decode path engages automatically
+        # (models/transformer._moe_combine). Prefill keeps the per-expert
+        # artifacts, so both live side by side.
+        if jax.default_backend() != "cpu":
+            from .ops.moe_expert import moe_mega_fusable, moe_megapack
+            for lp in self.params.get("layers", []):
+                moe = lp.get("moe") if isinstance(lp, dict) else None
+                if (isinstance(moe, dict) and "experts" in moe
+                        and "mega" not in moe):
+                    bits = getattr(moe["experts"][0].get("gate"), "bits",
+                                   None)
+                    if bits and moe_mega_fusable(self.cfg, moe, bits):
+                        moe["mega"] = dict(jax.jit(
+                            lambda m, b=bits: moe_megapack(self.cfg, m, b)
+                        )(moe))
         self.backend = str(select_backend(self.params))
         return self
 

@@ -43,7 +43,8 @@ def _pick_tile(dim: int, candidates) -> int:
 
 
 def _sstep_kernel(wt_ref, tt_ref, diag_ref, bandpad_ref, ltpad_hbm,
-                  qt_ref, werrt_ref, lbuf, sem, *, n: int, blk: int):
+                  qt_ref, werrt_ref, lbuf, sem, *, n: int, blk: int,
+                  nV: int = 16):
     """Column walk in 8-row blocks: HBM DMA slices must be 8-row aligned, so
     each outer step fetches 16 rows of the top-padded L^T (the current block
     plus the row below it) and the inner 8 steps index the buffer statically.
@@ -85,7 +86,7 @@ def _sstep_kernel(wt_ref, tt_ref, diag_ref, bandpad_ref, ltpad_hbm,
             dmin = jnp.abs(eff - T[0:1, :])
             val = T[0:1, :]
             code = jnp.zeros((1, tm), jnp.float32)
-            for s in range(1, 16):
+            for s in range(1, nV):
                 d = jnp.abs(eff - T[s:s + 1, :])
                 better = (d < dmin).astype(jnp.float32)
                 dmin = dmin + better * (d - dmin)
@@ -113,13 +114,19 @@ def _sstep_kernel(wt_ref, tt_ref, diag_ref, bandpad_ref, ltpad_hbm,
 @functools.partial(jax.jit, static_argnames=("block_m", "blk"))
 def s_step_pallas(W: jax.Array, L: jax.Array, T: jax.Array,
                   block_m: int = 256, blk: int = 8):
-    """Fused S-step. W [m, n] f32, L [n, n] lower-tri f32, T [m, 16] f32.
+    """Fused S-step. W [m, n] f32, L [n, n] lower-tri f32, T [m, V] f32.
     Returns (Q [m, n] int32, Werr [m, n] f32)."""
     m, n = W.shape
     tm = _pick_tile(m, (block_m, 256, 128))
     while n % blk:
         blk //= 2
     blk = max(blk, 8)
+    V = T.shape[1]
+    Vp = max(8, V)
+    Tt = T.T.astype(jnp.float32)
+    if Vp != V:   # pad with last-codeword copies (never win a strict <)
+        Tt = jnp.concatenate(
+            [Tt, jnp.broadcast_to(Tt[-1:], (Vp - V, m))], axis=0)
     Lf = L.astype(jnp.float32)
     # top-pad L^T by 8 zero rows so 16-row aligned DMAs cover row j-1 = -1
     LTpad = jnp.concatenate([jnp.zeros((8, n), jnp.float32), Lf.T], axis=0)
@@ -133,11 +140,11 @@ def s_step_pallas(W: jax.Array, L: jax.Array, T: jax.Array,
     bandpad = jnp.concatenate([jnp.zeros((8, bw), jnp.float32), band], axis=0)
 
     qt, werrt = pl.pallas_call(
-        functools.partial(_sstep_kernel, n=n, blk=blk),
+        functools.partial(_sstep_kernel, n=n, blk=blk, nV=V),
         grid=(m // tm,),
         in_specs=[
             pl.BlockSpec((n, tm), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((16, tm), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Vp, tm), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((n, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((n + 8, bw), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.ANY),   # padded L^T stays in HBM
@@ -161,7 +168,7 @@ def s_step_pallas(W: jax.Array, L: jax.Array, T: jax.Array,
             bytes_accessed=m * n * 4 * 2 + n * n * 4,
             transcendentals=0,
         ),
-    )(W.T.astype(jnp.float32), T.T.astype(jnp.float32), diag, bandpad, LTpad)
+    )(W.T.astype(jnp.float32), Tt, diag, bandpad, LTpad)
     return qt.T, werrt.T
 
 
@@ -176,7 +183,7 @@ def s_step_fits(m: int, n: int, block_m: int = 256) -> bool:
 # --------------------------------------------------- blocked-pipeline kernel
 def _sstep_blk_kernel(wt_ref, tt_ref, lband_ref, band8_ref, lt_ref,
                       qt_ref, werrt_ref, r_ref, acc_ref, *, blk: int,
-                      nb: int, prec):
+                      nb: int, prec, nV: int = 16):
     """One column block of the blocked S-step (grid = (m-tiles, col-blocks
     right-to-left), every operand auto-pipelined by BlockSpec — the round-2
     kernel's manual start();wait() DMAs were the measured bottleneck, not
@@ -229,7 +236,7 @@ def _sstep_blk_kernel(wt_ref, tt_ref, lband_ref, band8_ref, lt_ref,
             dmin = jnp.abs(eff - tt_ref[0:1, :])
             val = tt_ref[0:1, :]
             code = jnp.zeros((1, tm), f32)
-            for s in range(1, 16):
+            for s in range(1, nV):
                 d = jnp.abs(eff - tt_ref[s:s + 1, :])
                 better = (d < dmin).astype(f32)
                 dmin = dmin + better * (d - dmin)
@@ -262,7 +269,7 @@ def s_step_blocked_pallas(W: jax.Array, L: jax.Array, T: jax.Array,
                           block_m: int = 256, blk: int = 128,
                           precision: str = "highest"):
     """Blocked-pipeline S-step. W [m, n] f32, L [n, n] lower-tri f32,
-    T [m, 16] f32 -> (Q [m, n] int32, Werr [m, n] f32).
+    T [m, V] f32 (V = 2^bits) -> (Q [m, n] int32, Werr [m, n] f32).
 
     The production GANQ S-step (quant/ganq.ganq_quantize auto-selects it
     via :func:`s_step_blocked_fits`): ~40x the lax.scan path at the 1B
@@ -284,14 +291,25 @@ def s_step_blocked_pallas(W: jax.Array, L: jax.Array, T: jax.Array,
     band8 = jnp.stack(
         [jnp.pad(jnp.diagonal(Lf, offset=-o), (0, o)) for o in range(8)],
         axis=1)
-    kern = functools.partial(_sstep_blk_kernel, blk=blk, nb=nb, prec=prec)
+    # codebook width V = 2^bits (16/8/4): the nearest-codeword walk is
+    # static over the TRUE V; the streamed T^T is row-padded to a sublane
+    # multiple with copies of the last codeword (strict-less keeps the
+    # first match, so duplicates never change an assignment)
+    V = T.shape[1]
+    Vp = max(8, V)
+    Tt = T.T.astype(jnp.float32)
+    if Vp != V:
+        Tt = jnp.concatenate(
+            [Tt, jnp.broadcast_to(Tt[-1:], (Vp - V, m))], axis=0)
+    kern = functools.partial(_sstep_blk_kernel, blk=blk, nb=nb, prec=prec,
+                             nV=V)
     qt, werrt = pl.pallas_call(
         kern,
         grid=(m // tm, nb),
         in_specs=[
             # W^T block for column-block bi (right-to-left), m-tile mi
             pl.BlockSpec((blk, tm), lambda mi, bi: (nb - 1 - bi, mi)),
-            pl.BlockSpec((16, tm), lambda mi, bi: (0, mi)),
+            pl.BlockSpec((Vp, tm), lambda mi, bi: (0, mi)),
             # L[b0:b1, b0:b1] lower-tri band
             pl.BlockSpec((blk, blk),
                          lambda mi, bi: (nb - 1 - bi, nb - 1 - bi)),
@@ -319,7 +337,7 @@ def s_step_blocked_pallas(W: jax.Array, L: jax.Array, T: jax.Array,
             bytes_accessed=m * n * 4 * 3 + n * n * 4 * (m // tm),
             transcendentals=0,
         ),
-    )(W.T.astype(jnp.float32), T.T.astype(jnp.float32), Lf, band8, Lf.T)
+    )(W.T.astype(jnp.float32), Tt, Lf, band8, Lf.T)
     return qt.T, werrt.T
 
 

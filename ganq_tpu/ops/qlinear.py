@@ -28,7 +28,17 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+import os
+
 from .packing import pack_factor, pack_int_rows, unpack_int_rows
+
+# token-row count at which quantized matmuls switch from the
+# decode-shaped fused kernels to the dequant-once MXU GEMM (see apply()).
+# MEASURED crossover on the real chip (scripts/prefill_profile.py, r5):
+# at b1 the decode kernels win up to 512 rows (4958 vs 3866 tok/s at
+# seq=512) and the GEMM wins from ~1024 (6906 vs 5572) — the r4 guess
+# that medium buckets were misrouted was wrong; 1024 stands.
+_PREFILL_GEMM_ROWS = int(os.environ.get("GANQ_PREFILL_GEMM_ROWS", "1024"))
 
 
 @jax.tree_util.register_pytree_node_class
@@ -217,14 +227,31 @@ def apply(p: QLinear, x: jax.Array, backend: str = "reference") -> jax.Array:
     elif backend == "reference":
         w = dequantize_weight(p)
         y = jnp.dot(x, w.T.astype(x.dtype))
-    elif backend in ("pallas", "pallas_a8") and rows >= 1024:
+    elif backend in ("pallas", "pallas_a8") and rows >= _PREFILL_GEMM_ROWS:
         # prefill-shaped (many token rows): COMPUTE-bound, so dequantize
         # once to bf16 and ride XLA's MXU GEMM — the fused dequant kernels
         # are decode-shaped and measured 0.40x bf16 at a b8x2048 prefill
         # (VERDICT r3 #5; the reference's exllamav2/marlin switch to GEMM
         # paths at bs>1 for the same reason, q_gemm.cu). The bf16 weight
         # materializes for ONE layer at a time (~2x the packed bytes).
-        w = dequantize_weight(p).astype(jnp.bfloat16)
+        # Threshold 1024, measured (scripts/prefill_profile.py r5):
+        # decode kernels win 128-512 rows at b1, the GEMM from ~1024;
+        # GANQ_PREFILL_GEMM_ROWS overrides. Uniform sym artifacts take a
+        # bf16-NATIVE dequant (codes -> int8 -> bf16 * bf16 scales, no
+        # f32 intermediates): measured 0.99-1.03x a plain bf16 GEMM per
+        # matmul vs 1.02-1.08x for the f32 form (same scale-rounding
+        # class as the serving kernels' bf16 scale streams).
+        if (p.kind == "uniform" and "zeros" not in p.arrays
+                and "g_idx" not in p.arrays
+                and p.in_features % p["scales"].shape[-1] == 0):
+            codes = unpack_int_rows(p["qweight"], p.bits, p.in_features)
+            center = 1 << (p.bits - 1)
+            c8 = (codes - center).astype(jnp.int8).astype(jnp.bfloat16)
+            gs_ = p.in_features // p["scales"].shape[-1]
+            sc = jnp.repeat(p["scales"].astype(jnp.bfloat16), gs_, axis=-1)
+            w = c8 * sc
+        else:
+            w = dequantize_weight(p).astype(jnp.bfloat16)
         y = jnp.dot(x.astype(jnp.bfloat16), w.T)
     elif backend in ("pallas", "pallas_a8"):
         from . import lut_matmul, uniform_matmul, w8_matmul

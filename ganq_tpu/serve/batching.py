@@ -40,22 +40,39 @@ def prefill_into_slot(cfg: ModelConfig, params, cache, ids, slot,
     """Prefill ids [1, s] and write k/v (or MLA compressed c/kpe) into batch
     cache slot ``slot``. Returns (last logits [vocab], cache)."""
     b1, s = ids.shape
-    positions = jnp.broadcast_to(jnp.arange(s), (b1, s))
+    m = cfg.num_meta_tokens
+    positions = jnp.broadcast_to(jnp.arange(s) + m, (b1, s))
     x = embed(cfg, params, ids, positions)
+    if m:  # hymba meta tokens: learnable prefix at cache rows [0, m)
+        meta = params["meta_tokens"].astype(x.dtype)
+        x = jnp.concatenate(
+            [jnp.broadcast_to(meta[None], (b1, m, meta.shape[1])), x],
+            axis=1)
+        positions = jnp.broadcast_to(jnp.arange(s + m), (b1, s + m))
     rope = rope_tables_all(cfg, positions) if cfg.pos == "rope" else None
     new_cache = []
     for i, (lp, lc) in enumerate(zip(params["layers"], cache)):
-        T = next(iter(lc.values())).shape[1]
-        slot_cache = {key: jnp.zeros((1, T, *lc[key].shape[2:]),
+        # per-key batch-1 shapes: k/v are [1, T, ...] but hymba's ssm/conv
+        # streaming states carry their own trailing dims
+        slot_cache = {key: jnp.zeros((1, *lc[key].shape[1:]),
                                      lc[key].dtype) for key in lc}
+        ko = None
+        # hymba cross-layer KV reuse: the consumer attends over the
+        # PRODUCER's freshly-prefilled slot rows
+        if cfg.kv_reuse_map is not None and cfg.kv_reuse_map[i] != i:
+            srcp = new_cache[cfg.kv_reuse_map[i]]
+            ko = {"k": jax.lax.dynamic_slice_in_dim(srcp["k"], slot, 1, 0),
+                  "v": jax.lax.dynamic_slice_in_dim(srcp["v"], slot, 1, 0)}
         x, sc, _ = layer_forward(cfg, lp, x, None,
                                  rope_for_layer(cfg, rope, i),
                                  cache=slot_cache,
                                  cache_pos=0, backend=backend,
-                                 window=cfg.layer_window(i))
+                                 window=cfg.layer_window(i),
+                                 kv_override=ko)
         new_cache.append({
             key: jax.lax.dynamic_update_slice(
-                lc[key], sc[key], (slot,) + (0,) * (lc[key].ndim - 1))
+                lc[key], sc[key].astype(lc[key].dtype),
+                (slot,) + (0,) * (lc[key].ndim - 1))
             for key in lc})
     logits = unembed(cfg, params, x[:, -1:, :])
     return logits[0, 0, :], new_cache
@@ -69,17 +86,27 @@ def _decode_slots_impl(cfg: ModelConfig, params, cache, tokens, pos, backend):
     Runs the full ``layer_forward`` (MoE, MLA absorbed decode, ALiBi,
     sliding windows, per-layer GQA) with a *vector* cache_pos — the
     scatter-at-position cache write lives in transformer._cache_write_vec."""
-    max_seq = next(iter(cache[0].values())).shape[1]
+    # "k" (or MLA "c") explicitly — hymba caches carry conv/ssm states
+    # whose dim-1 is NOT the sequence length
+    lc0 = cache[0]
+    max_seq = (lc0["k"] if "k" in lc0 else lc0["c"]).shape[1]
     positions = pos[:, None]
     x = embed(cfg, params, tokens[:, None], positions)
     mask = (jnp.arange(max_seq)[None, :] <= pos[:, None])[:, None, None, :]
     rope = rope_tables_all(cfg, positions) if cfg.pos == "rope" else None
     new_cache = []
     for i, (lp, lc) in enumerate(zip(params["layers"], cache)):
+        ko = None
+        # hymba cross-layer KV reuse at per-slot positions: the producer
+        # layer has already scattered this step's k/v into its cache
+        if cfg.kv_reuse_map is not None and cfg.kv_reuse_map[i] != i:
+            src = new_cache[cfg.kv_reuse_map[i]]
+            ko = {"k": src["k"], "v": src["v"]}
         x, lc, _ = layer_forward(cfg, lp, x, mask,
                                  rope_for_layer(cfg, rope, i), cache=lc,
                                  cache_pos=pos, backend=backend,
-                                 window=cfg.layer_window(i))
+                                 window=cfg.layer_window(i),
+                                 kv_override=ko)
         new_cache.append(lc)
     logits = unembed(cfg, params, x)[:, 0, :]
     return logits, new_cache
@@ -274,7 +301,8 @@ class BatchingEngine:
         prompt = np.asarray(prompt, np.int32).reshape(-1)
         if max_new_tokens < 1:
             raise ValueError("max_new_tokens must be >= 1")
-        if len(prompt) + max_new_tokens > self.max_seq:
+        if (len(prompt) + max_new_tokens
+                + self.cfg.num_meta_tokens > self.max_seq):
             raise ValueError("request exceeds max_seq")
         r = Request(next(self._ids), prompt, max_new_tokens, temperature)
         self.queue.append(r)
@@ -356,7 +384,12 @@ class BatchingEngine:
         prompt exactly fills its bucket (sampled from the prefill logits);
         padded prompts re-decode token n-1 on the next step instead."""
         n = len(r.prompt)
-        bucket = self._bucket(n)
+        # hybrid (SSM) models prefill at EXACT length: the selective-scan
+        # and conv streaming states are recurrences over every prefilled
+        # position, so bucket padding would fold pad tokens into the
+        # state (attention masks them; the scan cannot). Costs one
+        # compile per distinct prompt length instead of per bucket.
+        bucket = n if self.cfg.ssm_hybrid else self._bucket(n)
         padded = np.zeros(bucket, np.int32)
         padded[:n] = r.prompt
         if self._mega_kv is not None:
@@ -369,11 +402,12 @@ class BatchingEngine:
             logits, self.cache = prefill_into_slot(
                 self.cfg, self.params, self.cache,
                 jnp.asarray(padded[None, :]), i, self.backend)
+        m = self.cfg.num_meta_tokens  # hymba prefix rows [0, m) in cache
         if bucket == n:
             first = self._sample_first(logits, r.temperature)
             r.generated.append(first)
             self.tokens[i] = first
-            self.pos[i] = n
+            self.pos[i] = n + m
             self.slot_req[i] = r
             if ((self.eos_id >= 0 and first == self.eos_id)
                     or r.max_new_tokens <= 1):
@@ -383,7 +417,7 @@ class BatchingEngine:
         # padded prefill: position n-1 logits are internal; set up so the
         # next decode step recomputes token n-1 -> samples token n
         self.tokens[i] = int(r.prompt[-1])
-        self.pos[i] = n - 1
+        self.pos[i] = n - 1 + m
         self.slot_req[i] = r
         return None
 

@@ -192,10 +192,13 @@ def test_s_step_blocked_pallas_matches_scan(rng):
     from ganq_tpu.ops.ganq_solver import (s_step_blocked_fits,
                                           s_step_blocked_pallas)
 
-    for (m, n) in [(128, 256), (256, 512), (384, 256)]:
+    # V = 16/8/4: bits 4/3/2 codebook widths (the r5 walsh flagship is
+    # bits=3 -> 8-entry; the kernel row-pads sub-8 codebooks)
+    for (m, n, V) in [(128, 256, 16), (256, 512, 16), (384, 256, 16),
+                      (128, 256, 8), (256, 512, 8), (128, 256, 4)]:
         W = rng.normal(size=(m, n)).astype(np.float32)
         _, L = random_chol(rng, n)
-        T = np.sort(rng.normal(size=(m, 16)).astype(np.float32), axis=1)
+        T = np.sort(rng.normal(size=(m, V)).astype(np.float32), axis=1)
         assert s_step_blocked_fits(m, n)
 
         Qref, Werr_ref = s_step(W, L, T)
@@ -205,6 +208,7 @@ def test_s_step_blocked_pallas_matches_scan(rng):
             with pltpu.force_tpu_interpret_mode():
                 Q, Werr = s_step_blocked_pallas(W, L, T)
         agree = np.mean(np.asarray(Q) == np.asarray(Qref))
-        assert agree > 0.999, f"blocked S-step agreement {agree} ({m},{n})"
+        assert agree > 0.999, \
+            f"blocked S-step agreement {agree} ({m},{n},V={V})"
         np.testing.assert_allclose(np.asarray(Werr), np.asarray(Werr_ref),
                                    rtol=1e-4, atol=1e-4)
