@@ -563,12 +563,13 @@ class GanqModel:
         torch.compile analog, base.py:1240-1276).
 
         ``recode``: "auto" certifies grid-representable LUT codebooks to the
-        packed-4-bit uniform path (lossless, ops/qlinear.certify_uniform),
-        leaves bits=3 LUTs exact (they serve losslessly through the walsh
-        megastep at 3 bits/weight) and recodes the rest to per-128-group
+        packed-4-bit uniform path (lossless, ops/qlinear.certify_uniform)
+        and recodes the rest — incl. bits=3 LUTs — to per-128-group
         int8 (recode_uniform8 — the w8p plane-megastep feed; measured
-        +0.03 ppl over the exact LUT on the contract model, PERF.md round
-        4); "u4" snaps bits=3 LUT codebooks onto the per-row 16-level
+        +0.03 ppl over the exact 16-entry LUT and +0.15 over the exact
+        8-entry one, PERF.md r4/r5; load WITHOUT optimize() to serve
+        bits=3 LUTs exactly through the walsh megastep at 3 bits/weight);
+        "u4" snaps bits=3 LUT codebooks onto the per-row 16-level
         affine grid (recode_uniform4 — W4-bytes decode at a small,
         measured ppl cost; non-bits-3 LUTs fall back to "auto"
         semantics); "affine" certifies only (non-affine LUTs stay exact);
@@ -590,8 +591,11 @@ class GanqModel:
                         return q4
                     return recode_uniform8(v)
                 if recode == "auto":
-                    if getattr(v, "kind", None) == "lut" and v.bits == 3:
-                        return v     # exact walsh serving path
+                    # bits=3 LUTs included: the int8 recode costs +0.15
+                    # of a +14.5 ppl delta (measured, PERF.md r5) and
+                    # serves 2.6x faster than the exact walsh path at
+                    # decode batch; loading WITHOUT optimize() keeps the
+                    # exact wl8 serving
                     return recode_uniform8(v)
                 if recode == "w8":
                     return recode_w8(v)
