@@ -100,6 +100,10 @@ class GanqModel:
             from .models.ovis2_vision import extract_vision_state
             m.vision_state = extract_vision_state(
                 dict(hf_import.iter_safetensors(model_dir)))
+        elif cfg.model_type == "ovis":
+            from .models.ovis16_vision import extract_vision_state
+            m.vision_state = extract_vision_state(
+                dict(hf_import.iter_safetensors(model_dir)))
         return m
 
     @classmethod
@@ -121,6 +125,12 @@ class GanqModel:
             m.vision_state = extract_vl_state(state, m._hf_config_cache)
         elif cfg.model_type == "ovis2":
             from .models.ovis2_vision import extract_vision_state
+            state = {k: v.detach().cpu().numpy()
+                     for k, v in model.state_dict().items()}
+            m._hf_config_cache = model.config.to_dict()
+            m.vision_state = extract_vision_state(state)
+        elif cfg.model_type == "ovis":
+            from .models.ovis16_vision import extract_vision_state
             state = {k: v.detach().cpu().numpy()
                      for k, v in model.state_dict().items()}
             m._hf_config_cache = model.config.to_dict()
@@ -255,6 +265,12 @@ class GanqModel:
             eng = Ovis2VLEngine.build(
                 self.cfg, self.params, self._hf_config_dict(),
                 self.vision_state, backend=self.backend, max_seq=max_seq)
+        elif self.cfg.model_type == "ovis":
+            # ovis-1.6: same engine, SigLIP tower (VERDICT r4 #8)
+            from .serve.ovis2_vl import Ovis2VLEngine
+            eng = Ovis2VLEngine.build_ovis16(
+                self.cfg, self.params, self._hf_config_dict(),
+                self.vision_state, backend=self.backend, max_seq=max_seq)
         else:
             from .models.qwen2_vl_vision import (import_vision_params,
                                                  vision_config_from_hf)
@@ -313,11 +329,11 @@ class GanqModel:
                                   max_new_tokens=max_new_tokens,
                                   temperature=temperature, top_k=top_k,
                                   top_p=top_p, eos_id=eos, seed=seed)
-            elif self.cfg.model_type == "ovis2":
+            elif self.cfg.model_type in ("ovis2", "ovis"):
                 if (pixel_values_videos is not None or video_grid_thw is not None
                         or image_grid_thw is not None):
                     raise ValueError(
-                        "ovis2 multimodal generate supports pixel_values only; "
+                        "ovis multimodal generate supports pixel_values only; "
                         "video inputs (pixel_values_videos/video_grid_thw) and "
                         "image_grid_thw are not supported for this architecture")
                 out = vl.generate(ids, pixel_values=pixel_values,

@@ -40,15 +40,19 @@ def vl_tokens_from_hf(hf: Dict[str, Any]):
 
 @dataclass
 class Ovis2VLEngine:
-    """Image-aware generation over a (quantized) Ovis2 model."""
+    """Image-aware generation over a (quantized) Ovis2 — or, via
+    :meth:`build_ovis16`, Ovis-1.6 — model. The two generations share the
+    probabilistic-tokenizer combine exactly; ``features_fn`` selects the
+    tower (AIMv2 vs SigLIP, models/ovis{2,16}_vision.py)."""
     cfg: ModelConfig
     params: Dict[str, Any]
-    vcfg: Ovis2VisionConfig
+    vcfg: Any
     vparams: Dict[str, Any]
     image_token_id: int
     visual_indicator_token_ids: List[int]
     backend: str = "reference"
     max_seq: int = 2048
+    features_fn: Any = None
 
     @classmethod
     def build(cls, cfg: ModelConfig, params, hf_config: Dict[str, Any],
@@ -66,7 +70,31 @@ class Ovis2VLEngine:
                 f"but the vision config has "
                 f"{vcfg.num_visual_indicator_tokens} indicator rows")
         return cls(cfg, params, vcfg, vparams, img, ind,
-                   backend=backend, max_seq=max_seq)
+                   backend=backend, max_seq=max_seq,
+                   features_fn=image_features)
+
+    @classmethod
+    def build_ovis16(cls, cfg: ModelConfig, params,
+                     hf_config: Dict[str, Any],
+                     vision_state: Dict[str, Any],
+                     backend: str = "reference",
+                     max_seq: int = 2048) -> "Ovis2VLEngine":
+        """Ovis-1.6 (SigLIP tower): same engine, the generation's token
+        conventions default to the remote-code constants (image token
+        -200, indicators -301..-305) when the wrapper config does not
+        carry them (reference definitions/ovis.py wraps that code)."""
+        from ..models.ovis16_vision import image_features as feat16
+        from ..models.ovis16_vision import import_vision_params as imp16
+        from ..models.ovis16_vision import vision_config_from_hf as vc16
+
+        vcfg = vc16(hf_config)
+        vparams = imp16(vision_state)
+        img = int(hf_config.get("image_token_id", -200))
+        ind = [int(t) for t in
+               (hf_config.get("visual_indicator_token_ids")
+                or [-301, -302, -303, -304, -305])]
+        return cls(cfg, params, vcfg, vparams, img, ind,
+                   backend=backend, max_seq=max_seq, features_fn=feat16)
 
     # ------------------------------------------------------------- embedding
     def embed_multimodal(self, input_ids: np.ndarray,
@@ -80,12 +108,17 @@ class Ovis2VLEngine:
             ids = ids[None, :]
         b, s = ids.shape
         positions = jnp.broadcast_to(jnp.arange(s, dtype=jnp.int32), (b, s))
-        x = embed(self.cfg, self.params, jnp.asarray(ids), positions)
+        # ovis-1.6 uses NEGATIVE placeholder ids (-200 image, -30x
+        # indicators); clamp for the text embedding lookup — every
+        # placeholder row is overwritten below
+        ids_safe = np.where(ids < 0, 0, ids)
+        x = embed(self.cfg, self.params, jnp.asarray(ids_safe), positions)
         if pixel_values is None:
             return x
         x2d = x.reshape(b * s, -1)
         flat = ids.reshape(-1)
-        feats, indicators = image_features(
+        features_fn = self.features_fn or image_features
+        feats, indicators = features_fn(
             self.vcfg, self.vparams, jnp.asarray(pixel_values, jnp.float32))
         feats = feats.reshape(-1, feats.shape[-1])
         idx = np.where(flat == self.image_token_id)[0]
