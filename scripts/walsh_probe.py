@@ -39,88 +39,22 @@ from ganq_tpu.ops.megastep_lowbit import (_derive, _plan_meta, _plane_pack,
 
 _DEF = jax.lax.Precision.DEFAULT
 
-# monomial order: [b0, b1, b2, b0^b1, b0^b2, b1^b2, b0^b1^b2]
-_MONO = ((0,), (1,), (2,), (0, 1), (0, 2), (1, 2), (0, 1, 2))
+from ganq_tpu.ops.megastep_lowbit import (  # noqa: E402
+    _MONO, _walsh_derive1, _walsh_plane_pack, _walsh_recover1,
+    _walsh_views, walsh_coef)
+
+walsh_pack = _walsh_plane_pack
 
 
-def walsh_basis():
-    """M[c, 1+S] = XOR-monomial values; column 0 = 1. [8, 8] float."""
-    M = np.zeros((8, 8), np.float64)
-    M[:, 0] = 1.0
-    for j, S in enumerate(_MONO):
-        for c in range(8):
-            v = 0
-            for b in S:
-                v ^= (c >> b) & 1
-            M[c, 1 + j] = v
-    return M
-
-
-def walsh_coef(lut):
-    """[R, 8] codebook -> [8, R] coef rows (c0 first, then 7 monomials)."""
-    Minv = np.linalg.inv(walsh_basis())
-    c = np.asarray(lut, np.float64) @ Minv.T          # [R, 8]
-    return jnp.asarray(c.T.astype(np.float32))        # [8, R]
-
-
-def walsh_pack(codes, tile):
-    """[R, K] 3-bit codes -> [3*R/8, K] int8: plane p holds bit p of row
-    octets, tile-major, field r (row-block r) at byte bit 7-r, UNFLIPPED
-    (the walsh recover handles the top field's sign directly)."""
-    xp = np
-    R, K = codes.shape
-    tF = tile // 8
-    c = codes.reshape(R // tile, 8, tF, K)
-    planes = []
-    for p in range(3):
-        byte = None
-        for r in range(8):
-            v = (c[:, r] >> p) & 1
-            byte = v if byte is None else (byte << 1) | v
-        planes.append(byte)
-    out = xp.stack(planes, axis=1).reshape(R // tile * 3 * tF, K)
-    return ((out.astype(np.int32) + 128) % 256 - 128).astype(np.int8)
-
-
-def _walsh_views(P0, P1, P2, nmono: int):
-    """The nmono monomial plane blocks (stored + XOR-derived)."""
-    planes = [P0, P1, P2]
-    if nmono > 3:
-        planes += [P0 ^ P1, P0 ^ P2, P1 ^ P2, P0 ^ P1 ^ P2]
-    return planes[:nmono]
-
-
-def _walsh_derive(planes, tF: int):
-    """Masked prefix views of each 8-field bit plane (8 views per plane)."""
+def _walsh_derive(planes, tF):
     out = []
     for P in planes:
-        out.append(P)
-        for r in range(7):
-            out.append(P & jnp.int8((1 << (7 - r)) - 1))
+        out.extend(_walsh_derive1(P))
     return out
 
 
-def _walsh_recover(dd, tF: int, nmono: int):
-    """dd [B, nmono*8*tF] -> per-plane bit-dot blocks [B, 8*tF] each.
-    Field r of each plane: prefix diffs, sar(7-r); row 0 needs a negate
-    (unflipped top bit reads as -128 per set bit)."""
-    sar = jax.lax.shift_right_arithmetic
-    outs = []
-    for p in range(nmono):
-        base = p * 8 * tF
-        vs = [dd[:, base + k * tF: base + (k + 1) * tF] for k in range(8)]
-        vs.append(jnp.zeros_like(vs[0]))
-        parts = []
-        for r in range(8):
-            raw = vs[r] - vs[r + 1]
-            if r == 0:
-                parts.append(-sar(raw, 7))
-            elif r < 7:
-                parts.append(sar(raw, 7 - r))
-            else:
-                parts.append(raw)
-        outs.append(jnp.concatenate(parts, axis=1))   # [B, 8*tF]
-    return outs
+def _walsh_views_n(P0, P1, P2, nmono):
+    return _walsh_views([P0, P1, P2], nmono)
 
 
 def _kernel_walsh(x_ref, pk_ref, cf_ref, y_ref, dd_s, s_s,
@@ -141,7 +75,7 @@ def _kernel_walsh(x_ref, pk_ref, cf_ref, y_ref, dd_s, s_s,
         P0 = pk_ref[pl.ds((sub * 3 + 0) * tF, tF), :]
         P1 = pk_ref[pl.ds((sub * 3 + 1) * tF, tF), :]
         P2 = pk_ref[pl.ds((sub * 3 + 2) * tF, tF), :]
-        planes = _walsh_views(P0, P1, P2, nmono)
+        planes = _walsh_views_n(P0, P1, P2, nmono)
         y = jnp.zeros((B, 8 * tF), jnp.float32)
         for ci in range(NC):
             xs = x_ref[:, pl.ds(ci * csz, csz)]
@@ -155,7 +89,7 @@ def _kernel_walsh(x_ref, pk_ref, cf_ref, y_ref, dd_s, s_s,
                 dd = jax.lax.dot_general(
                     xs, rhs, (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.int32, precision=_DEF)
-                z = _walsh_recover(dd, tF, 1)[0]
+                z = _walsh_recover1(dd, tF)
                 cf = cf_ref[1 + p, pl.ds(sub * 8 * tF, 8 * tF)]
                 y = y + cf[None, :] * z.astype(jnp.float32)
         y_acc.append(y)
