@@ -224,7 +224,13 @@ class Engine:
                 and not self.cfg.ssm_hybrid
                 and self.cfg.kv_heads_per_layer is None):
             layers = self.params.get("layers")
-            if isinstance(layers, list) and len(layers) > 1:
+            # MoE models stay per-layer: the fused slot-steered expert
+            # kernel (ops/moe_expert.py, engaged through _moe_combine)
+            # lives there, and the scan cannot carry the per-layer
+            # "mega" operand dicts
+            if (isinstance(layers, list) and len(layers) > 1
+                    and not any(isinstance(lp, dict) and "moe" in lp
+                                for lp in layers)):
                 tds = {jax.tree_util.tree_structure(lp) for lp in layers}
                 if len(tds) == 1 and _single_device(layers):
                     from . import stacked as _stacked

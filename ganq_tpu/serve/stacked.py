@@ -45,8 +45,8 @@ def fuse_layer(lp: Dict[str, Any]) -> Dict[str, Any]:
             fused["o_t_w8"] = a["o"]["w8"].T
             fused["o_t_scale"] = a["o"]["scale"].reshape(1, -1)
         out["attn"] = fused
-    m = lp["mlp"]
-    if "gate" in m and "up" in m:
+    m = lp.get("mlp")
+    if m is not None and "gate" in m and "up" in m:
         out["mlp"] = {"gateup": concat_rows([m["gate"], m["up"]]),
                       "down": m["down"]}
     return out

@@ -111,3 +111,57 @@ def test_moe_combine_fast_path_wiring(rng, monkeypatch):
     out = np.asarray(_moe_forward(cfg, moe, h, None, "pallas_a8"),
                      np.float32)
     np.testing.assert_allclose(out, ref, atol=6e-2, rtol=6e-2)
+
+
+def test_moe_mega_engine_parity(rng, monkeypatch):
+    """Full decode path: a quantized MoE model with attached "mega"
+    operands (the optimize() flow) generates the same greedy tokens
+    through the fused slot-steered kernel as without it."""
+    from ganq_tpu.serve import engine as eng
+
+    E, H, I, k = 4, 256, 512, 2
+    cfg = _moe_cfg(E, H, I, k)
+    import dataclasses
+    cfg = dataclasses.replace(
+        cfg, vocab_size=256, num_attention_heads=2, num_key_value_heads=2,
+        head_dim=128, max_position_embeddings=128)
+    key = jax.random.PRNGKey(4)
+    ks = iter(jax.random.split(key, 32))
+
+    def dense(out_f, in_f):
+        return qlinear.dense_linear(
+            jax.random.normal(next(ks), (out_f, in_f), jnp.float32) * 0.05)
+
+    layers = []
+    for _ in range(2):
+        moe = _build(rng, E, H, I, 4)
+        layers.append({
+            "input_norm": {"weight": jnp.ones((H,), jnp.float32)},
+            "post_norm": {"weight": jnp.ones((H,), jnp.float32)},
+            "attn": {"q": dense(256, H), "k": dense(256, H),
+                     "v": dense(256, H), "o": dense(H, 256)},
+            "moe": moe,
+        })
+    params = {
+        "embed_tokens": {"weight": jax.random.normal(
+            next(ks), (256, H), jnp.float32) * 0.02},
+        "final_norm": {"weight": jnp.ones((H,), jnp.float32)},
+        "lm_head": dense(256, H),
+        "layers": layers,
+    }
+    ids = np.asarray(rng.integers(0, 256, size=(3, 6)), np.int32)
+
+    monkeypatch.setenv("GANQ_MOE_MEGA", "0")
+    ref = np.asarray(eng.Engine(cfg=cfg, params=params, max_seq=64,
+                                backend="pallas_a8").generate(
+        ids, max_new_tokens=5))
+
+    for lp in params["layers"]:
+        assert moe_mega_fusable(cfg, lp["moe"], 4)
+        lp["moe"]["mega"] = dict(moe_megapack(cfg, lp["moe"], 4))
+    monkeypatch.setenv("GANQ_MOE_MEGA", "1")
+    got = np.asarray(eng.Engine(cfg=cfg, params=params, max_seq=64,
+                                backend="pallas_a8").generate(
+        ids, max_new_tokens=5))
+    agree = (got == ref).mean()
+    assert agree >= 0.9, f"moe mega path disagrees: {got} vs {ref}"
