@@ -86,7 +86,8 @@ def test_moe_expert_kernel_parity(rng, E, H, I, B, k, bits):
     _, slot_ids = jax.lax.top_k(jnp.sum(gb, axis=0), S)
     wts = jnp.take(gb, slot_ids, axis=1)
     y = moe_expert_decode(h.reshape(rows, H), mp, slot_ids, wts,
-                          bits=bits, interpret=True)
+                          bits=bits,
+                          interpret=jax.default_backend() == "cpu")
     y = np.asarray(y, np.float32).reshape(B, 1, H)
     # tolerance class of the uniform megastep parity tests: the kernel
     # quantizes activations (per-row x8, per-tile a8) while the reference
