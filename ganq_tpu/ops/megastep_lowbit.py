@@ -946,8 +946,8 @@ def megastep_lowbit_decode(x: jax.Array, mp: Dict[str, jax.Array],
     compute; saves the separate unembed program + logits round-trip).
     Returns ``(y, kn, vn, logits)`` instead of ``(y, kn, vn)``."""
     B, H = x.shape
-    if B > 32:
-        raise ValueError("megastep_lowbit_decode: B <= 32")
+    if B > 64:
+        raise ValueError("megastep_lowbit_decode: B <= 64")
     Bp = -(-B // 8) * 8       # per-head batch row stride (sublane multiple)
     metas, coef, nd, g_r = _plan_meta(bits)
     npl = len(metas)

@@ -258,9 +258,11 @@ def mega_env_enabled(backend: str, batch: int) -> bool:
     BEFORE building a stacked copy of the model (it needs no params)."""
     env = os.environ.get("GANQ_MEGASTEP", "")
     # the plane kernels tile the per-head batch stride in octets (Bp),
-    # so decode batches up to 32 ride the megastep (VERDICT r2 #4a); the
-    # pair-nibble w4 / w8 kernels keep the original B <= 8 gate
-    if env == "0" or batch > 32:
+    # so decode batches up to 64 ride the megastep (r5: raised from 32 —
+    # the walsh exact-LUT decode is MXU-pad-bound and reclaims the pad
+    # linearly in B; the VMEM estimator degrades Tb as the kv blocks
+    # grow); the pair-nibble w4 / w8 kernels keep the original B <= 8 gate
+    if env == "0" or batch > 64:
         return False
     # default-on only for the w8a8 backend on a real TPU; GANQ_MEGASTEP=1
     # forces the decode path under any backend (CPU tests run it in

@@ -178,6 +178,7 @@ def _setup(rng, cfg, B, T, pos, bits, bias=False, asym=False,
     (4, 1, 10, 64, False),   # B*Hkv=4: BGp sublane pad (r3 advisor ask)
     (4, 8, 30, 64, True),    # interleaved rope (_rope_rot parity branch,
     (3, 8, 30, 64, True),    #  r4 advisor ask: the branch shipped untested)
+    (3, 48, 20, 64, False),  # batch > 32 (r5: plane-kernel cap now 64)
 ])
 def test_megastep_lowbit_matches_reference(rng, bits, B, pos, T, inter):
     cfg = _cfg()
@@ -211,6 +212,7 @@ def test_megastep_lowbit_matches_reference(rng, bits, B, pos, T, inter):
     (8, 50, False),
     (4, 3, False),
     (16, 20, False),      # batch > 8 through the walsh walks
+    (40, 20, False),      # batch > 32 (r5: the MXU-pad-reclaim regime)
     (8, 30, True),        # biased projections compose with walsh
 ])
 def test_megastep_walsh_lut8(rng, B, pos, bias):
