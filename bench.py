@@ -236,6 +236,12 @@ def main():
                         prompt, steps, max_seq, bits=3) if on_tpu else 0.0)
     tps_lut8_x = (safe("ganq_lut8_exact", "lut", "pallas_a8", batch,
                        prompt, steps, max_seq, bits=3) if on_tpu else 0.0)
+    # exact-LUT serving at batch 64: the MXU-pad reclaim regime where the
+    # unconstrained artifact crosses bf16 (PERF.md r5: 3026 vs 2786)
+    tps_lut8_x64 = (safe("ganq_lut8_exact_b64", "lut", "pallas_a8", 64,
+                         prompt, steps, max_seq, bits=3) if on_tpu else 0.0)
+    tps_dense_b64 = (safe("bf16_b64", "dense", "reference", 64, prompt,
+                          steps, max_seq) if on_tpu else 0.0)
     # free-codebook serving recode measured as the uniform8 artifact it
     # becomes (ops/qlinear.recode_uniform8 -> the w8p plane megastep);
     # building it directly avoids a 3x transient of the 3B int8 weights
@@ -336,6 +342,11 @@ def main():
             "ganq_lut8_w4_speedup": round(tps_lut8_w4 / tps_dense, 4),
             "tokens_per_s_ganq_lut8_exact": round(tps_lut8_x, 1),
             "ganq_lut8_exact_speedup": round(tps_lut8_x / tps_dense, 4),
+            "tokens_per_s_ganq_lut8_exact_b64": round(tps_lut8_x64, 1),
+            "tokens_per_s_bf16_b64": round(tps_dense_b64, 1),
+            "ganq_lut8_exact_b64_vs_bf16_b64": round(
+                tps_lut8_x64 / max(tps_dense_b64, 1e-9), 4)
+            if tps_dense_b64 else 0.0,
             "prefill_tokens_per_s_bf16": round(pf_dense, 1),
             "prefill_tokens_per_s_w4a8": round(pf_w4, 1),
             "prefill_tokens_per_s_ganq_lut": round(pf_lut, 1),
