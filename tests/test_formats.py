@@ -53,9 +53,13 @@ def test_lut_linear_dequant_matches_gather(rng):
     np.testing.assert_allclose(w, ref.astype(np.float16), atol=2e-2, rtol=1e-2)
 
 
-@pytest.mark.parametrize("method,fmt", [("ganq", "lut"), ("gptq", "gptq"),
-                                        ("gptq", "gptq_v2")])
-def test_save_load_forward_parity(rng, tmp_path, method, fmt):
+@pytest.mark.parametrize("method,fmt,bits", [
+    ("ganq", "lut", 4),
+    ("ganq", "lut", 3),     # 8-entry codebooks (the walsh-served artifact)
+    ("gptq", "gptq", 4),
+    ("gptq", "gptq_v2", 4),
+])
+def test_save_load_forward_parity(rng, tmp_path, method, fmt, bits):
     torch = pytest.importorskip("torch")
     import transformers as hf
 
@@ -71,11 +75,12 @@ def test_save_load_forward_parity(rng, tmp_path, method, fmt):
     spec = get_spec("llama")
 
     if method == "ganq":
-        qcfg = QuantizeConfig(bits=4, quant_method="ganq", ganq_iterations=2,
-                              act_sort="asc", l_damp_style="ganq", dead="mean")
+        qcfg = QuantizeConfig(bits=bits, quant_method="ganq",
+                              ganq_iterations=2, act_sort="asc",
+                              l_damp_style="ganq", dead="mean")
     else:
-        qcfg = QuantizeConfig(bits=4, group_size=32, sym=False, desc_act=False,
-                              act_sort="none", format=fmt)
+        qcfg = QuantizeConfig(bits=bits, group_size=32, sym=False,
+                              desc_act=False, act_sort="none", format=fmt)
 
     batches = [rng.integers(0, 256, size=(2, 32)).astype(np.int32) for _ in range(2)]
     out = quantize_model(cfg, params, spec, qcfg, batches)
@@ -102,6 +107,7 @@ def test_save_load_forward_parity(rng, tmp_path, method, fmt):
     # quantized modules came back packed, not dense
     q0 = hf_import.get_module(params2, 0, "attn.q")
     assert q0.kind == ("lut" if method == "ganq" else "uniform")
+    assert q0.bits == bits
 
 
 def test_hash_verify(rng, tmp_path):
