@@ -164,6 +164,29 @@ def measure_prefill(cfg, kind, backend, batch, seq, reps=4, bits=4):
     return batch * seq / best
 
 
+def measure_moe(reps=3):
+    """Fused slot-steered MoE decode vs the per-layer expert loop
+    (VERDICT r4 #5; ops/moe_expert.py) — mixtral-shaped synthetic
+    (H=4096, I=14336/expert, E=8 top-2, L=4, W4 experts), engine path."""
+    from scripts.moe_bench import BITS, build_model
+    from scripts.moe_bench import measure as moe_measure
+    from ganq_tpu.ops.moe_expert import moe_mega_fusable, moe_megapack
+
+    cfg, params = build_model()
+    tps_base = moe_measure(cfg, params, "moe per-layer", reps=reps)
+    for lp in params["layers"]:
+        assert moe_mega_fusable(cfg, lp["moe"], BITS)
+        lp["moe"]["mega"] = dict(jax.jit(
+            lambda m: moe_megapack(cfg, m, BITS))(lp["moe"]))
+    tps_fused = moe_measure(cfg, params, "moe fused", reps=reps)
+    del params
+    jax.clear_caches()
+    gc.collect()
+    return {"tokens_per_s_perlayer": round(tps_base, 1),
+            "tokens_per_s_fused": round(tps_fused, 1),
+            "fused_vs_perlayer": round(tps_fused / max(tps_base, 1e-9), 4)}
+
+
 def main():
     from ganq_tpu.models import synthetic
 
@@ -303,12 +326,20 @@ def main():
                       tps_w8a8 / tps_dense / 2.11,
                       tps_lut / tps_dense / 2.11)
     b8 = {}
+    moe = {}
     if on_tpu:
         try:
             b8 = measure_8b_shape()
         except Exception as e:
             import sys
             print(f"8B-shape bench failed: {e}", file=sys.stderr)
+        try:
+            moe = measure_moe()
+        except Exception as e:
+            import sys, traceback
+            print(f"moe bench leg failed: {e}", file=sys.stderr)
+            traceback.print_exc()
+            failed.append("moe_fused")
     print(json.dumps({
         "metric": "ganq_quant_decode_speedup_vs_bf16",
         "value": round(speedup, 4),
@@ -361,6 +392,7 @@ def main():
                                    " path; since r5 incl. the UNCONSTRAINED"
                                    " 8-entry codebook at W4 bytes)"),
             "w4a8_8b_shape": b8,
+            "moe_mixtral_shape": moe,
         },
     }))
 

@@ -7,6 +7,7 @@ Run on the real chip: PYTHONPATH=/root/repo python scripts/moe_bench.py
 """
 
 import gc
+import sys
 import time
 
 import numpy as np
@@ -94,8 +95,9 @@ def measure(cfg, params, label, reps=4):
         np.asarray(run())
         best = min(best, time.perf_counter() - t0)
     tps = B * STEPS / best
+    # stderr: bench.py imports this and must keep stdout to ONE JSON line
     print(f"{label}: {tps:.1f} tok/s ({best / STEPS * 1e3:.2f} ms/step)",
-          flush=True)
+          file=sys.stderr, flush=True)
     return tps
 
 
