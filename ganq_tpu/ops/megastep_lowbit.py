@@ -946,6 +946,10 @@ def megastep_lowbit_decode(x: jax.Array, mp: Dict[str, jax.Array],
     compute; saves the separate unembed program + logits round-trip).
     Returns ``(y, kn, vn, logits)`` instead of ``(y, kn, vn)``."""
     B, H = x.shape
+    # 64 is the validated cap (r5): b96 measured only +2.7% throughput
+    # over b64 at the 3B shape (per-step cost scales ~linearly again past
+    # the MXU-pad regime) and b128 exceeds scoped VMEM (the lm-fold
+    # logits output [B, V] f32 pins in VMEM beyond the estimator's view)
     if B > 64:
         raise ValueError("megastep_lowbit_decode: B <= 64")
     Bp = -(-B // 8) * 8       # per-head batch row stride (sublane multiple)
@@ -1072,7 +1076,7 @@ def megastep_lowbit_decode(x: jax.Array, mp: Dict[str, jax.Array],
 
     budget = 108 * 1024 * 1024
     while _vmem_est(ptq, ptg, Tb) > budget:
-        if Tb > 32:
+        if Tb > 16:
             Tb //= 2
         elif ptg > 1:
             ptg = _down(ptg, NG)
